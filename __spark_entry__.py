@@ -1,38 +1,184 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k on sf0.001.
+``queries()`` / ``oracle_sql()`` — one pair per implemented operator from
+SURVEY.md §2; the driver cross-checks them via DuckDB at sf0.01.
+
+Conventions shared by every pair:
+- tokenization = lowercase + split on ' ' + drop '' (functions/tokenizer.py
+  tokenize_ws  ==  DuckDB list_filter(string_split(lower(text),' '), ...)).
+- integer outputs cast to BIGINT on both sides; scores rounded to 4 decimals
+  on both sides so last-ulp libm differences can't flip a hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from elasticsearch_batch_percolator_spark.engine import Engine  # noqa: E402
+from elasticsearch_batch_percolator_spark.functions.tokenizer import tokenize_ws  # noqa: E402
+
+K1, B = 1.2, 0.75
+
+# DuckDB CTE prelude shared by token-level oracles (documents view is
+# pre-registered by the driver).
+_TOK_CTES = """
+tok AS (
+  SELECT doc_id, u.term AS term
+  FROM documents,
+       unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS u(term)
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", tokenize_ws("text").alias("tokens")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a 2-term query on sf0.001 documents."""
+    eng = Engine.from_documents(spark, "/root/testdata/sf0.001")
+    return (
+        eng.topk(["spark", "join"], k=10)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("score_r").alias("score_r"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- queries --
+
+def _q_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 TermQuery — posting lookup as array_contains on the doc side."""
+    return (
+        _tokens(spark, sf_dir)
+        .filter(F.array_contains("tokens", "spark"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def _q_bool_must(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 BooleanQuery MUST — AND of term containments."""
+    return (
+        _tokens(spark, sf_dir)
+        .filter(F.array_contains("tokens", "spark") & F.array_contains("tokens", "window"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def _q_bool_should(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 BooleanQuery SHOULD — OR, >=1 must match."""
+    return (
+        _tokens(spark, sf_dir)
+        .filter(F.array_contains("tokens", "fox") | F.array_contains("tokens", "wolf"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def _q_bool_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 MUST_NOT — negation (reference isNegated, LimitingFilterFactory.java:122-127)."""
+    return (
+        _tokens(spark, sf_dir)
+        .filter(F.array_contains("tokens", "spark") & ~F.array_contains("tokens", "join"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def _q_match_all_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 MatchAllDocsQuery + E5 count-only mode."""
+    return _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+def _q_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term dictionary with document frequencies (index-build statistics)."""
+    eng = Engine.from_documents(spark, sf_dir)
+    return eng.dfreq.select("term", F.col("df").cast("long").alias("df"))
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+E3: BM25 scoring + deterministic top-k (the flagship)."""
+    eng = Engine.from_documents(spark, sf_dir)
+    return eng.topk(["spark", "join"], k=10).select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score_r").alias("score_r"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_lookup": _q_term_lookup,
+        "bool_must": _q_bool_must,
+        "bool_should": _q_bool_should,
+        "bool_must_not": _q_bool_must_not,
+        "match_all_count": _q_match_all_count,
+        "df_stats": _q_df_stats,
+        "bm25_topk": _q_bm25_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    contains = (
+        "list_contains(list_filter(string_split(lower(text), ' '), x -> x <> ''), '{t}')"
+    )
+    return {
+        "term_lookup": f"SELECT doc_id FROM documents WHERE {contains.format(t='spark')}",
+        "bool_must": (
+            f"SELECT doc_id FROM documents WHERE {contains.format(t='spark')} "
+            f"AND {contains.format(t='window')}"
+        ),
+        "bool_should": (
+            f"SELECT doc_id FROM documents WHERE {contains.format(t='fox')} "
+            f"OR {contains.format(t='wolf')}"
+        ),
+        "bool_must_not": (
+            f"SELECT doc_id FROM documents WHERE {contains.format(t='spark')} "
+            f"AND NOT {contains.format(t='join')}"
+        ),
+        "match_all_count": "SELECT count(*)::BIGINT AS n_docs FROM documents",
+        "df_stats": f"WITH {_TOK_CTES} SELECT term, df FROM dfreq",
+        "bm25_topk": f"""
+WITH {_TOK_CTES},
+q(term) AS (VALUES ('spark'), ('join')),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+            * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)::BIGINT AS rank,
+       doc_id, round(score, 4) AS score_r
+FROM scored
+ORDER BY rank
+LIMIT 10
+""",
+    }
