@@ -1,0 +1,162 @@
+"""Plan → Catalyst boolean Column (the exact-match operator surface).
+
+Everything stays JVM-side / whole-stage-codegen'd except sloppy phrases and
+span queries, which fall back to ONE Arrow-vectorized pandas UDF running the
+shared exact evaluator (plans/eval_py.py) — the same split as the reference,
+where Boolean structure is cheap and positional queries are the documented
+slow path (README.md:127-133).
+
+Catalyst constructions:
+- Term       → array_contains(tokens, t)                         (Q1)
+- Wildcard   → exists(tokens, t -> t LIKE 'fo%')                 (Q7)
+- Phrase s=0 → exists(sequence(1, size-k+1),
+                 i -> tokens[i]=t0 AND tokens[i+1]=t1 ...)       (Q6)
+- WildcardPhrase → same with per-position LIKE                   (Q8)
+- Bool       → AND / OR / NOT composition                        (Q2-Q5)
+- Range      → col BETWEEN                                       (Q12)
+- MatchAll/None → lit(True/False)                                (Q11)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.eval_py import eval_plan
+from ..plans.query_plan import (
+    Bool,
+    MatchAll,
+    MatchNone,
+    Phrase,
+    Plan,
+    Range,
+    SpanNear,
+    SpanNot,
+    SpanOr,
+    SpanTerm,
+    Term,
+    Wildcard,
+    WildcardPhrase,
+    fields_of,
+)
+
+_LIKE_SPECIAL = {"%": r"\%", "_": r"\_", "\\": "\\\\"}
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """Lucene wildcard (* ?) → SQL LIKE pattern (% _), escaping %/_/\\."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        else:
+            out.append(_LIKE_SPECIAL.get(ch, ch))
+    return "".join(out)
+
+
+def _positional_col(tokens: Column, position_preds: list, k: int) -> Column:
+    """exists(start positions, all k consecutive tokens satisfy their pred).
+
+    ``position_preds[j]`` maps a token Column to a boolean Column.
+    element_at is 1-based; sequence guarded against size < k (an unguarded
+    sequence(1, n) with n < 1 would generate a DESCENDING range).
+    """
+    def at_start(i: Column) -> Column:
+        cond = F.lit(True)
+        for j, pred in enumerate(position_preds):
+            cond = cond & pred(F.element_at(tokens, i + F.lit(j)))
+        return cond
+
+    n_starts = F.size(tokens) - F.lit(k - 1)
+    return F.when(
+        n_starts >= 1, F.exists(F.sequence(F.lit(1), n_starts), at_start)
+    ).otherwise(F.lit(False))
+
+
+def _verify_udf_col(plan: Plan, tokens: Column, field: str) -> Column:
+    """Fallback: exact evaluator inside an Arrow-batched pandas UDF."""
+
+    @F.pandas_udf(T.BooleanType())
+    def verify(s: pd.Series) -> pd.Series:
+        return s.map(lambda toks: eval_plan(plan, {field: list(toks) if toks is not None else []}))
+
+    return verify(tokens)
+
+
+def match_col(
+    plan: Plan,
+    token_fields: dict[str, Column],
+    value_fields: dict[str, Column] | None = None,
+) -> Column:
+    """Exact boolean match predicate for ``plan``.
+
+    ``token_fields``: field name → array<string> tokens Column.
+    ``value_fields``: field name → numeric Column (Range targets).
+    """
+    value_fields = value_fields or {}
+
+    if isinstance(plan, MatchAll):
+        return F.lit(True)
+    if isinstance(plan, MatchNone):
+        return F.lit(False)
+
+    if isinstance(plan, (Term, SpanTerm)):
+        return F.array_contains(token_fields[plan.field], plan.value)
+
+    if isinstance(plan, Wildcard):
+        like = wildcard_to_like(plan.pattern)
+        return F.exists(token_fields[plan.field], lambda t: t.like(like))
+
+    if isinstance(plan, Range):
+        c = value_fields[plan.field]
+        cond = F.lit(True)
+        if plan.gte is not None:
+            cond = cond & (c >= F.lit(plan.gte))
+        if plan.lte is not None:
+            cond = cond & (c <= F.lit(plan.lte))
+        return cond
+
+    if isinstance(plan, Phrase):
+        tokens = token_fields[plan.field]
+        if plan.slop == 0:
+            preds = [(lambda t, v=v: t == F.lit(v)) for v in plan.terms]
+            return _positional_col(tokens, preds, len(plan.terms))
+        return _verify_udf_col(plan, tokens, plan.field)
+
+    if isinstance(plan, WildcardPhrase):
+        tokens = token_fields[plan.field]
+        preds = []
+        for p in plan.producers:
+            if isinstance(p, Term):
+                preds.append(lambda t, v=p.value: t == F.lit(v))
+            else:
+                preds.append(lambda t, lk=wildcard_to_like(p.pattern): t.like(lk))
+        return _positional_col(tokens, preds, len(plan.producers))
+
+    if isinstance(plan, (SpanNear, SpanOr, SpanNot)):
+        fs = fields_of(plan)
+        if len(fs) != 1:
+            raise ValueError(f"span plans must target one field, got {fs}")
+        field = next(iter(fs))
+        return _verify_udf_col(plan, token_fields[field], field)
+
+    if isinstance(plan, Bool):
+        cond = F.lit(True)
+        for c in plan.must:
+            cond = cond & match_col(c, token_fields, value_fields)
+        for c in plan.filter:
+            cond = cond & match_col(c, token_fields, value_fields)
+        for c in plan.must_not:
+            cond = cond & ~match_col(c, token_fields, value_fields)
+        if plan.should and not (plan.must or plan.filter):
+            any_should = F.lit(False)
+            for c in plan.should:
+                any_should = any_should | match_col(c, token_fields, value_fields)
+            cond = cond & any_should
+        return cond
+
+    raise TypeError(f"cannot build match column for {plan!r}")

@@ -1,0 +1,16 @@
+from .query_plan import (  # noqa: F401
+    Bool,
+    MatchAll,
+    MatchNone,
+    Phrase,
+    Range,
+    SpanNear,
+    SpanNot,
+    SpanOr,
+    SpanTerm,
+    Term,
+    Wildcard,
+    WildcardPhrase,
+)
+from .compiler import compile_query  # noqa: F401
+from .limiting import limiting_filter  # noqa: F401

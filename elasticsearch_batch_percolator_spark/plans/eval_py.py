@@ -1,0 +1,190 @@
+"""Exact plan evaluator over a tokenized document (pure Python).
+
+This is the engine's phase-2 "verify" semantics in one place: the
+percolation runner executes it inside an Arrow-vectorized pandas UDF over
+candidate (query, doc) pairs only (mirroring the reference running the full
+Lucene query only for queries that survived the limiting filter,
+BatchPercolatorService.java:166,347-394), and the test suite uses it as the
+independent oracle for the Catalyst predicate path (operators/match.py).
+
+Documents are dicts: tokenized fields map to ``list[str]``; numeric fields
+map to int/float (the reference's mapping-typed long fields, Q12).
+
+Span semantics (engine-defined; the reference inherits Lucene's):
+- span_term(t): spans = [(p, p)] for every position p of t.
+- span_near(clauses, slop, in_order): one span per clause, pairwise
+  non-overlapping, ordered iff in_order; total gap =
+  (cover_end - cover_start + 1) - sum(len(span_i)) must be <= slop.
+- span_or: union of clause spans.
+- span_not(inc, exc): spans of inc not overlapping any span of exc.
+- phrase(terms, slop): slop=0 → consecutive positions; slop>0 → ordered
+  positions p_1 < ... < p_k with (p_k - p_1) - (k - 1) <= slop.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from .query_plan import (
+    Bool,
+    MatchAll,
+    MatchNone,
+    Phrase,
+    Plan,
+    Range,
+    SpanNear,
+    SpanNot,
+    SpanOr,
+    SpanTerm,
+    Term,
+    Wildcard,
+    WildcardPhrase,
+)
+
+
+@lru_cache(maxsize=4096)
+def wildcard_regex(pattern: str) -> re.Pattern:
+    """Lucene wildcard (* = any run, ? = one char) → anchored regex."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("^" + "".join(out) + "$")
+
+
+def _tokens(doc: dict, field: str) -> list[str]:
+    v = doc.get(field)
+    return v if isinstance(v, (list, tuple)) else []
+
+
+def _producer_pred(p: Plan):
+    if isinstance(p, Term):
+        v = p.value
+        return lambda t: t == v
+    if isinstance(p, Wildcard):
+        rx = wildcard_regex(p.pattern)
+        return lambda t: rx.match(t) is not None
+    raise TypeError(f"not a producer: {p!r}")
+
+
+def spans_of(plan: Plan, doc: dict) -> list[tuple[int, int]]:
+    """Inclusive (start, end) position spans of a span-family plan."""
+    if isinstance(plan, (SpanTerm, Term)):
+        toks = _tokens(doc, plan.field)
+        return [(i, i) for i, t in enumerate(toks) if t == plan.value]
+    if isinstance(plan, Wildcard):
+        rx = wildcard_regex(plan.pattern)
+        toks = _tokens(doc, plan.field)
+        return [(i, i) for i, t in enumerate(toks) if rx.match(t)]
+    if isinstance(plan, SpanOr):
+        out: list[tuple[int, int]] = []
+        for c in plan.clauses:
+            out.extend(spans_of(c, doc))
+        return sorted(set(out))
+    if isinstance(plan, SpanNot):
+        inc = spans_of(plan.include, doc)
+        exc = spans_of(plan.exclude, doc)
+        return [
+            s for s in inc
+            if not any(not (s[1] < e[0] or e[1] < s[0]) for e in exc)
+        ]
+    if isinstance(plan, SpanNear):
+        per_clause = [spans_of(c, doc) for c in plan.clauses]
+        if any(not s for s in per_clause):
+            return []
+        out = []
+
+        def rec(i: int, chosen: list[tuple[int, int]]):
+            if i == len(per_clause):
+                cover = (min(s[0] for s in chosen), max(s[1] for s in chosen))
+                width = cover[1] - cover[0] + 1
+                total = sum(e - s + 1 for s, e in chosen)
+                if width - total <= plan.slop:
+                    out.append(cover)
+                return
+            for s in per_clause[i]:
+                ok = True
+                for c in chosen:
+                    if not (s[1] < c[0] or c[1] < s[0]):
+                        ok = False  # overlap
+                        break
+                if ok and plan.in_order and chosen and s[0] <= chosen[-1][1]:
+                    ok = False
+                if ok:
+                    rec(i + 1, chosen + [s])
+
+        rec(0, [])
+        return sorted(set(out))
+    raise TypeError(f"not a span plan: {plan!r}")
+
+
+def eval_plan(plan: Plan, doc: dict) -> bool:
+    if isinstance(plan, MatchAll):
+        return True
+    if isinstance(plan, MatchNone):
+        return False
+    if isinstance(plan, Term):
+        return plan.value in _tokens(doc, plan.field)
+    if isinstance(plan, Wildcard):
+        rx = wildcard_regex(plan.pattern)
+        return any(rx.match(t) for t in _tokens(doc, plan.field))
+    if isinstance(plan, Range):
+        v = doc.get(plan.field)
+        if v is None or isinstance(v, (list, tuple)):
+            return False
+        if plan.gte is not None and v < plan.gte:
+            return False
+        if plan.lte is not None and v > plan.lte:
+            return False
+        return True
+    if isinstance(plan, Phrase):
+        toks = _tokens(doc, plan.field)
+        k = len(plan.terms)
+        if plan.slop == 0:
+            return any(
+                tuple(toks[i : i + k]) == plan.terms for i in range(len(toks) - k + 1)
+            )
+        positions = [
+            [i for i, t in enumerate(toks) if t == term] for term in plan.terms
+        ]
+        if any(not p for p in positions):
+            return False
+
+        def rec(j: int, prev: int, first: int) -> bool:
+            if j == k:
+                return True
+            for p in positions[j]:
+                if p > prev and (p - first) - (k - 1) <= plan.slop and rec(j + 1, p, first):
+                    return True
+            return False
+
+        return any(rec(1, p0, p0) for p0 in positions[0])
+    if isinstance(plan, WildcardPhrase):
+        toks = _tokens(doc, plan.field)
+        preds = [_producer_pred(p) for p in plan.producers]
+        k = len(preds)
+        return any(
+            all(preds[j](toks[i + j]) for j in range(k))
+            for i in range(len(toks) - k + 1)
+        )
+    if isinstance(plan, (SpanTerm, SpanNear, SpanOr, SpanNot)):
+        return bool(spans_of(plan, doc))
+    if isinstance(plan, Bool):
+        for c in plan.must:
+            if not eval_plan(c, doc):
+                return False
+        for c in plan.filter:
+            if not eval_plan(c, doc):
+                return False
+        for c in plan.must_not:
+            if eval_plan(c, doc):
+                return False
+        if plan.should and not (plan.must or plan.filter):
+            return any(eval_plan(c, doc) for c in plan.should)
+        return True
+    raise TypeError(f"cannot evaluate {plan!r}")

@@ -1,0 +1,136 @@
+"""Limiting filter: cheap over-approximation of any plan (phase 1 of 2).
+
+Re-expression of the reference's signature optimization,
+``LimitingFilterFactory.limitingFilter`` (LimitingFilterFactory.java:47-253).
+Contract (class comment :29-45): in a NON-negated context the approximation
+may match MORE docs than the real query, never fewer; inside a negation only
+EXACT rewrites are sound (an over-approximation under NOT would exclude true
+matches), so lossy rewrites return None there — None = "cannot approximate,
+always run phase 2" (the reference's ``Optional.absent()``).
+
+Rules (mirroring :56-232):
+- negated context → the exact rewrite of the plan, or None.
+- Term / Wildcard / Range / MatchAll / MatchNone → itself (exact).
+- Phrase → AND of its terms; 1-term → Term (exact) (:177-192).
+- WildcardPhrase → AND of all its producers' presence tests (sound: a phrase
+  match implies each producer matched some token); 1-producer → the producer
+  (exact) (:194-212).
+- SpanTerm → Term (exact). SpanNear → AND of clause approxes; SpanOr → OR;
+  SpanNot → approx(include) (:80-102, 214-232).
+- Bool → recurse with negation tracking (:104-152): non-approximable MUST /
+  FILTER clauses are dropped (superset stays sound); must_not kept only when
+  exactly rewritable, else dropped; SHOULD-only bools need every should
+  approximable (a lost should could hide matches) else None.
+"""
+
+from __future__ import annotations
+
+from .query_plan import (
+    Bool,
+    MatchAll,
+    MatchNone,
+    Phrase,
+    Plan,
+    Range,
+    SpanNear,
+    SpanNot,
+    SpanOr,
+    SpanTerm,
+    Term,
+    Wildcard,
+    WildcardPhrase,
+)
+
+_EXACT_ATOMS = (Term, Wildcard, Range, MatchAll, MatchNone)
+
+
+def exact_rewrite(plan: Plan) -> Plan | None:
+    """The presence-test rewrite of ``plan`` when it is NOT lossy, else None."""
+    if isinstance(plan, _EXACT_ATOMS):
+        return plan
+    if isinstance(plan, SpanTerm):
+        return Term(plan.field, plan.value)
+    if isinstance(plan, Phrase) and len(plan.terms) == 1:
+        return Term(plan.field, plan.terms[0])
+    if isinstance(plan, WildcardPhrase) and len(plan.producers) == 1:
+        return plan.producers[0]
+    if isinstance(plan, Bool):
+        groups = {}
+        for name in ("must", "should", "must_not", "filter"):
+            out = []
+            for c in getattr(plan, name):
+                e = exact_rewrite(c)
+                if e is None:
+                    return None
+                out.append(e)
+            groups[name] = tuple(out)
+        return Bool(**groups)
+    return None
+
+
+def limiting_filter(plan: Plan, negated: bool = False) -> Plan | None:
+    if negated:
+        # an over-approximation under NOT would exclude true matches
+        # (reference isNegated tracking, LimitingFilterFactory.java:122-127)
+        return exact_rewrite(plan)
+
+    if isinstance(plan, _EXACT_ATOMS):
+        return plan
+
+    if isinstance(plan, SpanTerm):
+        return Term(plan.field, plan.value)
+
+    if isinstance(plan, Phrase):
+        if len(plan.terms) == 1:
+            return Term(plan.field, plan.terms[0])
+        return Bool(must=tuple(Term(plan.field, t) for t in plan.terms))
+
+    if isinstance(plan, WildcardPhrase):
+        if len(plan.producers) == 1:
+            return plan.producers[0]
+        return Bool(must=plan.producers)
+
+    if isinstance(plan, SpanNear):
+        approxes = [limiting_filter(c) for c in plan.clauses]
+        kept = tuple(a for a in approxes if a is not None)
+        return Bool(must=kept) if kept else None
+
+    if isinstance(plan, SpanOr):
+        approxes = [limiting_filter(c) for c in plan.clauses]
+        if not approxes or any(a is None for a in approxes):
+            return None  # one lost branch could hide matches
+        return Bool(should=tuple(approxes))
+
+    if isinstance(plan, SpanNot):
+        return limiting_filter(plan.include)
+
+    if isinstance(plan, Bool):
+        must_approx = []
+        for c in list(plan.must) + list(plan.filter):
+            a = limiting_filter(c)
+            if a is not None:
+                must_approx.append(a)  # dropped clause = sound superset
+
+        must_not_approx = []
+        for c in plan.must_not:
+            a = limiting_filter(c, negated=True)
+            if a is not None:
+                must_not_approx.append(a)  # drop inexact negations
+
+        has_positive = bool(plan.must) or bool(plan.filter)
+        if has_positive:
+            if not must_approx:
+                return None  # nothing cheap survived
+            return Bool(must=tuple(must_approx), must_not=tuple(must_not_approx))
+        if plan.should:
+            approxes = [limiting_filter(c) for c in plan.should]
+            if any(a is None for a in approxes):
+                return None
+            return Bool(should=tuple(approxes), must_not=tuple(must_not_approx))
+        if plan.must_not:
+            # pure negation matches everything outside N — only exact
+            # rewrites make a usable filter
+            return Bool(must_not=tuple(must_not_approx)) if must_not_approx else None
+        return MatchAll()
+
+    return None  # unknown plan type: always phase-2

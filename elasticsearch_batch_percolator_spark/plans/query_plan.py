@@ -1,0 +1,213 @@
+"""Query plan dataclasses — the engine's logical query algebra.
+
+Covers the query types the reference handles (SURVEY.md §2.3, Q1-Q14):
+term, bool(must/should/must_not/filter), phrase, wildcard, wildcard-phrase
+(the reference's custom Lucene extension, WildcardPhraseQuery.java:20-83),
+span near/or/not (LimitingFilterFactory.java:80-102), match_all, numeric
+range. Nested block-join (Q10) is documented-unsupported for the flat code
+corpus.
+
+Plans are frozen dataclasses → hashable, serializable via to_dict/from_dict
+(queries are registered as JSON rows in the queries table, mirroring the
+reference storing them as ~ypercolator docs,
+BatchPercolatorQueriesRegistry.java:270-313).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Plan:
+    """Marker base class."""
+
+    def to_dict(self) -> dict:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class Term(Plan):
+    field: str
+    value: str
+
+    def to_dict(self):
+        return {"term": {"field": self.field, "value": self.value}}
+
+
+@dataclass(frozen=True)
+class Wildcard(Plan):
+    """Pattern with ``*`` (any run) and ``?`` (one char), Lucene-style."""
+
+    field: str
+    pattern: str
+
+    def to_dict(self):
+        return {"wildcard": {"field": self.field, "value": self.pattern}}
+
+
+@dataclass(frozen=True)
+class Phrase(Plan):
+    """Terms at consecutive positions (slop generalizes adjacency)."""
+
+    field: str
+    terms: tuple[str, ...]
+    slop: int = 0
+
+    def to_dict(self):
+        return {"phrase": {"field": self.field, "terms": list(self.terms), "slop": self.slop}}
+
+
+@dataclass(frozen=True)
+class WildcardPhrase(Plan):
+    """Phrase where each position is a term-set producer: literal or wildcard
+    (reference TermsProducer family, TermTermsProducer.java / WildcardTermsProducer.java)."""
+
+    field: str
+    producers: tuple[Plan, ...]  # each Term or Wildcard
+
+    def to_dict(self):
+        return {"wildcard_phrase": {"field": self.field, "producers": [p.to_dict() for p in self.producers]}}
+
+
+@dataclass(frozen=True)
+class Bool(Plan):
+    must: tuple[Plan, ...] = ()
+    should: tuple[Plan, ...] = ()
+    must_not: tuple[Plan, ...] = ()
+    filter: tuple[Plan, ...] = ()
+
+    def to_dict(self):
+        return {
+            "bool": {
+                "must": [p.to_dict() for p in self.must],
+                "should": [p.to_dict() for p in self.should],
+                "must_not": [p.to_dict() for p in self.must_not],
+                "filter": [p.to_dict() for p in self.filter],
+            }
+        }
+
+
+@dataclass(frozen=True)
+class SpanTerm(Plan):
+    field: str
+    value: str
+
+    def to_dict(self):
+        return {"span_term": {"field": self.field, "value": self.value}}
+
+
+@dataclass(frozen=True)
+class SpanNear(Plan):
+    """Clauses within ``slop`` positions, optionally in order
+    (reference spanNearFilter approximation, LimitingFilterFactory.java:214-220)."""
+
+    clauses: tuple[Plan, ...]
+    slop: int = 0
+    in_order: bool = True
+
+    def to_dict(self):
+        return {
+            "span_near": {
+                "clauses": [c.to_dict() for c in self.clauses],
+                "slop": self.slop,
+                "in_order": self.in_order,
+            }
+        }
+
+
+@dataclass(frozen=True)
+class SpanOr(Plan):
+    clauses: tuple[Plan, ...] = ()
+
+    def to_dict(self):
+        return {"span_or": {"clauses": [c.to_dict() for c in self.clauses]}}
+
+
+@dataclass(frozen=True)
+class SpanNot(Plan):
+    """Matches of ``include`` whose span does not overlap a match of
+    ``exclude`` (LimitingFilterFactory.spanNotFilter:222-224)."""
+
+    include: Plan = None  # type: ignore[assignment]
+    exclude: Plan = None  # type: ignore[assignment]
+
+    def to_dict(self):
+        return {"span_not": {"include": self.include.to_dict(), "exclude": self.exclude.to_dict()}}
+
+
+@dataclass(frozen=True)
+class MatchAll(Plan):
+    def to_dict(self):
+        return {"match_all": {}}
+
+
+@dataclass(frozen=True)
+class MatchNone(Plan):
+    """Rewrite target for impossible queries (WildcardPhraseQuery.rewrite:51-61
+    returns MatchNoDocsQuery when a position's term set is empty)."""
+
+    def to_dict(self):
+        return {"match_none": {}}
+
+
+@dataclass(frozen=True)
+class Range(Plan):
+    """Numeric range — the reference's term-on-long-field becomes a
+    RangeQuery via the mapping (ConcurrentPercolation.java:53-57)."""
+
+    field: str
+    gte: float | None = None
+    lte: float | None = None
+
+    def to_dict(self):
+        return {"range": {"field": self.field, "gte": self.gte, "lte": self.lte}}
+
+
+def fields_of(plan: Plan) -> set[str]:
+    """All document fields a plan touches."""
+    if isinstance(plan, (Term, Wildcard, Phrase, WildcardPhrase, SpanTerm, Range)):
+        return {plan.field}
+    if isinstance(plan, Bool):
+        out: set[str] = set()
+        for group in (plan.must, plan.should, plan.must_not, plan.filter):
+            for p in group:
+                out |= fields_of(p)
+        return out
+    if isinstance(plan, (SpanNear, SpanOr)):
+        out = set()
+        for c in plan.clauses:
+            out |= fields_of(c)
+        return out
+    if isinstance(plan, SpanNot):
+        return fields_of(plan.include) | fields_of(plan.exclude)
+    return set()
+
+
+def positive_terms(plan: Plan) -> set[tuple[str, str]]:
+    """(field, term) literals contributing positively to a match — the BM25
+    scoring terms (must/should/phrase/span; never must_not or filter —
+    FILTER is non-scoring, Q5)."""
+    if isinstance(plan, (Term, SpanTerm)):
+        return {(plan.field, plan.value)}
+    if isinstance(plan, Phrase):
+        return {(plan.field, t) for t in plan.terms}
+    if isinstance(plan, WildcardPhrase):
+        out: set[tuple[str, str]] = set()
+        for p in plan.producers:
+            if isinstance(p, Term):
+                out.add((p.field, p.value))
+        return out
+    if isinstance(plan, Bool):
+        out = set()
+        for group in (plan.must, plan.should):
+            for p in group:
+                out |= positive_terms(p)
+        return out
+    if isinstance(plan, (SpanNear, SpanOr)):
+        out = set()
+        for c in plan.clauses:
+            out |= positive_terms(c)
+        return out
+    if isinstance(plan, SpanNot):
+        return positive_terms(plan.include)
+    return set()

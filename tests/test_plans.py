@@ -1,0 +1,136 @@
+"""Compiler round-trip + limiting-filter superset property (pure Python).
+
+Mirrors the reference's randomized corpus test: 10,000 random query trees
+over random docs, asserting the limiting filter's match set is a SUPERSET of
+the exact query's match set (LimitingFilterFactoryTest.groovy.txt:67-99).
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from elasticsearch_batch_percolator_spark.plans import (
+    Bool,
+    MatchAll,
+    Phrase,
+    SpanNear,
+    SpanNot,
+    SpanOr,
+    SpanTerm,
+    Term,
+    Wildcard,
+    WildcardPhrase,
+    compile_query,
+    limiting_filter,
+)
+from elasticsearch_batch_percolator_spark.plans.eval_py import eval_plan
+
+FIELD = "content"
+VOCAB = list("abcdefgh")
+
+terms = st.sampled_from(VOCAB)
+patterns = st.sampled_from(["a*", "?b", "c?", "*e*", "f", "a?c", "*"])
+
+leaf = st.one_of(
+    st.builds(Term, st.just(FIELD), terms),
+    st.builds(Wildcard, st.just(FIELD), patterns),
+    st.builds(lambda ts: Phrase(FIELD, tuple(ts)), st.lists(terms, min_size=1, max_size=3)),
+    st.builds(
+        lambda ts, slop: Phrase(FIELD, tuple(ts), slop),
+        st.lists(terms, min_size=2, max_size=3),
+        st.integers(0, 2),
+    ),
+    st.just(MatchAll()),
+    st.builds(
+        lambda ps: WildcardPhrase(FIELD, tuple(ps)),
+        st.lists(
+            st.one_of(
+                st.builds(Term, st.just(FIELD), terms),
+                st.builds(Wildcard, st.just(FIELD), patterns),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
+)
+
+span_leaf = st.builds(SpanTerm, st.just(FIELD), terms)
+spans = st.recursive(
+    span_leaf,
+    lambda inner: st.one_of(
+        st.builds(
+            lambda cs, slop, io: SpanNear(tuple(cs), slop, io),
+            st.lists(inner, min_size=1, max_size=3),
+            st.integers(0, 3),
+            st.booleans(),
+        ),
+        st.builds(lambda cs: SpanOr(tuple(cs)), st.lists(inner, min_size=1, max_size=3)),
+        st.builds(SpanNot, inner, inner),
+    ),
+    max_leaves=4,
+)
+
+plans = st.recursive(
+    st.one_of(leaf, spans),
+    lambda inner: st.builds(
+        lambda m, s, mn, f: Bool(tuple(m), tuple(s), tuple(mn), tuple(f)),
+        st.lists(inner, max_size=2),
+        st.lists(inner, max_size=2),
+        st.lists(inner, max_size=2),
+        st.lists(inner, max_size=1),
+    ),
+    max_leaves=6,
+)
+
+docs = st.lists(terms, max_size=10).map(lambda ts: {FIELD: ts})
+
+
+@settings(max_examples=2000, deadline=None, derandomize=True)
+@given(plans, docs)
+def test_limiting_filter_superset(plan, doc):
+    approx = limiting_filter(plan)
+    if approx is None:
+        return  # "cannot approximate" — phase 2 always runs: trivially sound
+    if eval_plan(plan, doc):
+        assert eval_plan(approx, doc), (
+            f"approximation excluded a true match\nplan={plan}\napprox={approx}\ndoc={doc}"
+        )
+
+
+@settings(max_examples=500, deadline=None, derandomize=True)
+@given(plans, st.lists(docs, min_size=5, max_size=5))
+def test_compile_round_trip_semantic(plan, doc_sample):
+    """to_dict -> compile may normalize (1-term phrase -> term) but must be
+    semantically identical on every doc."""
+    recompiled = compile_query(plan.to_dict())
+    for doc in doc_sample:
+        assert eval_plan(recompiled, doc) == eval_plan(plan, doc), (
+            f"\nplan={plan}\nrecompiled={recompiled}\ndoc={doc}"
+        )
+
+
+def test_compiler_es_shorthand():
+    assert compile_query({"term": {"content": "Fox"}}) == Term("content", "fox")
+    assert compile_query({"match_phrase": {"content": "the Fox"}}) == Phrase(
+        "content", ("the", "fox")
+    )
+    assert compile_query({"match": {"content": "quick fox"}}) == Bool(
+        should=(Term("content", "quick"), Term("content", "fox"))
+    )
+    assert compile_query('{"match_all": {}}') == MatchAll()
+
+
+def test_limiting_reference_rules():
+    # phrase -> AND of terms (LimitingFilterFactory.java:177-192)
+    p = Phrase(FIELD, ("a", "b"))
+    assert limiting_filter(p) == Bool(must=(Term(FIELD, "a"), Term(FIELD, "b")))
+    # negated multi-term phrase -> absent
+    assert limiting_filter(p, negated=True) is None
+    # 1-term phrase -> exact term, allowed under negation
+    assert limiting_filter(Phrase(FIELD, ("a",)), negated=True) == Term(FIELD, "a")
+    # bool must_not with inexact inner approx -> clause dropped, not unsound
+    b = Bool(must=(Term(FIELD, "a"),), must_not=(p,))
+    assert limiting_filter(b) == Bool(must=(Term(FIELD, "a"),))
+    # span near -> AND of clause terms
+    sn = SpanNear((SpanTerm(FIELD, "a"), SpanTerm(FIELD, "b")), slop=1)
+    assert limiting_filter(sn) == Bool(must=(Term(FIELD, "a"), Term(FIELD, "b")))
+    # negated span -> absent
+    assert limiting_filter(sn, negated=True) is None
