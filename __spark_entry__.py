@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from elasticsearch_batch_percolator_spark.engine import Engine  # noqa: E402
 from elasticsearch_batch_percolator_spark.functions.tokenizer import tokenize_ws  # noqa: E402
+from elasticsearch_batch_percolator_spark.operators.match import match_col  # noqa: E402
+from elasticsearch_batch_percolator_spark.operators.percolate import percolate  # noqa: E402
+from elasticsearch_batch_percolator_spark.plans import compile_query  # noqa: E402
+from elasticsearch_batch_percolator_spark.sources.registry import CompiledRegistry  # noqa: E402
 
 K1, B = 1.2, 0.75
 
@@ -129,6 +133,51 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wildcard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 WildcardQuery — pattern expansion, exercised via the compiled plan."""
+    plan = compile_query({"wildcard": {"text": "sp*"}})
+    return (
+        _tokens(spark, sf_dir)
+        .filter(match_col(plan, {"text": F.col("tokens")}))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 PhraseQuery — positional adjacency via exists-over-sequence."""
+    plan = compile_query({"phrase": {"field": "text", "terms": ["the", "fast"]}})
+    return (
+        _tokens(spark, sf_dir)
+        .filter(match_col(plan, {"text": F.col("tokens")}))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+_PERC_QUERIES = {
+    "q-term": {"term": {"text": "fox"}},
+    "q-bool": {"bool": {"must": [{"term": {"text": "spark"}}, {"term": {"text": "window"}}]}},
+    "q-phrase": {"phrase": {"field": "text", "terms": ["the", "fast"]}},
+    "q-wild": {"wildcard": {"text": "merg*"}},
+    "q-not": {"bool": {"must": [{"term": {"text": "vector"}}], "must_not": [{"term": {"text": "wolf"}}]}},
+}
+
+
+def _q_percolate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 batch percolation: registered query set × doc batch → matches
+    (the reference's core; per-query loop re-expressed as one joined plan)."""
+    reg = CompiledRegistry.from_rows(list(_PERC_QUERIES.items()))
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    res = percolate(spark, docs, reg)
+    return res.matches.select(F.col("doc_id").cast("long").alias("doc_id"), "query_id")
+
+
+def _q_percolate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 count-only mode over the same registered set."""
+    reg = CompiledRegistry.from_rows(list(_PERC_QUERIES.items()))
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return percolate(spark, docs, reg).counts()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_lookup": _q_term_lookup,
@@ -138,6 +187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_all_count": _q_match_all_count,
         "df_stats": _q_df_stats,
         "bm25_topk": _q_bm25_topk,
+        "wildcard_match": _q_wildcard_match,
+        "phrase_match": _q_phrase_match,
+        "percolate_batch": _q_percolate_batch,
+        "percolate_counts": _q_percolate_counts,
     }
 
 
@@ -145,7 +198,26 @@ def oracle_sql() -> dict[str, str]:
     contains = (
         "list_contains(list_filter(string_split(lower(text), ' '), x -> x <> ''), '{t}')"
     )
+    has_like = (
+        "len(list_filter(string_split(lower(text), ' '), t -> t LIKE '{p}')) > 0"
+    )
+    phrase = "contains(' ' || lower(text) || ' ', ' {p} ')"
+    perc_union = " UNION ALL ".join(
+        [
+            f"SELECT doc_id, 'q-term' AS query_id FROM documents WHERE {contains.format(t='fox')}",
+            f"SELECT doc_id, 'q-bool' AS query_id FROM documents WHERE {contains.format(t='spark')} AND {contains.format(t='window')}",
+            f"SELECT doc_id, 'q-phrase' AS query_id FROM documents WHERE {phrase.format(p='the fast')}",
+            f"SELECT doc_id, 'q-wild' AS query_id FROM documents WHERE {has_like.format(p='merg%')}",
+            f"SELECT doc_id, 'q-not' AS query_id FROM documents WHERE {contains.format(t='vector')} AND NOT {contains.format(t='wolf')}",
+        ]
+    )
     return {
+        "wildcard_match": f"SELECT doc_id FROM documents WHERE {has_like.format(p='sp%')}",
+        "phrase_match": f"SELECT doc_id FROM documents WHERE {phrase.format(p='the fast')}",
+        "percolate_batch": perc_union,
+        "percolate_counts": (
+            f"SELECT query_id, count(*)::BIGINT AS n_matches FROM ({perc_union}) GROUP BY query_id"
+        ),
         "term_lookup": f"SELECT doc_id FROM documents WHERE {contains.format(t='spark')}",
         "bool_must": (
             f"SELECT doc_id FROM documents WHERE {contains.format(t='spark')} "

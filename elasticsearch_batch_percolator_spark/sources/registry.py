@@ -1,0 +1,220 @@
+"""Registered-query registry: parse once, approximate once, broadcast.
+
+The reference stores queries as docs of reserved type ``~ypercolator`` and
+keeps a per-shard in-memory map rebuilt on recovery
+(BatchPercolatorQueriesRegistry.java:78,129-136,244-266); each query's
+Lucene plan AND its limiting-filter approximation are computed once at
+registration (parsePercolatorDocument:138-185,:157,176-177) and amortized
+over every future batch.
+
+Spark analog: a ``queries`` Parquet table (query_id, query_json) is the
+durable store (S5/S6 — load_registry == the reference's recovery scan); the
+compiled form lives on the driver and ships to executors inside pandas-UDF
+closures / broadcast join inputs.
+
+Phase-1 flattening: each query's approximation is reduced to AND-of-OR-groups
+over literal terms and wildcard patterns:
+
+    groups(Term t)        = [{t}]
+    groups(Wildcard p)    = [{p:pattern}]
+    groups(MatchAll)      = []              (no constraint)
+    groups(Bool must=...) = concat of child groups; an unreducible child is
+                            DROPPED (fewer constraints -> still a superset)
+    groups(Bool should=.) = one group = union of one group per child (a doc
+                            matching child_i satisfies every group of
+                            child_i, so its first group suffices) — if any
+                            child has no groups, the whole query is
+                            UNFILTERABLE (candidate for every doc)
+    must_not              = ignored for candidate generation (superset-sound)
+
+Queries whose plan is a pure term conjunction/disjunction are fully decided
+by phase 1 (``needs_verify=False``) — the common fast path; everything else
+gets the exact phase-2 evaluator on surviving pairs only.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.compiler import compile_query
+from ..plans.limiting import limiting_filter
+from ..plans.query_plan import (
+    Bool,
+    MatchAll,
+    MatchNone,
+    Plan,
+    Range,
+    Term,
+    Wildcard,
+)
+
+
+@dataclass
+class CompiledQuery:
+    query_id: str
+    plan: Plan
+    approx: Plan | None
+    # phase-1 groups: list of OR-groups; each group is a set of
+    # ("t", literal) / ("w", like_pattern) members. None => unfilterable.
+    groups: list[set[tuple[str, str]]] | None
+    needs_verify: bool
+    match_none: bool = False
+
+
+@dataclass
+class CompiledRegistry:
+    queries: dict[str, CompiledQuery] = field(default_factory=dict)
+
+    def __len__(self) -> int:
+        return len(self.queries)
+
+    @classmethod
+    def from_rows(cls, rows: list[tuple[str, str | dict]]) -> "CompiledRegistry":
+        reg = cls()
+        for qid, qjson in rows:
+            reg.register(qid, qjson)
+        return reg
+
+    @classmethod
+    def from_df(cls, queries_df: DataFrame) -> "CompiledRegistry":
+        rows = queries_df.select("query_id", "query_json").collect()
+        return cls.from_rows([(r["query_id"], r["query_json"]) for r in rows])
+
+    def register(self, query_id: str, query_json: str | dict) -> None:
+        """Parse + approximate + flatten (the reference's preIndex validate +
+        postIndexUnderLock register, BatchPercolatorQueriesRegistry.java:270-313)."""
+        plan = compile_query(query_json)
+        approx = limiting_filter(plan)
+        if isinstance(approx, MatchNone):
+            self.queries[query_id] = CompiledQuery(query_id, plan, approx, None, False, True)
+            return
+        groups = _flatten_groups(approx) if approx is not None else None
+        self.queries[query_id] = CompiledQuery(
+            query_id, plan, approx, groups, _needs_verify(plan)
+        )
+
+    def unregister(self, query_id: str) -> None:
+        self.queries.pop(query_id, None)
+
+    # ---- Spark-side tables for the set-oriented phase-1 join ------------
+
+    def literal_pairs(self, spark: SparkSession) -> DataFrame:
+        """(query_id, group_id, term) for literal group members."""
+        rows = []
+        for q in self.queries.values():
+            if q.groups is None or q.match_none:
+                continue
+            for gid, group in enumerate(q.groups):
+                for kind, val in group:
+                    if kind == "t":
+                        rows.append((q.query_id, gid, val))
+        return spark.createDataFrame(
+            rows, "query_id string, group_id int, term string"
+        )
+
+    def pattern_pairs(self, spark: SparkSession) -> DataFrame:
+        """(query_id, group_id, like_pattern) for wildcard group members."""
+        from ..operators.match import wildcard_to_like
+
+        rows = []
+        for q in self.queries.values():
+            if q.groups is None or q.match_none:
+                continue
+            for gid, group in enumerate(q.groups):
+                for kind, val in group:
+                    if kind == "w":
+                        rows.append((q.query_id, gid, wildcard_to_like(val)))
+        return spark.createDataFrame(
+            rows, "query_id string, group_id int, pattern string"
+        )
+
+    def group_counts(self, spark: SparkSession) -> DataFrame:
+        """(query_id, n_groups) for filterable queries with >=1 group."""
+        rows = [
+            (q.query_id, len(q.groups))
+            for q in self.queries.values()
+            if q.groups and not q.match_none
+        ]
+        return spark.createDataFrame(rows, "query_id string, n_groups int")
+
+    def all_docs_query_ids(self) -> list[str]:
+        """Queries that are candidates for EVERY doc: unfilterable (approx
+        absent — reference Optional.absent) or zero-constraint (match_all)."""
+        return [
+            q.query_id
+            for q in self.queries.values()
+            if not q.match_none and (q.groups is None or len(q.groups) == 0)
+        ]
+
+    def verify_plans(self) -> dict[str, Plan]:
+        """query_id -> exact plan, for queries needing phase-2."""
+        return {
+            q.query_id: q.plan
+            for q in self.queries.values()
+            if q.needs_verify and not q.match_none
+        }
+
+
+def _flatten_groups(approx: Plan) -> list[set[tuple[str, str]]] | None:
+    if isinstance(approx, Term):
+        return [{("t", approx.value)}]
+    if isinstance(approx, Wildcard):
+        return [{("w", approx.pattern)}]
+    if isinstance(approx, MatchAll):
+        return []
+    if isinstance(approx, Range):
+        return []  # numeric constraint: not term-joinable, drop (sound)
+    if isinstance(approx, Bool):
+        if approx.must or approx.filter:
+            out: list[set[tuple[str, str]]] = []
+            for c in list(approx.must) + list(approx.filter):
+                g = _flatten_groups(c)
+                if g is not None:
+                    out.extend(g)  # unreducible child dropped — sound
+            return out
+        if approx.should:
+            union: set[tuple[str, str]] = set()
+            for c in approx.should:
+                g = _flatten_groups(c)
+                if g is None or len(g) == 0:
+                    return None  # a should branch with no constraint
+                union |= g[0]
+            return [union]
+        return []  # pure must_not approx: no positive constraint
+    return None
+
+
+def _needs_verify(plan: Plan) -> bool:
+    """False only when phase-1 group semantics are EXACT for this plan."""
+    if isinstance(plan, Term):
+        return False
+    if isinstance(plan, MatchAll):
+        return False
+    if isinstance(plan, Bool):
+        if plan.must_not or plan.filter:
+            return True
+        if plan.must and plan.should:
+            return True  # shoulds are score-only but groups ignore that split
+        clauses = plan.must or plan.should
+        return not all(isinstance(c, Term) for c in clauses)
+    return True
+
+
+# ---- durable queries table (S5 registration sink / S6 recovery scan) -----
+
+def save_registry(spark: SparkSession, rows: list[tuple[str, str | dict]], path: str) -> None:
+    data = [
+        (qid, json.dumps(qj) if isinstance(qj, dict) else qj) for qid, qj in rows
+    ]
+    spark.createDataFrame(data, "query_id string, query_json string").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_registry(spark: SparkSession, path: str) -> CompiledRegistry:
+    """The recovery path: re-read + re-compile every stored query
+    (ShardLifecycleListener.loadQueries, BatchPercolatorQueriesRegistry.java:244-266)."""
+    return CompiledRegistry.from_df(spark.read.parquet(path))

@@ -1,0 +1,151 @@
+"""Percolation runner: golden reference scenarios + randomized oracle check."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from elasticsearch_batch_percolator_spark.operators.highlight import highlight_col
+from elasticsearch_batch_percolator_spark.operators.percolate import percolate
+from elasticsearch_batch_percolator_spark.plans.eval_py import eval_plan
+from elasticsearch_batch_percolator_spark.sources.registry import (
+    CompiledRegistry,
+    load_registry,
+    save_registry,
+)
+
+VOCAB = list("abcdefgh")
+
+
+def _run(spark, queries, docs):
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    docs_df = spark.createDataFrame(docs, "doc_id long, content string")
+    res = percolate(spark, docs_df, reg)
+    return res, {(int(r["doc_id"]), r["query_id"]) for r in res.matches.collect()}
+
+
+def test_simple_percolation_golden(spark):
+    """SimplePercolationTests.java:42-109."""
+    queries = {
+        "1": {"term": {"content": "b"}},
+        "2": {"term": {"content": "c"}},
+        "3": {"bool": {"must": [{"term": {"content": "b"}}, {"term": {"content": "c"}}]}},
+        "4": {"match_all": {}},
+    }
+    _, got = _run(spark, queries, [(0, "b")])
+    assert got == {(0, "1"), (0, "4")}
+    _, got2 = _run(spark, queries, [(1, "b c")])
+    assert got2 == {(1, "1"), (1, "2"), (1, "3"), (1, "4")}
+
+
+def test_api_golden_with_highlights(spark):
+    """APITests.java:190-247 — match counts {2,2,1} + highlight goldens."""
+    queries = {
+        "q-fox": {"term": {"content": "fox"}},
+        "q-youscan": {"term": {"content": "youscan"}},
+        "q-all": {"match_all": {}},
+    }
+    docs = [(1, "the fox is here"), (2, "youscan percolator"), (3, "bad wolf")]
+    res, got = _run(spark, queries, docs)
+    per_doc = {d: sum(1 for dd, _ in got if dd == d) for d in (1, 2, 3)}
+    assert per_doc == {1: 2, 2: 2, 3: 1}
+
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    hl = (
+        res.matches.join(res.docs.select("doc_id", "content"), "doc_id")
+        .withColumn("hl", highlight_col(reg, F.col("query_id"), F.col("content")))
+        .collect()
+    )
+    hl_map = {(int(r["doc_id"]), r["query_id"]): r["hl"] for r in hl}
+    assert hl_map[(1, "q-fox")] == "the <b>fox</b> is here"
+    assert hl_map[(2, "q-youscan")] == "<b>youscan</b> percolator"
+
+
+def test_empty_registry_and_empty_matches(spark):
+    """Empty registry short-circuits to empty per-doc entries
+    (BatchPercolatorService.java:142-144, emptyPercolateResponses:268-275)."""
+    docs = [(0, "a b"), (1, "c d")]
+    res, got = _run(spark, {}, docs)
+    assert got == set()
+    per_doc = {int(r["doc_id"]): r["matched_queries"] for r in res.per_doc().collect()}
+    assert per_doc == {0: [], 1: []}
+
+
+def test_counts_mode(spark):
+    queries = {"qa": {"term": {"content": "a"}}, "qx": {"term": {"content": "x"}}}
+    res, _ = _run(spark, queries, [(0, "a b"), (1, "a c"), (2, "b c")])
+    counts = {r["query_id"]: r["n_matches"] for r in res.counts().collect()}
+    assert counts == {"qa": 2}
+
+
+def test_percolate_randomized_oracle(spark):
+    """Random query set × random docs == python exact evaluator, end to end
+    (the integration analog of the reference's randomized corpus test)."""
+    rng = random.Random(158556155086072256)
+    queries = {}
+    for i in range(60):
+        kind = rng.randrange(7)
+        if kind == 0:
+            q = {"term": {"content": rng.choice(VOCAB)}}
+        elif kind == 1:
+            q = {"wildcard": {"content": rng.choice(["a*", "?b", "*e*", "c?"])}}
+        elif kind == 2:
+            q = {"phrase": {"field": "content", "terms": rng.choices(VOCAB, k=rng.randint(2, 3))}}
+        elif kind == 3:
+            q = {
+                "bool": {
+                    "must": [{"term": {"content": rng.choice(VOCAB)}} for _ in range(rng.randint(1, 2))],
+                    "must_not": [{"term": {"content": rng.choice(VOCAB)}}] if rng.random() < 0.5 else [],
+                    "should": [{"wildcard": {"content": "a*"}}] if rng.random() < 0.3 else [],
+                }
+            }
+        elif kind == 4:
+            q = {
+                "span_near": {
+                    "clauses": [{"span_term": {"content": rng.choice(VOCAB)}} for _ in range(2)],
+                    "slop": rng.randint(0, 2),
+                    "in_order": rng.random() < 0.5,
+                }
+            }
+        elif kind == 5:
+            q = {"match_all": {}}
+        else:
+            q = {
+                "wildcard_phrase": {
+                    "field": "content",
+                    "producers": [
+                        {"term": {"content": rng.choice(VOCAB)}},
+                        {"wildcard": {"content": rng.choice(["a*", "?b"])}},
+                    ],
+                }
+            }
+        queries[f"q{i}"] = q
+
+    docs = [(i, " ".join(rng.choices(VOCAB, k=rng.randint(0, 12)))) for i in range(150)]
+    _, got = _run(spark, queries, docs)
+
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    expected = set()
+    for doc_id, text in docs:
+        pydoc = {"content": [t for t in text.lower().split(" ") if t]}
+        for qid, cq in reg.queries.items():
+            if eval_plan(cq.plan, pydoc):
+                expected.add((doc_id, qid))
+    assert got == expected
+
+
+def test_registry_save_load_roundtrip(spark, tmp_path):
+    """S5 registration sink + S6 recovery scan."""
+    rows = [
+        ("1", {"term": {"content": "b"}}),
+        ("2", {"bool": {"must": [{"term": {"content": "b"}}, {"term": {"content": "c"}}]}}),
+    ]
+    path = str(tmp_path / "queries")
+    save_registry(spark, rows, path)
+    reg = load_registry(spark, path)
+    assert len(reg) == 2
+    docs_df = spark.createDataFrame([(0, "b c")], "doc_id long, content string")
+    got = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(spark, docs_df, reg).matches.collect()
+    }
+    assert got == {(0, "1"), (0, "2")}
