@@ -28,6 +28,8 @@ from elasticsearch_batch_percolator_spark.operators.match import match_col  # no
 from elasticsearch_batch_percolator_spark.operators.percolate import percolate  # noqa: E402
 from elasticsearch_batch_percolator_spark.plans import compile_query  # noqa: E402
 from elasticsearch_batch_percolator_spark.sources.registry import CompiledRegistry  # noqa: E402
+from elasticsearch_batch_percolator_spark.index.build import build_index, read_manifest  # noqa: E402
+from elasticsearch_batch_percolator_spark.operators.wand import topk_from_index  # noqa: E402
 
 K1, B = 1.2, 0.75
 
@@ -178,6 +180,66 @@ def _q_percolate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate(spark, docs, reg).counts()
 
 
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the compressed inverted index for a fixture dir."""
+    import hashlib
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    out = f"/tmp/ebp_index_{tag}"
+    m = read_manifest(out)
+    if m is None or len(m.completed) < m.n_segments:
+        docs = _tokens(spark, sf_dir)
+        build_index(spark, docs, out, n_segments=4, lineage=sf_dir)
+    return out
+
+
+def _q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+E3 via the compressed index + block-max WAND — same oracle as
+    the join-based scorer (rank-identity is the contract)."""
+    idx = _ensure_index(spark, sf_dir)
+    return topk_from_index(spark, idx, {"q": ["spark", "join"]}, k=10).select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score_r").alias("score_r"),
+    )
+
+
+def _q_index_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index round-trip integrity: decode blocks back to (term, df, cf) and
+    compare against token-level SQL over the raw corpus — validates the
+    varint/delta codec through the driver gate."""
+    import pandas as pd
+
+    from elasticsearch_batch_percolator_spark.index.codec import decode_block
+
+    idx = _ensure_index(spark, sf_dir)
+
+    def decode_rows(batches):
+        for pdf in batches:
+            terms, dfs, cfs = [], [], []
+            for r in pdf.itertuples():
+                n_docs = 0
+                tf_sum = 0
+                for blk in r.blocks:
+                    d, t, _ = decode_block(blk)
+                    n_docs += len(d)
+                    tf_sum += int(t.sum())
+                terms.append(r.term)
+                dfs.append(n_docs)
+                cfs.append(tf_sum)
+            yield pd.DataFrame({"term": terms, "df_decoded": dfs, "cf_decoded": cfs})
+
+    return (
+        spark.read.parquet(f"{idx}/postings")
+        .mapInPandas(decode_rows, "term string, df_decoded long, cf_decoded long")
+        .groupBy("term")
+        .agg(
+            F.sum("df_decoded").cast("long").alias("df"),
+            F.sum("cf_decoded").cast("long").alias("cf"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_lookup": _q_term_lookup,
@@ -191,6 +253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "percolate_batch": _q_percolate_batch,
         "percolate_counts": _q_percolate_counts,
+        "bm25_topk_wand": _q_bm25_topk_wand,
+        "index_term_stats": _q_index_term_stats,
     }
 
 
@@ -211,7 +275,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, 'q-not' AS query_id FROM documents WHERE {contains.format(t='vector')} AND NOT {contains.format(t='wolf')}",
         ]
     )
-    return {
+    out = {
+        "index_term_stats": (
+            f"WITH {_TOK_CTES} "
+            "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term"
+        ),
         "wildcard_match": f"SELECT doc_id FROM documents WHERE {has_like.format(p='sp%')}",
         "phrase_match": f"SELECT doc_id FROM documents WHERE {phrase.format(p='the fast')}",
         "percolate_batch": perc_union,
@@ -254,3 +322,5 @@ ORDER BY rank
 LIMIT 10
 """,
     }
+    out["bm25_topk_wand"] = out["bm25_topk"]  # rank-identity: same oracle
+    return out

@@ -1,80 +1,146 @@
 """Benchmark harness — driver runs this per round; prints ONE JSON line.
 
 Headline numbers (BASELINE.json metric):
-- index_build: tokenize + tf/df/dl statistics + posting materialization (files/sec)
-- bm25 query throughput: a batch of top-k queries answered in one plan (queries/sec)
+- index_build_files_per_sec : tokenize → posting lists → compressed block
+  segments written to parquet (the north_rule build path)
+- wand_queries_per_sec      : batched BM25 top-k via block-max WAND over the
+  compressed index (100 queries in one plan)
+- join_queries_per_sec      : the same workload on the join-based scorer
+- percolate_docs_per_sec    : registered-query set (200 queries) percolated
+  against the full documents batch (reference anecdote: ~1000 docs/s at
+  225k queries, README.md:10-12)
 
-Scaling evidence for the north_rule's two-cluster-size criterion is produced
-by scaling_bench.py (local[8] vs local[32]); this file is the per-round metric.
+Scaling evidence for the north_rule two-cluster-size criterion is produced
+by scaling_bench.py (same job at local[8] vs local[32]).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_SEGMENTS = int(os.environ.get("SPARK_GRAFT_SEGMENTS", str(max(4, CPUS // 2))))
 
-# deterministic query workload over the documents vocabulary
-QUERY_TERMS = [
+BASE_TERMS = [
     ["spark"], ["spark", "join"], ["the", "fox"], ["vector", "window", "batch"],
     ["merge", "sort"], ["hash", "join", "group"], ["customer", "order"],
     ["stream", "batch"], ["filter", "query"], ["table", "scan", "merge"],
 ]
+VOCAB = [
+    "the", "spark", "join", "merge", "sort", "hash", "group", "window",
+    "batch", "stream", "filter", "query", "table", "scan", "vector", "key",
+    "order", "row", "column", "data", "value", "small", "big", "fast", "slow",
+]
+
+
+def _queries_100() -> dict[str, list[str]]:
+    out = {}
+    for rep in range(10):
+        for i, terms in enumerate(BASE_TERMS):
+            out[f"q{rep}_{i}"] = terms
+    return out
+
+
+def _percolator_queries(n: int = 200) -> list[tuple[str, dict]]:
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(n):
+        kind = i % 5
+        if kind == 0:
+            q = {"term": {"text": rng.choice(VOCAB)}}
+        elif kind == 1:
+            q = {"bool": {"must": [{"term": {"text": rng.choice(VOCAB)}} for _ in range(2)]}}
+        elif kind == 2:
+            q = {"phrase": {"field": "text", "terms": [rng.choice(VOCAB), rng.choice(VOCAB)]}}
+        elif kind == 3:
+            q = {"wildcard": {"text": rng.choice(VOCAB)[:2] + "*"}}
+        else:
+            q = {
+                "bool": {
+                    "must": [{"term": {"text": rng.choice(VOCAB)}}],
+                    "must_not": [{"term": {"text": rng.choice(VOCAB)}}],
+                }
+            }
+        rows.append((f"p{i}", q))
+    return rows
 
 
 def main() -> None:
     from pyspark.sql import functions as F
 
     from elasticsearch_batch_percolator_spark.engine import Engine
+    from elasticsearch_batch_percolator_spark.index.build import build_index
+    from elasticsearch_batch_percolator_spark.operators.bm25 import bm25_topk
+    from elasticsearch_batch_percolator_spark.operators.percolate import percolate
+    from elasticsearch_batch_percolator_spark.operators.wand import topk_from_index
     from elasticsearch_batch_percolator_spark.session import get_spark
+    from elasticsearch_batch_percolator_spark.sources.registry import CompiledRegistry
 
     spark = get_spark("ebp-bench", cores=CPUS)
     timings: dict[str, float] = {}
+    docs_raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs_raw.count()
 
-    t0 = time.perf_counter()
+    # --- index build (cold: tokenize -> postings -> encode -> parquet) ----
+    idx_dir = tempfile.mkdtemp(prefix="ebp_bench_idx_")
+    shutil.rmtree(idx_dir, ignore_errors=True)
     eng = Engine.from_documents(spark, SF_DIR)
-    n_docs, _ = eng.stats
-    # force stats materialization (tokenize -> tf/dl/df), the index-build core
-    eng.tf.count()
-    eng.dfreq.count()
+    t0 = time.perf_counter()
+    build_index(
+        spark, eng.docs.select("doc_id", "tokens"), idx_dir,
+        n_segments=N_SEGMENTS, lineage=SF_DIR,
+    )
     timings["index_build"] = time.perf_counter() - t0
 
-    # single-query top-k latency
-    t0 = time.perf_counter()
-    eng.topk(["spark", "join"], 10).collect()
-    timings["bm25_single"] = time.perf_counter() - t0
+    queries = _queries_100()
 
-    # batched multi-query throughput: 100 queries in ONE plan
-    qrows = []
-    for rep in range(10):
-        for i, terms in enumerate(QUERY_TERMS):
-            for t in terms:
-                qrows.append((f"q{rep}_{i}", t))
-    qdf = spark.createDataFrame(qrows, "query_id string, term string")
+    # --- WAND top-k over the compressed index -----------------------------
     t0 = time.perf_counter()
-    eng.topk_many(qdf, 10).count()
-    dt = time.perf_counter() - t0
-    timings["bm25_batch100"] = dt
-    n_queries = 100
+    topk_from_index(spark, idx_dir, queries, k=10).count()
+    timings["wand_batch100"] = time.perf_counter() - t0
 
+    # --- join-based scorer on the same workload ---------------------------
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries.items() for t in ts],
+        "query_id string, term string",
+    )
+    t0 = time.perf_counter()
+    bm25_topk(eng.score(qdf), 10).count()
+    timings["join_batch100"] = time.perf_counter() - t0
+
+    # --- percolation: 200 registered queries x full batch -----------------
+    reg = CompiledRegistry.from_rows(_percolator_queries(200))
+    batch = docs_raw.select("doc_id", F.col("text").alias("content"))
+    t0 = time.perf_counter()
+    percolate(spark, batch, reg).matches.count()
+    timings["percolate_batch"] = time.perf_counter() - t0
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
     total = sum(timings.values())
     print(
         json.dumps(
             {
-                "metric": "bm25_topk+index_build",
+                "metric": "index_build+bm25_wand+percolate",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": SF_DIR,
+                "cpus": CPUS,
                 "n_docs": n_docs,
-                "queries_per_sec": round(n_queries / dt, 2),
                 "index_files_per_sec": round(n_docs / timings["index_build"], 1),
+                "wand_queries_per_sec": round(100 / timings["wand_batch100"], 2),
+                "join_queries_per_sec": round(100 / timings["join_batch100"], 2),
+                "percolate_docs_per_sec": round(n_docs / timings["percolate_batch"], 1),
             }
         )
     )

@@ -1,0 +1,226 @@
+"""Top-k BM25 over the compressed index: block-max WAND + exhaustive oracle.
+
+The reference's two-phase idea (cheap upper bound first, expensive exact
+work only for candidates — LimitingFilterFactory + README.md:127-133) meets
+block-max WAND here: per-term per-block ``max_norm`` gives an exact score
+upper bound ``idf * max_norm``; blocks whose combined upper bound cannot
+reach the current kth score are skipped WITHOUT decoding.
+
+Execution shape: segments score independently and in parallel
+(applyInPandas over groupBy(segment_id) — one Arrow batch per segment holds
+only the query terms' posting rows, pruned at the parquet scan), each
+emitting its local top-k; the global top-k is a tiny window over
+n_segments*k rows — the exact merge the reference does across shards
+(TransportBatchPercolateAction.mergeResults:94-143).
+
+At 1000-executor scale: segments >> executors, per-segment work is bounded
+by seg_size (skew-proof), and the only data movement is (n_segments × k)
+candidate rows.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..index.build import read_manifest, read_postings, read_term_stats
+from ..index.codec import decode_block
+
+
+def _idf(n_docs: int, df: int) -> float:
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def _segment_topk_exhaustive(term_blocks: dict[str, list], idfs: dict[str, float], k: int):
+    """Decode everything, accumulate, top-k. The always-correct oracle."""
+    acc: dict[int, float] = {}
+    for term, blocks in term_blocks.items():
+        w = idfs[term]
+        for blk in blocks:
+            doc_ids, _, norms = decode_block(blk)
+            for d, nr in zip(doc_ids.tolist(), (w * norms).tolist()):
+                acc[d] = acc.get(d, 0.0) + nr
+    return heapq.nsmallest(k, acc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+class _TermIter:
+    """Cursor over one term's block list: skip by max_doc, decode lazily."""
+
+    __slots__ = ("blocks", "idf", "bi", "pi", "docs", "scores", "max_norm_all")
+
+    def __init__(self, blocks: list, idf: float):
+        self.blocks = blocks
+        self.idf = idf
+        self.bi = 0
+        self.pi = 0
+        self.docs = None
+        self.scores = None
+        self.max_norm_all = idf * max(b["max_norm"] for b in blocks)
+        self._load()
+
+    def _load(self):
+        if self.bi < len(self.blocks):
+            d, _, nr = decode_block(self.blocks[self.bi])
+            self.docs = d
+            self.scores = self.idf * nr
+            self.pi = 0
+
+    @property
+    def doc(self) -> int:
+        if self.bi >= len(self.blocks):
+            return 1 << 62
+        return int(self.docs[self.pi])
+
+    @property
+    def score(self) -> float:
+        return float(self.scores[self.pi])
+
+    def block_upper(self) -> float:
+        if self.bi >= len(self.blocks):
+            return 0.0
+        return self.idf * self.blocks[self.bi]["max_norm"]
+
+    def advance_to(self, target: int) -> None:
+        """Skip blocks by max_doc (no decode), then binary-search in block."""
+        if self.bi >= len(self.blocks):
+            return
+        while self.bi < len(self.blocks) and self.blocks[self.bi]["max_doc"] < target:
+            self.bi += 1
+            self.docs = None
+        if self.bi >= len(self.blocks):
+            return
+        if self.docs is None:
+            self._load()
+        self.pi = int(np.searchsorted(self.docs, target, side="left"))
+        if self.pi >= len(self.docs):  # target beyond block end (can't happen
+            self.bi += 1               # when max_doc >= target, but be safe)
+            self.docs = None
+            self._load()
+
+    def next(self) -> None:
+        self.pi += 1
+        if self.docs is None or self.pi >= len(self.docs):
+            self.bi += 1
+            self.docs = None
+            self._load()
+
+
+def _segment_topk_wand(term_blocks: dict[str, list], idfs: dict[str, float], k: int):
+    """Block-max WAND (Ding & Suel 2011 shape) over one segment."""
+    iters = [_TermIter(b, idfs[t]) for t, b in term_blocks.items() if len(b) > 0]
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of size k
+    theta = 0.0
+    EXHAUSTED = 1 << 62
+
+    while True:
+        iters.sort(key=lambda it: it.doc)
+        # find pivot: first iterator where the cumulative GLOBAL upper bound
+        # could reach theta (>= because a tie can still win on doc_id)
+        acc = 0.0
+        pivot_idx = -1
+        for i, it in enumerate(iters):
+            if it.doc == EXHAUSTED:
+                break
+            acc += it.max_norm_all
+            if acc >= theta or len(heap) < k:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break
+        pivot_doc = iters[pivot_idx].doc
+        if pivot_doc == EXHAUSTED:
+            break
+
+        # block-max refinement: tighter bound from the blocks that would
+        # cover pivot_doc (scanned by max_doc only — no decode). Must span
+        # EVERY iterator currently at doc <= pivot_doc, not just the pivot
+        # prefix — iterators after pivot_idx can sit at the same doc.
+        block_bound = 0.0
+        for it in iters:
+            if it.doc > pivot_doc:
+                break
+            bi = it.bi
+            while bi < len(it.blocks) and it.blocks[bi]["max_doc"] < pivot_doc:
+                bi += 1
+            if bi < len(it.blocks):
+                block_bound += it.idf * it.blocks[bi]["max_norm"]
+        if len(heap) >= k and block_bound < theta:
+            # no doc up to pivot can beat theta: advance the lagging iterator
+            # past pivot (shallowest first keeps others' positions)
+            iters[0].advance_to(pivot_doc + 1)
+            continue
+
+        if iters[0].doc == pivot_doc:
+            # all iterators [0..pivot_idx] are at pivot? those with doc==pivot score
+            s = 0.0
+            for it in iters:
+                if it.doc == pivot_doc:
+                    s += it.score
+            item = (s, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            if len(heap) >= k:
+                theta = heap[0][0]
+            for it in iters:
+                if it.doc == pivot_doc:
+                    it.next()
+        else:
+            iters[0].advance_to(pivot_doc)
+
+    out = sorted(((-d, s) for s, d in heap), key=lambda kv: (-kv[1], kv[0]))
+    return [(d, s) for d, s in out]
+
+
+def topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    algorithm: str = "wand",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score_r, score) for a batch of term queries.
+
+    One parquet scan covers all queries' terms (IN-list pushdown); each
+    segment scores every query locally; global top-k is a window over
+    n_segments*k survivors.
+    """
+    manifest = read_manifest(index_dir)
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    dfs = read_term_stats(spark, index_dir, all_terms)
+    idfs = {t: _idf(manifest.n_docs, dfs.get(t, 0)) for t in all_terms}
+    q_broadcast = {qid: [t for t in ts if t in dfs] for qid, ts in queries.items()}
+    scorer = _segment_topk_wand if algorithm == "wand" else _segment_topk_exhaustive
+
+    postings = read_postings(spark, index_dir, all_terms).select(
+        "segment_id", "term", "blocks"
+    )
+
+    out_schema = "query_id string, doc_id long, score double"
+
+    def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {r.term: r.blocks for r in pdf.itertuples()}
+        rows = []
+        for qid, terms in q_broadcast.items():
+            tb = {t: by_term[t] for t in terms if t in by_term}
+            if not tb:
+                continue
+            for d, s in scorer(tb, idfs, k):
+                rows.append((qid, d, s))
+        return pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+
+    local = postings.groupBy("segment_id").applyInPandas(per_segment, out_schema)
+    rank_score = F.round("score", round_to) if round_to is not None else F.col("score")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        local.withColumn("score_r", rank_score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_r", "score")
+    )

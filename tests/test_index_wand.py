@@ -1,0 +1,122 @@
+"""Index build + resume + block-max WAND rank-identity (SURVEY.md §5 items 4-5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_batch_percolator_spark.engine import Engine
+from elasticsearch_batch_percolator_spark.index.build import (
+    build_index,
+    read_manifest,
+    read_term_stats,
+)
+from elasticsearch_batch_percolator_spark.operators.wand import (
+    _idf,
+    _segment_topk_exhaustive,
+    _segment_topk_wand,
+    topk_from_index,
+)
+from elasticsearch_batch_percolator_spark.index.codec import encode_postings
+
+QUERIES = {
+    "q1": ["spark"],
+    "q2": ["spark", "join"],
+    "q3": ["the", "fox"],
+    "q4": ["vector", "window", "batch"],
+    "q5": ["zzz_missing"],
+    "q6": ["merge", "sort", "hash", "join"],
+}
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    eng = Engine.from_documents(spark, sf_dir)
+    build_index(spark, eng.docs.select("doc_id", "tokens"), out, n_segments=4, lineage=sf_dir)
+    return out
+
+
+def test_manifest_and_stats(spark, index_dir, engine):
+    m = read_manifest(index_dir)
+    n, avgdl = engine.stats
+    assert m.n_docs == n
+    assert abs(m.avgdl - avgdl) < 1e-12
+    assert len(m.completed) == 4
+    assert all(v["terms"] > 0 for v in m.completed.values())
+    # global df from index == df from the engine's stats path
+    dfs = read_term_stats(spark, index_dir, ["spark", "the"])
+    expected = {
+        r["term"]: r["df"]
+        for r in engine.dfreq.filter(F.col("term").isin(["spark", "the"])).collect()
+    }
+    assert dfs == expected
+
+
+@pytest.mark.parametrize("algorithm", ["wand", "exhaustive"])
+def test_rank_identity_vs_join_scorer(spark, index_dir, engine, algorithm):
+    """Index+WAND top-k must equal the always-correct join-based scorer."""
+    got = topk_from_index(spark, index_dir, QUERIES, k=10, algorithm=algorithm)
+    got_rows = {
+        (r["query_id"], r["rank"]): (int(r["doc_id"]), float(r["score"]))
+        for r in got.collect()
+    }
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in QUERIES.items() for t in ts],
+        "query_id string, term string",
+    )
+    from elasticsearch_batch_percolator_spark.operators.bm25 import bm25_topk
+
+    exp = bm25_topk(engine.score(qdf), 10)
+    exp_rows = {
+        (r["query_id"], r["rank"]): (int(r["doc_id"]), float(r["score"]))
+        for r in exp.collect()
+    }
+    assert set(got_rows) == set(exp_rows)
+    for key, (d, s) in got_rows.items():
+        ed, es = exp_rows[key]
+        assert d == ed, f"{key}: doc {d} != {ed}"
+        assert abs(s - es) < 1e-9, f"{key}: score {s} != {es}"
+
+
+def test_wand_equals_exhaustive_random():
+    """Property: BMW pruning never changes the result (random postings)."""
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        n_terms = rng.integers(1, 5)
+        term_blocks, idfs = {}, {}
+        for t in range(n_terms):
+            n_docs = int(rng.integers(1, 400))
+            doc_ids = np.sort(rng.choice(5000, size=n_docs, replace=False)).astype(np.int64)
+            tfs = rng.integers(1, 20, n_docs).astype(np.int64)
+            norms = rng.uniform(0.05, 2.2, n_docs)
+            term_blocks[f"t{t}"] = encode_postings(doc_ids, tfs, norms, block=32)
+            idfs[f"t{t}"] = _idf(5000, n_docs)
+        for k in (1, 5, 50):
+            a = _segment_topk_wand(term_blocks, idfs, k)
+            b = _segment_topk_exhaustive(term_blocks, idfs, k)
+            assert [d for d, _ in a] == [d for d, _ in b], f"trial={trial} k={k}"
+            assert np.allclose([s for _, s in a], [s for _, s in b], atol=1e-12)
+
+
+def test_resume_from_partial_build(spark, sf_dir, tmp_path):
+    """Kill after 2 of 4 segments; resume; result identical to a clean build
+    (north_rule: resumable from per-partition checkpoints)."""
+    eng = Engine.from_documents(spark, sf_dir)
+    docs = eng.docs.select("doc_id", "tokens")
+
+    full_dir = str(tmp_path / "full")
+    build_index(spark, docs, full_dir, n_segments=4)
+
+    part_dir = str(tmp_path / "partial")
+    m1 = build_index(spark, docs, part_dir, n_segments=4, fail_after_segments=2)
+    assert len(m1.completed) == 2
+    m2 = build_index(spark, docs, part_dir, n_segments=4)  # resume
+    assert len(m2.completed) == 4
+    assert m2.avgdl == m1.avgdl  # frozen stats
+
+    a = topk_from_index(spark, full_dir, QUERIES, k=10).collect()
+    b = topk_from_index(spark, part_dir, QUERIES, k=10).collect()
+    norm = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score_r"]) for r in rows
+    )
+    assert norm(a) == norm(b)
