@@ -240,8 +240,105 @@ def _q_index_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ pipeline ops (dedup etc) --
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elasticsearch_batch_percolator_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), F.col("canonical_id").cast("long"), "group_size"
+    )
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elasticsearch_batch_percolator_spark.functions.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = _tokens(spark, sf_dir)
+    return minhash_lsh_candidates(docs, n_hashes=16, n_bands=8, shingle_n=3).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+    )
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elasticsearch_batch_percolator_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _tokens(spark, sf_dir)
+    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elasticsearch_batch_percolator_spark.functions.dedup import simhash
+
+    return simhash(_tokens(spark, sf_dir), bits=32).select(
+        F.col("doc_id").cast("long"), F.col("simhash").cast("long")
+    )
+
+
+def _q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elasticsearch_batch_percolator_spark.functions.similarity import (
+        cosine_topk_brute,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk_brute(emb, q, k=10).select(
+        F.col("vec_id").cast("long"), "sim_r"
+    )
+
+
+def _q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (scale path) — rows-only check; recall vs brute force
+    is asserted in tests/test_pipeline_ops.py."""
+    from elasticsearch_batch_percolator_spark.functions.similarity import (
+        cosine_topk_ivf,
+        default_centroids,
+        ivf_assign,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = default_centroids(emb, n=8)
+    assigned = ivf_assign(emb, cents)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk_ivf(spark, assigned, cents, q, k=10, n_probe=3).select(
+        F.col("vec_id").cast("long"), "sim_r"
+    )
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from elasticsearch_batch_percolator_spark.functions.text_analysis import (
+        bpe_ish_token_count,
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn("tokens", tokenize_ws("text"))
+    return docs.select(
+        F.col("doc_id").cast("long"),
+        token_count("tokens").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe"),
+        lang_id("tokens").alias("lang_guess"),
+        quality_score("text", "tokens").alias("quality"),
+        fingerprint("tokens").alias("fp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "embedding_cosine_topk": _q_embedding_cosine_topk,
+        "embedding_ann_ivf": _q_embedding_ann_ivf,
+        "text_stats": _q_text_stats,
         "term_lookup": _q_term_lookup,
         "bool_must": _q_bool_must,
         "bool_should": _q_bool_should,
@@ -275,7 +372,136 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, 'q-not' AS query_id FROM documents WHERE {contains.format(t='vector')} AND NOT {contains.format(t='wolf')}",
         ]
     )
+    sh_ctes = """
+toks AS (
+  SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_sort(list_distinct(
+    CASE WHEN len(t) >= 3
+      THEN list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ELSE []::VARCHAR[] END)) AS shingles
+  FROM toks
+),
+shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+"""
+    markers = {
+        "en": ["the", "a", "of", "is", "and"],
+        "code": ["def", "import", "class", "return", "self"],
+        "query": ["select", "join", "group", "order", "filter"],
+        "data": ["row", "column", "table", "vector", "batch"],
+    }
+    stop = ["the", "a", "of", "is", "and", "to", "in"]
+
+    def lst(words):
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    def hits(words):
+        return f"len(list_filter(t, x -> list_contains({lst(words)}, x)))"
+
     out = {
+        "dedup_exact": """
+WITH g AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+         count(*) OVER (PARTITION BY md5(text)) AS group_size
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, canonical_id::BIGINT AS canonical_id,
+       group_size::BIGINT AS group_size
+FROM g
+""",
+        "dedup_minhash_lsh": f"""
+WITH {sh_ctes},
+sig AS (
+  SELECT doc_id, g.i AS i, min(md5(g.i::VARCHAR || '|' || s)) AS h
+  FROM shx, generate_series(0, 15) AS g(i)
+  GROUP BY doc_id, g.i
+),
+bands AS (
+  SELECT doc_id, (i // 2)::INT AS band, md5(string_agg(h, '|' ORDER BY i)) AS key
+  FROM sig GROUP BY doc_id, (i // 2)
+)
+SELECT DISTINCT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+""",
+        "dedup_jaccard": f"""
+WITH {sh_ctes},
+sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS ni
+  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b,
+       round(ni / (sa.n + sb.n - ni), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE ni / (sa.n + sb.n - ni) >= 0.2
+""",
+        "dedup_simhash": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+tdist AS (SELECT DISTINCT doc_id, term FROM (SELECT doc_id, unnest(t) AS term FROM toks)),
+h AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tdist),
+bitsum AS (
+  SELECT doc_id, g.b AS b,
+         sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+  FROM h, generate_series(0, 31) AS g(b)
+  GROUP BY doc_id, g.b
+)
+SELECT doc_id::BIGINT AS doc_id,
+       sum(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bitsum GROUP BY doc_id
+""",
+        "embedding_cosine_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id::BIGINT AS vec_id,
+       round(
+         list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q))
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))),
+         6) AS sim_r
+FROM embeddings
+ORDER BY sim_r DESC, vec_id
+LIMIT 10
+""",
+        "text_stats": f"""
+WITH toks AS (
+  SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, t, len(t)::BIGINT AS n,
+         {hits(markers['en'])} AS h_en,
+         {hits(markers['code'])} AS h_code,
+         {hits(markers['query'])} AS h_query,
+         {hits(markers['data'])} AS h_data,
+         {hits(stop)} AS h_stop
+  FROM toks
+)
+SELECT doc_id::BIGINT AS doc_id,
+  n AS n_tokens,
+  (len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+   + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')))::BIGINT AS n_bpe,
+  CASE WHEN h_en = 0 AND h_code = 0 AND h_query = 0 AND h_data = 0 THEN 'und'
+       WHEN h_en >= h_code AND h_en >= h_query AND h_en >= h_data THEN 'en'
+       WHEN h_code >= h_query AND h_code >= h_data THEN 'code'
+       WHEN h_query >= h_data THEN 'query'
+       ELSE 'data' END AS lang_guess,
+  round(
+    (CASE WHEN n BETWEEN 10 AND 1000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+    + (CASE WHEN n > 0 AND h_stop / n BETWEEN 0.01 AND 0.5 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+    + (CASE WHEN n > 0 AND length(replace(text, ' ', '')) / n BETWEEN 2.0 AND 12.0
+       THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END), 4) AS quality,
+  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+FROM m
+""",
         "index_term_stats": (
             f"WITH {_TOK_CTES} "
             "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term"

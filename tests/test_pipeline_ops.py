@@ -1,0 +1,190 @@
+"""Training-data pipeline ops: dedup, similarity, text analysis, multimodal."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_batch_percolator_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from elasticsearch_batch_percolator_spark.functions.similarity import (
+    cosine_topk_brute,
+    cosine_topk_ivf,
+    default_centroids,
+    ivf_assign,
+)
+from elasticsearch_batch_percolator_spark.functions.text_analysis import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from elasticsearch_batch_percolator_spark.functions.tokenizer import tokenize_ws
+from elasticsearch_batch_percolator_spark.multimodal import extract_features, synth_media
+
+
+def test_exact_dedup(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "x y"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["canonical_id"], r["group_size"])
+        for r in exact_dedup(docs).collect()
+    }
+    assert got == {(0, 0, 3), (1, 0, 3), (3, 0, 3), (2, 2, 1)}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = [r[0] for r in df.select(shingles(tokenize_ws("text"), 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark shuffles and partitions x y z"
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    ).withColumn("tokens", tokenize_ws("text"))
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs, n_hashes=16, n_bands=8).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_deterministic_md5(spark):
+    """Signature must equal a pure-python md5 computation (oracle parity)."""
+    docs = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    sig = docs.select(
+        minhash_signature(shingles(tokenize_ws("text"), 3), 4).alias("sig")
+    ).first()["sig"]
+    sh = ["a b c", "b c d", "c d e"]
+    for i in range(4):
+        exp = min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
+        assert sig[i] == exp
+
+
+def test_ngram_jaccard(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e"), (2, "x y z w")],
+        "doc_id long, text string",
+    ).withColumn("tokens", tokenize_ws("text"))
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, shingle_n=2).collect()}
+    # doc0 bigrams {ab,bc,cd}, doc1 {ab,bc,ce}: inter=2, union=4 -> 0.5
+    assert abs(rows[(0, 1)] - 0.5) < 1e-12
+    assert (0, 2) not in rows
+
+
+def test_simhash_properties(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e f"), (2, "q r s t u v")],
+        "doc_id long, text string",
+    ).withColumn("tokens", tokenize_ws("text"))
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
+    assert got[0] == got[1]  # identical docs -> identical fingerprint
+    assert got[0] != got[2]
+    assert 0 <= got[0] < 2**32
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_cosine_brute_vs_numpy(spark, embeddings):
+    rows = embeddings.orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = mat[0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(sims)), key=lambda i: (-round(sims[i], 6), rows[i]["vec_id"]))
+    expected = [(rows[i]["vec_id"], round(float(sims[i]), 6)) for i in order[:5]]
+    got = [
+        (r["vec_id"], r["sim_r"])
+        for r in cosine_topk_brute(embeddings, list(q), k=5).collect()
+    ]
+    assert got == expected
+
+
+def test_ivf_recall(spark, embeddings):
+    cents = default_centroids(embeddings, n=8)
+    assigned = ivf_assign(embeddings, cents).cache()
+    rows = embeddings.orderBy("vec_id").collect()
+    q = list(rows[3]["embedding"])
+    brute = [r["vec_id"] for r in cosine_topk_brute(embeddings, q, k=10).collect()]
+    ann = [
+        r["vec_id"]
+        for r in cosine_topk_ivf(spark, assigned, cents, q, k=10, n_probe=4).collect()
+    ]
+    recall = len(set(brute) & set(ann)) / 10
+    assert recall >= 0.5  # 4/8 buckets probed -> decent recall on 500 vecs
+    # every vector landed in exactly one bucket
+    assert assigned.count() == embeddings.count()
+    assigned.unpersist()
+
+
+def test_text_analysis(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick fox is one of the best and is fast"),
+            (1, "def import class return self def import"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    ).withColumn("tokens", tokenize_ws("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            token_count("tokens").alias("tc"),
+            bpe_ish_token_count("text").alias("bc"),
+            lang_id("tokens").alias("lang"),
+            quality_score("text", "tokens").alias("q"),
+            fingerprint("tokens").alias("fp"),
+        ).collect()
+    }
+    assert rows[0]["tc"] == 11 and rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "code"
+    assert rows[2]["tc"] == 0 and rows[2]["lang"] == "und"
+    assert rows[0]["q"] > rows[2]["q"]
+    toks = sorted(set("the quick fox is one of the best and is fast".split()))
+    assert rows[0]["fp"] == hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(i, f"payload number {i} with some bytes") for i in range(20)],
+        "doc_id long, text string",
+    )
+    media = synth_media(docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9  # normalized histogram
+        assert r["n_bytes"] > 0
+    # real decoder path raises by contract
+    from elasticsearch_batch_percolator_spark.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_extract_features_real_path_fails_cleanly(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    media = synth_media(docs)
+    with pytest.raises(Exception):
+        extract_features(media, fake_decode=False).collect()
