@@ -310,6 +310,20 @@ def _q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multi_percolate_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 _mypercolate slot fan-out/fan-in (E9) + count-only action (E5)."""
+    from elasticsearch_batch_percolator_spark.streaming import multi_percolate
+
+    reg = CompiledRegistry.from_rows(list(_PERC_QUERIES.items()))
+    batches = _docs(spark, sf_dir).select(
+        F.lit(0).cast("long").alias("batch_id"),
+        F.col("doc_id").cast("long").alias("slot"),
+        F.when(F.col("doc_id") % 2 == 0, "percolate").otherwise("count").alias("action"),
+        F.col("text").alias("content"),
+    )
+    return multi_percolate(spark, batches, reg).select("slot", "action", "n_matches")
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elasticsearch_batch_percolator_spark.functions.text_analysis import (
         bpe_ish_token_count,
@@ -339,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_ann_ivf": _q_embedding_ann_ivf,
         "text_stats": _q_text_stats,
+        "multi_percolate_slots": _q_multi_percolate_slots,
         "term_lookup": _q_term_lookup,
         "bool_must": _q_bool_must,
         "bool_should": _q_bool_should,
@@ -512,6 +527,14 @@ FROM m
         "percolate_counts": (
             f"SELECT query_id, count(*)::BIGINT AS n_matches FROM ({perc_union}) GROUP BY query_id"
         ),
+        "multi_percolate_slots": f"""
+WITH m AS ({perc_union}),
+c AS (SELECT doc_id, count(*)::BIGINT AS n FROM m GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS slot,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'percolate' ELSE 'count' END AS action,
+       coalesce(c.n, 0)::BIGINT AS n_matches
+FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
+""",
         "term_lookup": f"SELECT doc_id FROM documents WHERE {contains.format(t='spark')}",
         "bool_must": (
             f"SELECT doc_id FROM documents WHERE {contains.format(t='spark')} "

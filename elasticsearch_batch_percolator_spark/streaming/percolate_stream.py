@@ -1,0 +1,97 @@
+"""Streaming percolation + multi-percolate slot semantics (E9, §2.6).
+
+The reference's only streaming element is the real-time query-registration
+listener (S5); document flow itself is batch-oriented ("batch big enough to
+amortize" is its whole thesis, README.md:120-125). The Spark-native stream
+path is Structured Streaming ``foreachBatch``: each micro-batch is one
+percolation batch — exactly the RAMDirectory batching lesson, with the
+compiled registry as the small broadcast state.
+
+``multi_percolate`` reproduces the _mypercolate slot fan-out/fan-in
+(TransportMultiYPercolateAction.ASyncAction:122-310): Spark's scheduler IS
+the fan-out; per-slot results come back from one job via groupBy(slot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.percolate import percolate
+from ..sources.registry import CompiledRegistry
+
+_SLOT_SHIFT = 20  # up to ~1M slots per batch_id
+
+
+def multi_percolate(
+    spark: SparkSession,
+    batches: DataFrame,
+    registry: CompiledRegistry,
+    content_col: str = "content",
+) -> DataFrame:
+    """(batch_id, slot, action, content) → per-slot results.
+
+    percolate-action slots get sorted matched query ids; count-action slots
+    get only the count (E5). Every slot appears in the output, empty or not
+    (the reference's per-slot reduce, :284-308).
+    """
+    keyed = batches.withColumn(
+        "doc_id",
+        (F.col("batch_id").cast("long") * (1 << _SLOT_SHIFT) + F.col("slot")).cast("long"),
+    )
+    res = percolate(spark, keyed, registry, content_col=content_col)
+    matches = res.matches.withColumn(
+        "batch_id", (F.col("doc_id") / (1 << _SLOT_SHIFT)).cast("long")
+    ).withColumn("slot", (F.col("doc_id") % (1 << _SLOT_SHIFT)).cast("long"))
+    agg = matches.groupBy("batch_id", "slot").agg(
+        F.sort_array(F.collect_list("query_id")).alias("matched_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+    )
+    base = batches.select("batch_id", "slot", "action").dropDuplicates(
+        ["batch_id", "slot"]
+    )
+    out = base.join(agg, ["batch_id", "slot"], "left").select(
+        "batch_id",
+        "slot",
+        "action",
+        F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+        F.when(F.col("action") == "count", F.array().cast("array<string>"))
+        .otherwise(F.coalesce("matched_queries", F.array().cast("array<string>")))
+        .alias("matched_queries"),
+    )
+    return out
+
+
+def percolate_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    registry: CompiledRegistry,
+    out_path: str,
+    checkpoint_path: str,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+):
+    """readStream → foreachBatch(percolate) → parquet sink.
+
+    Returns the StreamingQuery; caller awaits/stops it. Registry updates
+    take effect at micro-batch boundaries (S5's real-time listener analog:
+    re-register then restart or swap the registry object between batches).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        res = percolate(
+            spark, batch_df, registry, content_col=content_col, id_col=id_col
+        )
+        (
+            res.matches.withColumn("stream_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        res.docs.unpersist()  # per-batch cleanup (E11)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,128 @@
+"""JSON/NDJSON sources (S1-S4), multi-percolate slots (E9), streaming (foreachBatch)."""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from elasticsearch_batch_percolator_spark.sources.json_source import (
+    fetch_existing,
+    parse_batch_body,
+    parse_ndjson,
+    parse_single_body,
+)
+from elasticsearch_batch_percolator_spark.sources.registry import CompiledRegistry
+from elasticsearch_batch_percolator_spark.streaming import (
+    multi_percolate,
+    percolate_stream,
+)
+
+QUERIES = {
+    "q-fox": {"term": {"content": "fox"}},
+    "q-youscan": {"term": {"content": "youscan"}},
+    "q-all": {"match_all": {}},
+}
+
+
+def test_parse_batch_body(spark):
+    body = json.dumps(
+        {"docs": [{"doc_id": 1, "content": "the fox"}, {"doc_id": 2, "content": "bad wolf"}]}
+    )
+    got = parse_batch_body(spark.createDataFrame([(body,)], "body string")).collect()
+    assert [(r["doc_id"], r["content"]) for r in got] == [(1, "the fox"), (2, "bad wolf")]
+
+
+def test_parse_single_body_defaults(spark):
+    body = json.dumps({"doc": {"doc_id": 7, "content": "x"}})
+    r = parse_single_body(spark.createDataFrame([(body,)], "body string")).first()
+    assert r["doc_id"] == 7 and r["size"] == 2**31 - 1 and r["track_scores"] is False
+
+
+def test_parse_ndjson(spark, tmp_path):
+    lines = [
+        json.dumps({"action": "percolate", "slot": 0, "doc": {"doc_id": 1, "content": "the fox is here"}}),
+        json.dumps({"action": "count", "slot": 1, "doc": {"doc_id": 2, "content": "youscan percolator"}}),
+        "",
+        json.dumps({"slot": 2, "doc": {"doc_id": 3, "content": "bad wolf"}}),
+    ]
+    p = tmp_path / "bulk.ndjson"
+    p.write_text("\n".join(lines))
+    got = {r["slot"]: (r["action"], r["content"]) for r in parse_ndjson(spark, str(p)).collect()}
+    assert got == {
+        0: ("percolate", "the fox is here"),
+        1: ("count", "youscan percolator"),
+        2: ("percolate", "bad wolf"),
+    }
+
+
+def test_fetch_existing(spark, sf_dir):
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = spark.createDataFrame([(3,), (5,), (999999,)], "doc_id long")
+    got = sorted(r["doc_id"] for r in fetch_existing(corpus, ids).select("doc_id").collect())
+    assert got == [3, 5]
+
+
+def test_multi_percolate_slots(spark):
+    """APITests._mypercolate semantics: per-slot match sets + count action."""
+    reg = CompiledRegistry.from_rows(list(QUERIES.items()))
+    batches = spark.createDataFrame(
+        [
+            (0, 0, "percolate", "the fox is here"),
+            (0, 1, "count", "youscan percolator"),
+            (0, 2, "percolate", "bad wolf"),
+            (1, 0, "percolate", "no match terms qqq"),
+        ],
+        "batch_id long, slot long, action string, content string",
+    )
+    rows = {
+        (r["batch_id"], r["slot"]): (r["n_matches"], list(r["matched_queries"]))
+        for r in multi_percolate(spark, batches, reg).collect()
+    }
+    assert rows[(0, 0)] == (2, ["q-all", "q-fox"])
+    assert rows[(0, 1)] == (2, [])  # count action: count only, no payload
+    assert rows[(0, 2)] == (1, ["q-all"])
+    assert rows[(1, 0)] == (1, ["q-all"])
+
+
+def test_percolate_stream_foreachbatch(spark, tmp_path):
+    """File stream → foreachBatch percolation → parquet sink."""
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    reg = CompiledRegistry.from_rows(list(QUERIES.items()))
+
+    spark.createDataFrame(
+        [(1, "the fox is here"), (2, "youscan percolator")],
+        "doc_id long, content string",
+    ).write.mode("overwrite").parquet(str(src / "b0"))
+
+    stream = spark.readStream.schema("doc_id long, content string").parquet(
+        str(src / "*")
+    )
+    q = percolate_stream(spark, stream, reg, str(out), str(ckpt))
+    try:
+        q.processAllAvailable()
+        # second micro-batch arrives
+        spark.createDataFrame(
+            [(3, "bad wolf")], "doc_id long, content string"
+        ).write.mode("overwrite").parquet(str(src / "b1"))
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = spark.read.parquet(str(out))
+            if got.filter(F.col("doc_id") == 3).count() > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in spark.read.parquet(str(out)).select("doc_id", "query_id").collect()
+    }
+    assert got == {
+        (1, "q-fox"), (1, "q-all"),
+        (2, "q-youscan"), (2, "q-all"),
+        (3, "q-all"),
+    }
