@@ -310,6 +310,81 @@ def _q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 numeric range (reference: term on a long field becomes a
+    RangeQuery via the mapping, ConcurrentPercolation.java:53-57)."""
+    plan = compile_query({"range": {"field": "n_chars", "gte": 100, "lte": 200}})
+    docs = _docs(spark, sf_dir).withColumn("tokens", tokenize_ws("text"))
+    return docs.filter(
+        match_col(plan, {"text": F.col("tokens")}, {"n_chars": F.col("n_chars")})
+    ).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def _q_span_near_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 span_near via the positional verify UDF."""
+    plan = compile_query(
+        {
+            "span_near": {
+                "clauses": [
+                    {"span_term": {"text": "the"}},
+                    {"span_term": {"text": "fast"}},
+                ],
+                "slop": 2,
+                "in_order": True,
+            }
+        }
+    )
+    return (
+        _tokens(spark, sf_dir)
+        .filter(match_col(plan, {"text": F.col("tokens")}))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def _q_wildcard_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 WildcardPhraseQuery (the reference's custom Lucene extension) —
+    adjacency with a per-position term-set producer."""
+    plan = compile_query(
+        {
+            "wildcard_phrase": {
+                "field": "text",
+                "producers": [
+                    {"term": {"text": "the"}},
+                    {"wildcard": {"text": "f*"}},
+                ],
+            }
+        }
+    )
+    return (
+        _tokens(spark, sf_dir)
+        .filter(match_col(plan, {"text": F.col("tokens")}))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def _q_search_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 from/size paging over the score-desc window."""
+    from elasticsearch_batch_percolator_spark.operators.search import search
+
+    eng = Engine.from_documents(spark, sf_dir)
+    plan = compile_query(
+        {"bool": {"should": [{"term": {"content": "spark"}}, {"term": {"content": "join"}}]}}
+    )
+    return search(eng, plan, k=10, from_=5).select(
+        F.col("rank").cast("long"), F.col("doc_id").cast("long"), "score_r"
+    )
+
+
+def _q_percolate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 percolation scoring: BM25 of each match vs batch statistics."""
+    reg = CompiledRegistry.from_rows(list(_PERC_QUERIES.items()))
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    res = percolate(spark, docs, reg)
+    return res.with_scores(reg).select(
+        F.col("doc_id").cast("long"), "query_id", F.col("score")
+    )
+
+
 def _q_multi_percolate_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 _mypercolate slot fan-out/fan-in (E9) + count-only action (E5)."""
     from elasticsearch_batch_percolator_spark.streaming import multi_percolate
@@ -354,6 +429,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": _q_embedding_ann_ivf,
         "text_stats": _q_text_stats,
         "multi_percolate_slots": _q_multi_percolate_slots,
+        "range_query": _q_range_query,
+        "span_near_match": _q_span_near_match,
+        "wildcard_phrase_match": _q_wildcard_phrase_match,
+        "search_paged": _q_search_paged,
+        "percolate_scored": _q_percolate_scored,
         "term_lookup": _q_term_lookup,
         "bool_must": _q_bool_must,
         "bool_should": _q_bool_should,
@@ -534,6 +614,70 @@ SELECT d.doc_id::BIGINT AS slot,
        CASE WHEN d.doc_id % 2 = 0 THEN 'percolate' ELSE 'count' END AS action,
        coalesce(c.n, 0)::BIGINT AS n_matches
 FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
+""",
+        "range_query": "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200",
+        "span_near_match": """
+WITH pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS p
+  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'the' AND b.term = 'fast' AND b.p > a.p AND (b.p - a.p - 1) <= 2
+""",
+        "wildcard_phrase_match": """
+WITH pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS p
+  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.term = 'the' AND b.term LIKE 'f%'
+""",
+        "search_paged": f"""
+WITH {_TOK_CTES},
+q(term) AS (VALUES ('spark'), ('join')),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+            * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)::BIGINT AS rank,
+         doc_id, round(score, 4) AS score_r
+  FROM scored
+)
+SELECT rank, doc_id, score_r FROM ranked WHERE rank > 5 AND rank <= 15
+""",
+        "percolate_scored": f"""
+WITH {_TOK_CTES},
+matches AS ({perc_union}),
+qterms(query_id, term) AS (VALUES
+  ('q-term', 'fox'), ('q-bool', 'spark'), ('q-bool', 'window'),
+  ('q-phrase', 'the'), ('q-phrase', 'fast'), ('q-not', 'vector')),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+            * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT m.doc_id::BIGINT AS doc_id, m.query_id,
+       round(coalesce(c.score, 0.0::DOUBLE), 4) AS score
+FROM matches m
+LEFT JOIN contrib c ON c.query_id = m.query_id AND c.doc_id = m.doc_id
 """,
         "term_lookup": f"SELECT doc_id FROM documents WHERE {contains.format(t='spark')}",
         "bool_must": (

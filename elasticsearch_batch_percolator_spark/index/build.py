@@ -138,47 +138,124 @@ def build_index(
         seg_col = F.least(
             (F.col("doc_id") / F.lit(seg_size)).cast("int"), F.lit(n_segments - 1)
         )
-        base = (
+        missing_set = set(missing)
+
+        # pass 1 (map-only, embarrassingly parallel): per-doc term frequency
+        # via np.unique — replaces explode + groupBy(doc, term), i.e. one
+        # whole shuffle of |tokens| rows disappears
+        def count_tf(batches):
+            for pdf in batches:
+                segs, terms, docs_, tfs, dls = [], [], [], [], []
+                for d, s, toks in zip(
+                    pdf["doc_id"].to_numpy(),
+                    pdf["segment_id"].to_numpy(),
+                    pdf["tokens"],
+                ):
+                    if s not in missing_set:
+                        continue
+                    arr = np.asarray(toks)
+                    dl = len(arr)
+                    if dl == 0:
+                        continue
+                    u, c = np.unique(arr, return_counts=True)
+                    terms.append(u)
+                    tfs.append(c)
+                    docs_.append(np.full(len(u), d, dtype=np.int64))
+                    segs.append(np.full(len(u), s, dtype=np.int32))
+                    dls.append(np.full(len(u), dl, dtype=np.int64))
+                if not terms:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "segment_id": np.concatenate(segs),
+                        "term": np.concatenate(terms),
+                        "doc_id": np.concatenate(docs_),
+                        "tf": np.concatenate(tfs),
+                        "dl": np.concatenate(dls),
+                    }
+                )
+
+        tf_rows = (
             docs.withColumn("segment_id", seg_col)
             .filter(F.col("segment_id").isin(missing))
-            .withColumn("dl", F.size("tokens").cast("long"))
-            .select("segment_id", "doc_id", "dl", F.explode("tokens").alias("term"))
-        )
-        tf = base.groupBy("segment_id", "term", "doc_id", "dl").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
-        # BM25 tf-norm precomputed JVM-side (whole-stage codegen)
-        norm = (F.col("tf") * (k1 + 1.0)) / (
-            F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-        )
-        plists = (
-            tf.withColumn("norm", norm)
-            .groupBy("segment_id", "term")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("doc_id", "tf", "norm"))
-                ).alias("plist"),
-                F.count(F.lit(1)).cast("long").alias("df"),
-                F.sum("tf").cast("long").alias("cf"),
+            .select("segment_id", "doc_id", "tokens")
+            .mapInPandas(
+                count_tf,
+                "segment_id int, term string, doc_id long, tf long, dl long",
             )
         )
 
-        @F.pandas_udf(BLOCKS_TYPE)
-        def encode(plist: pd.Series) -> pd.Series:
-            out = []
-            for postings in plist:
-                doc_ids = np.fromiter((p["doc_id"] for p in postings), dtype=np.int64)
-                tfs = np.fromiter((p["tf"] for p in postings), dtype=np.int64)
-                norms = np.fromiter((p["norm"] for p in postings), dtype=np.float64)
-                out.append(encode_postings(doc_ids, tfs, norms, block=block))
-            return pd.Series(out)
-
-        result = (
-            plists.withColumn("blocks", encode(F.col("plist")))
-            .select("segment_id", "term", "df", "cf", "blocks")
-            .repartition("segment_id")
-            .sortWithinPartitions("term")
+        # pass 2: THE sort-merge shuffle (north_rule): one exchange by
+        # segment, in-partition sort by (term, doc_id), then a streaming
+        # run-grouping encoder over sorted Arrow batches
+        sorted_rows = tf_rows.repartition("segment_id").sortWithinPartitions(
+            "segment_id", "term", "doc_id"
         )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("segment_id", T.IntegerType()),
+                T.StructField("term", T.StringType()),
+                T.StructField("df", T.LongType()),
+                T.StructField("cf", T.LongType()),
+                T.StructField("blocks", BLOCKS_TYPE),
+            ]
+        )
+
+        def encode_stream(batches):
+            carry = None  # (seg, term, docs, tfs, norms) of the unfinished run
+
+            def emit(groups):
+                return pd.DataFrame(
+                    {
+                        "segment_id": [g[0] for g in groups],
+                        "term": [g[1] for g in groups],
+                        "df": [len(g[2]) for g in groups],
+                        "cf": [int(g[3].sum()) for g in groups],
+                        "blocks": [
+                            encode_postings(g[2], g[3], g[4], block=block)
+                            for g in groups
+                        ],
+                    }
+                )
+
+            for pdf in batches:
+                seg = pdf["segment_id"].to_numpy()
+                term = pdf["term"].to_numpy(dtype=object)
+                doc = pdf["doc_id"].to_numpy()
+                tf = pdf["tf"].to_numpy()
+                dl = pdf["dl"].to_numpy()
+                norm = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                # run boundaries of (segment, term) over the sorted stream
+                change = np.flatnonzero(
+                    (seg[1:] != seg[:-1]) | (term[1:] != term[:-1])
+                )
+                starts = np.concatenate([[0], change + 1])
+                ends = np.concatenate([change + 1, [len(seg)]])
+                groups = []
+                for s, e in zip(starts, ends):
+                    g = (seg[s], term[s], doc[s:e], tf[s:e], norm[s:e])
+                    if carry is not None:
+                        if carry[0] == g[0] and carry[1] == g[1]:
+                            g = (
+                                g[0],
+                                g[1],
+                                np.concatenate([carry[2], g[2]]),
+                                np.concatenate([carry[3], g[3]]),
+                                np.concatenate([carry[4], g[4]]),
+                            )
+                        else:
+                            groups.append(carry)
+                        carry = None
+                    groups.append(g)
+                if groups:
+                    carry = groups.pop()  # last run may continue next batch
+                if groups:
+                    yield emit(groups)
+            if carry is not None:
+                yield emit([carry])
+
+        result = sorted_rows.mapInPandas(encode_stream, out_schema)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         result.write.partitionBy("segment_id").mode("overwrite").parquet(
             os.path.join(out_dir, "postings")

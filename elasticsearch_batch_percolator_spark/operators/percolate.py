@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans.eval_py import eval_plan
+from ..plans.eval_py import compile_predicate
 from ..sources.registry import CompiledRegistry
 
 
@@ -67,6 +67,46 @@ class PercolateResult:
         """E5 count-only mode (YPercolateRequest.onlyCount:151-158)."""
         return self.matches.groupBy("query_id").agg(
             F.count(F.lit(1)).cast("long").alias("n_matches")
+        )
+
+    def with_scores(self, registry: CompiledRegistry, round_to: int | None = 4) -> DataFrame:
+        """(doc_id, query_id, score): BM25 of each match against the BATCH
+        corpus statistics — the reference scores percolation hits against
+        the transient RAMDirectory index, so N/avgdl/df are batch-local
+        (track_scores, YPercolatorService.java:518). Our upgrade: ES 2.4
+        exposed no scores in percolate responses; BM25 is the north_rule
+        contract. Zero-term queries (match_all) score 0.0.
+        """
+        from .bm25 import score_terms
+        from .stats import corpus_stats, doc_freq, doc_lengths, term_frequencies
+        from ..plans.query_plan import positive_terms
+
+        spark = self.docs.sparkSession
+        rows = [
+            (qid, t)
+            for qid, cq in registry.queries.items()
+            for _, t in sorted(positive_terms(cq.plan))
+        ]
+        out_score = (
+            F.round("score", round_to) if round_to is not None else F.col("score")
+        )
+        if rows:
+            tf = term_frequencies(self.docs)
+            dl = doc_lengths(self.docs)
+            dfreq = doc_freq(tf)
+            n, avgdl = corpus_stats(self.docs)
+            qt = spark.createDataFrame(rows, "query_id string, term string")
+            scored = score_terms(tf, dl, dfreq, qt, n, avgdl).select(
+                "doc_id", "query_id", "score"
+            )
+        else:
+            scored = self.matches.select(
+                "doc_id", "query_id", F.lit(0.0).alias("score")
+            ).limit(0)
+        return (
+            self.matches.join(scored, ["doc_id", "query_id"], "left")
+            .fillna({"score": 0.0})
+            .select("doc_id", "query_id", out_score.alias("score"))
         )
 
 
@@ -136,16 +176,20 @@ def percolate(
         )
 
         field = _single_field(verify_plans)
+        # compile once per executor-side closure, not per row
+        predicates = {
+            qid: compile_predicate(plan, field) for qid, plan in verify_plans.items()
+        }
 
         @F.pandas_udf(T.BooleanType())
         def verify(qids: pd.Series, tokens: pd.Series) -> pd.Series:
             out = []
             for qid, toks in zip(qids, tokens):
-                plan = verify_plans.get(qid)
+                pred = predicates.get(qid)
                 try:
                     out.append(
-                        plan is not None
-                        and eval_plan(plan, {field: list(toks) if toks is not None else []})
+                        pred is not None
+                        and pred(toks.tolist() if toks is not None else [])
                     )
                 except Exception:
                     out.append(False)  # per-query error isolation (E10)

@@ -47,6 +47,68 @@ def _segment_topk_exhaustive(term_blocks: dict[str, list], idfs: dict[str, float
     return heapq.nsmallest(k, acc.items(), key=lambda kv: (-kv[1], kv[0]))
 
 
+def _decode_term(blocks) -> tuple[np.ndarray, np.ndarray]:
+    """All blocks of one term → (doc_ids, norms), decoded once."""
+    if len(blocks) == 1:
+        d, _, nr = decode_block(blocks[0])
+        return d, nr
+    ds, ns = [], []
+    for blk in blocks:
+        d, _, nr = decode_block(blk)
+        ds.append(d)
+        ns.append(nr)
+    return np.concatenate(ds), np.concatenate(ns)
+
+
+def _segment_topk_batch(
+    by_term: dict[str, list],
+    queries: dict[str, list[str]],
+    idfs: dict[str, float],
+    k: int,
+) -> list[tuple[str, int, float]]:
+    """Vectorized multi-query scorer: decode each term ONCE per segment,
+    then per query sort+reduceat accumulation and argpartition top-k.
+
+    This is the batch fast path: queries share hot terms, so amortizing the
+    decode dominates; numpy beats a per-doc Python WAND loop by orders of
+    magnitude at this block scale. The 'wand' path remains for sparse
+    single-query / deep-corpus use where pruning wins.
+    """
+    decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    rows: list[tuple[str, int, float]] = []
+    for qid, terms in queries.items():
+        present = [t for t in terms if t in by_term]
+        if not present:
+            continue
+        for t in present:
+            if t not in decoded:
+                decoded[t] = _decode_term(by_term[t])
+        if len(present) == 1:
+            d, nr = decoded[present[0]]
+            scores = idfs[present[0]] * nr
+            docs = d
+        else:
+            docs = np.concatenate([decoded[t][0] for t in present])
+            scores = np.concatenate([idfs[t] * decoded[t][1] for t in present])
+            order = np.argsort(docs, kind="stable")
+            docs = docs[order]
+            scores = scores[order]
+            uniq_idx = np.flatnonzero(np.diff(docs, prepend=docs[0] - 1))
+            docs = docs[uniq_idx]
+            scores = np.add.reduceat(scores, uniq_idx)
+        if len(docs) > k:
+            # kth-largest score; keep every doc scoring >= it so score ties
+            # can still be broken by doc_id
+            kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+            cand = np.flatnonzero(scores >= kth)
+        else:
+            cand = np.arange(len(docs))
+        order = np.lexsort((docs[cand], -scores[cand]))[:k]
+        for i in order:
+            rows.append((qid, int(docs[cand[i]]), float(scores[cand[i]])))
+    return rows
+
+
 class _TermIter:
     """Cursor over one term's block list: skip by max_doc, decode lazily."""
 
@@ -182,10 +244,15 @@ def topk_from_index(
     index_dir: str,
     queries: dict[str, list[str]],
     k: int = 10,
-    algorithm: str = "wand",
+    algorithm: str = "auto",
     round_to: int | None = 4,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score_r, score) for a batch of term queries.
+
+    algorithm: 'auto' = decode-once vectorized batch scorer (fastest for
+    query batches sharing terms); 'wand' = block-max WAND pruning (fewest
+    decoded blocks — the deep-corpus single-query path); 'exhaustive' =
+    reference oracle.
 
     One parquet scan covers all queries' terms (IN-list pushdown); each
     segment scores every query locally; global top-k is a window over
@@ -196,7 +263,6 @@ def topk_from_index(
     dfs = read_term_stats(spark, index_dir, all_terms)
     idfs = {t: _idf(manifest.n_docs, dfs.get(t, 0)) for t in all_terms}
     q_broadcast = {qid: [t for t in ts if t in dfs] for qid, ts in queries.items()}
-    scorer = _segment_topk_wand if algorithm == "wand" else _segment_topk_exhaustive
 
     postings = read_postings(spark, index_dir, all_terms).select(
         "segment_id", "term", "blocks"
@@ -206,6 +272,10 @@ def topk_from_index(
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term = {r.term: r.blocks for r in pdf.itertuples()}
+        if algorithm == "auto":
+            rows = _segment_topk_batch(by_term, q_broadcast, idfs, k)
+            return pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+        scorer = _segment_topk_wand if algorithm == "wand" else _segment_topk_exhaustive
         rows = []
         for qid, terms in q_broadcast.items():
             tb = {t: by_term[t] for t in terms if t in by_term}

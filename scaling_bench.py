@@ -1,0 +1,211 @@
+"""Two-cluster-size scaling evidence (north_rule: efficiency >= 0.8, N vs 4N).
+
+No real cluster exists in this sandbox, so per the driver instruction the
+same jobs run at two parallelism levels — local[8] vs local[32] — on the
+same deterministic input, and throughput + scaling efficiency are reported
+(appended to BASELINE.md by --report).
+
+Jobs (sized so fixed Spark overhead doesn't swamp the measurement; best-of-2
+warm repetitions; shuffle on tmpfs):
+- index_build : synth corpus -> tokenize -> postings -> encoded segments
+- wand_query  : 3000-query BM25 top-k batch over the built index
+- percolate   : 200 registered queries x 150k-doc batch
+- controls    : pure-CPU burn through Spark (local-mode harness ceiling)
+                and through raw multiprocessing (hardware ceiling)
+
+Usage:
+    python scaling_bench.py                 # runs both levels, prints JSON
+    python scaling_bench.py --report        # also appends to BASELINE.md
+    python scaling_bench.py --inner 8       # (internal) one level
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "800000"))
+N_QUERIES = 3000
+PERC_DOCS = 150000
+REPS = int(os.environ.get("SCALING_REPS", "2"))
+
+
+def _mp_burn(_):
+    x = 0
+    for _ in range(20_000_000):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    return x
+
+
+def run_inner(cores: int) -> None:
+    from pyspark.sql import functions as F
+
+    from elasticsearch_batch_percolator_spark.corpus import synth_corpus
+    from elasticsearch_batch_percolator_spark.functions.tokenizer import tokenize_code
+    from elasticsearch_batch_percolator_spark.index.build import build_index
+    from elasticsearch_batch_percolator_spark.operators.percolate import percolate
+    from elasticsearch_batch_percolator_spark.operators.wand import topk_from_index
+    from elasticsearch_batch_percolator_spark.session import get_spark
+    from elasticsearch_batch_percolator_spark.sources.registry import CompiledRegistry
+    from bench import _percolator_queries
+    from elasticsearch_batch_percolator_spark.corpus import VOCAB
+
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/ebp-spark")
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark(f"ebp-scaling-{cores}", cores=cores, shuffle_partitions=cores * 2)
+    spark.range(1000).count()  # warm JVM + python workers
+    out: dict[str, float] = {}
+
+    def best_of(fn, reps=REPS):
+        """min over reps — strips GC/IO noise, keeps the honest capability"""
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    corpus = synth_corpus(spark, N_DOCS, partitions=cores * 4).select(
+        "doc_id", tokenize_code("content").alias("tokens")
+    )
+    idx_dir = tempfile.mkdtemp(prefix=f"ebp_scale_{cores}_")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    def do_build():
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        build_index(spark, corpus, idx_dir, n_segments=32)
+
+    out["index_build_s"] = best_of(do_build)
+
+    import random
+
+    rng = random.Random(7)
+    queries = {
+        f"q{i}": rng.sample(VOCAB, rng.randint(1, 3)) for i in range(N_QUERIES)
+    }
+    out["wand_query_s"] = best_of(
+        lambda: topk_from_index(spark, idx_dir, queries, k=10).count()
+    )
+
+    reg = CompiledRegistry.from_rows(
+        [(q, j) for q, j in _percolator_queries(200)]
+    )
+    batch = synth_corpus(spark, PERC_DOCS, partitions=cores * 4)
+    out["percolate_s"] = best_of(
+        lambda: percolate(spark, batch, reg).matches.count()
+    )
+
+    # control A: pure-CPU pandas UDF through the same Spark machinery —
+    # measures the local-mode single-JVM ceiling (scheduler + shuffle
+    # service + all python workers share one process)
+    @F.pandas_udf("long")
+    def _burn(series: pd.Series) -> pd.Series:
+        res = []
+        for _v in series:
+            x = 0
+            for _ in range(3_000_000):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            res.append(x)
+        return pd.Series(res)
+
+    out["spark_cpu_control_s"] = best_of(
+        lambda: spark.range(0, 128, numPartitions=128)
+        .select(F.sum(_burn("id")))
+        .first()
+    )
+
+    # control B: raw multiprocessing on the same box — measures what the
+    # HARDWARE can do at this parallelism (no Spark in the loop)
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(cores) as pool:
+        pool.map(_mp_burn, range(64))
+    out["mp_cpu_control_s"] = time.perf_counter() - t0
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    print("INNER_RESULT " + json.dumps(out))
+    spark.stop()
+
+
+def run_level(cores: int) -> dict[str, float]:
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--inner", str(cores)],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("INNER_RESULT "):
+            return json.loads(line[len("INNER_RESULT "):])
+    raise RuntimeError(
+        f"inner run at {cores} cores produced no result:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    if "--inner" in sys.argv:
+        run_inner(int(sys.argv[sys.argv.index("--inner") + 1]))
+        return
+
+    lo = int(os.environ.get("SCALING_LO", "8"))
+    hi = int(os.environ.get("SCALING_HI", "32"))
+    res_lo = run_level(lo)
+    res_hi = run_level(hi)
+
+    report = {
+        "n_docs": N_DOCS,
+        "levels": {str(lo): res_lo, str(hi): res_hi},
+        "throughput": {},
+        "efficiency": {},
+    }
+    work = {
+        "index_build_s": ("index_files_per_sec", N_DOCS),
+        "wand_query_s": ("wand_queries_per_sec", N_QUERIES),
+        "percolate_s": ("percolate_docs_per_sec", PERC_DOCS),
+        "spark_cpu_control_s": ("spark_cpu_control_tasks_per_sec", 128),
+        "mp_cpu_control_s": ("mp_cpu_control_tasks_per_sec", 64),
+    }
+    for key, (name, units) in work.items():
+        thr_lo = units / res_lo[key]
+        thr_hi = units / res_hi[key]
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        report["throughput"][name] = {str(lo): round(thr_lo, 1), str(hi): round(thr_hi, 1)}
+        report["efficiency"][name] = round(eff, 3)
+    print(json.dumps(report))
+
+    if "--report" in sys.argv:
+        stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+        lines = [
+            "",
+            f"## Measured scaling evidence ({stamp})",
+            "",
+            f"Same deterministic jobs ({N_DOCS:,}-doc synthetic code corpus) at",
+            f"`local[{lo}]` vs `local[{hi}]` (N vs 4N parallelism), per the driver's",
+            "sandbox substitution for the two-cluster-size criterion.",
+            "",
+            f"| job | local[{lo}] thr | local[{hi}] thr | scaling efficiency |",
+            "|---|---|---|---|",
+        ]
+        for name, thr in report["throughput"].items():
+            lines.append(
+                f"| {name} | {thr[str(lo)]} | {thr[str(hi)]} | {report['efficiency'][name]} |"
+            )
+        with open("BASELINE.md", "a") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,7 @@ def test_manifest_and_stats(spark, index_dir, engine):
     assert dfs == expected
 
 
-@pytest.mark.parametrize("algorithm", ["wand", "exhaustive"])
+@pytest.mark.parametrize("algorithm", ["auto", "wand", "exhaustive"])
 def test_rank_identity_vs_join_scorer(spark, index_dir, engine, algorithm):
     """Index+WAND top-k must equal the always-correct join-based scorer."""
     got = topk_from_index(spark, index_dir, QUERIES, k=10, algorithm=algorithm)

@@ -133,6 +133,34 @@ def test_percolate_randomized_oracle(spark):
     assert got == expected
 
 
+def test_per_query_error_isolation(spark):
+    """E10: a query whose exact evaluation explodes is skipped (Meltwater
+    skip-and-log, BatchPercolatorService.java:364-368), not batch-fatal."""
+    from dataclasses import dataclass
+
+    from elasticsearch_batch_percolator_spark.plans.query_plan import Plan
+    from elasticsearch_batch_percolator_spark.sources.registry import CompiledQuery
+
+    @dataclass(frozen=True)
+    class BoomPlan(Plan):
+        field: str = "content"
+
+        def to_dict(self):
+            return {"boom": {}}
+
+    reg = CompiledRegistry.from_rows([("ok", {"term": {"content": "a"}})])
+    # phase-1 groups make it a candidate everywhere; phase-2 eval raises
+    reg.queries["boom"] = CompiledQuery(
+        query_id="boom", plan=BoomPlan(), approx=None, groups=None, needs_verify=True
+    )
+    docs_df = spark.createDataFrame([(0, "a b"), (1, "c d")], "doc_id long, content string")
+    got = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(spark, docs_df, reg).matches.collect()
+    }
+    assert got == {(0, "ok")}  # boom dropped everywhere, batch succeeded
+
+
 def test_registry_save_load_roundtrip(spark, tmp_path):
     """S5 registration sink + S6 recovery scan."""
     rows = [

@@ -107,6 +107,15 @@ def test_compile_round_trip_semantic(plan, doc_sample):
         )
 
 
+@settings(max_examples=1000, deadline=None, derandomize=True)
+@given(plans, docs)
+def test_compile_predicate_matches_eval_plan(plan, doc):
+    from elasticsearch_batch_percolator_spark.plans.eval_py import compile_predicate
+
+    pred = compile_predicate(plan, FIELD)
+    assert pred(doc[FIELD]) == eval_plan(plan, doc), f"plan={plan}\ndoc={doc}"
+
+
 def test_compiler_es_shorthand():
     assert compile_query({"term": {"content": "Fox"}}) == Term("content", "fox")
     assert compile_query({"match_phrase": {"content": "the Fox"}}) == Phrase(

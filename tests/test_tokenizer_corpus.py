@@ -29,6 +29,31 @@ def test_tokenize_code(spark):
     assert got == ["def", "parse_request", "x", "return", "foo", "bar", "1"]
 
 
+def test_tokenize_code_fast_equals_regex_reference(spark):
+    """translate-based tokenizer == regex reference on code-like text."""
+    from elasticsearch_batch_percolator_spark.functions.tokenizer import (
+        tokenize_code_regex,
+    )
+    from pyspark.sql import functions as F
+
+    samples = [
+        ("def f(x):\n\treturn {x: [1, 2]}  # comment!",),
+        ('class A:\r\n  b = "s+t\'r"; c=a|b&d^e~f',),
+        ("x%y$z@w#v*u",),
+        ("",),
+        ("   ",),
+        ("snake_case CamelCase UPPER_CASE123",),
+    ]
+    df = spark.createDataFrame(samples, "content string").union(
+        synth_corpus(spark, 100, partitions=2).select("content")
+    )
+    mismatch = df.select(
+        tokenize_code("content").alias("fast"),
+        tokenize_code_regex("content").alias("ref"),
+    ).filter(F.col("fast") != F.col("ref"))
+    assert mismatch.count() == 0
+
+
 def test_synth_corpus_deterministic_across_partitioning(spark):
     a = synth_corpus(spark, 200, partitions=1).orderBy("repo", "path", "commit").collect()
     b = synth_corpus(spark, 200, partitions=7).orderBy("repo", "path", "commit").collect()
