@@ -165,46 +165,113 @@ def percolate(
         candidates = hits
 
     # ---- phase 2: exact verify on survivors only -------------------------
+    # Split the verify set: everything non-positional becomes ONE Catalyst
+    # when-chain over match_col predicates (JVM-side, codegen'd); only
+    # positional queries (spans, sloppy phrases) cross into Python — the
+    # same boundary the reference draws ("positional queries are magnitudes
+    # slower", README.md:127-133).
     verify_plans = registry.verify_plans()
-    if verify_plans:
-        needs = spark.createDataFrame(
-            [(q,) for q in verify_plans], "query_id string"
+    columnar = {q: p for q, p in verify_plans.items() if not _is_positional(p)}
+    pythonic = {q: p for q, p in verify_plans.items() if _is_positional(p)}
+    parts = [
+        candidates.join(
+            F.broadcast(
+                spark.createDataFrame([(q,) for q in verify_plans], "query_id string")
+            ),
+            "query_id",
+            "left_anti",
         )
-        exact_part = candidates.join(F.broadcast(needs), "query_id", "left_anti")
-        to_verify = candidates.join(F.broadcast(needs), "query_id", "left_semi").join(
-            batch.select("doc_id", "tokens"), "doc_id"
+        if verify_plans
+        else candidates
+    ]
+
+    if columnar:
+        field = _single_field(columnar)
+        token_col = {field: F.col("tokens")}
+        pred = None
+        for qid, plan in list(columnar.items()):
+            try:
+                branch = match_col(plan, token_col)
+            except Exception:
+                # per-query isolation (E10): un-buildable predicate falls
+                # back to the python evaluator, which isolates per row
+                del columnar[qid]
+                pythonic[qid] = plan
+                continue
+            pred = (
+                F.when(F.col("query_id") == qid, branch)
+                if pred is None
+                else pred.when(F.col("query_id") == qid, branch)
+            )
+    if columnar:
+        cands = candidates.join(
+            F.broadcast(spark.createDataFrame([(q,) for q in columnar], "query_id string")),
+            "query_id",
+            "left_semi",
+        ).join(batch.select("doc_id", "tokens"), "doc_id")
+        parts.append(
+            cands.filter(pred.otherwise(F.lit(False))).select("doc_id", "query_id")
         )
 
-        field = _single_field(verify_plans)
-        # compile once per executor-side closure, not per row
+    if pythonic:
+        field = _single_field(pythonic)
         predicates = {
-            qid: compile_predicate(plan, field) for qid, plan in verify_plans.items()
+            qid: compile_predicate(plan, field) for qid, plan in pythonic.items()
         }
 
         @F.pandas_udf(T.BooleanType())
         def verify(qids: pd.Series, tokens: pd.Series) -> pd.Series:
             out = []
             for qid, toks in zip(qids, tokens):
-                pred = predicates.get(qid)
+                p = predicates.get(qid)
                 try:
                     out.append(
-                        pred is not None
-                        and pred(toks.tolist() if toks is not None else [])
+                        p is not None and p(toks.tolist() if toks is not None else [])
                     )
                 except Exception:
                     out.append(False)  # per-query error isolation (E10)
             return pd.Series(out)
 
-        verified = (
+        to_verify = candidates.join(
+            F.broadcast(spark.createDataFrame([(q,) for q in pythonic], "query_id string")),
+            "query_id",
+            "left_semi",
+        ).join(batch.select("doc_id", "tokens"), "doc_id")
+        parts.append(
             to_verify.withColumn("ok", verify(F.col("query_id"), F.col("tokens")))
             .filter("ok")
             .select("doc_id", "query_id")
         )
-        matches = exact_part.unionByName(verified)
-    else:
-        matches = candidates
+
+    matches = parts[0]
+    for p in parts[1:]:
+        matches = matches.unionByName(p)
 
     return PercolateResult(matches=matches, docs=batch)
+
+
+def _is_positional(plan) -> bool:
+    """True if exact evaluation needs token positions beyond adjacency-
+    expressible Catalyst (spans, sloppy phrases) — anywhere in the tree."""
+    from ..plans.query_plan import (
+        Bool,
+        Phrase,
+        SpanNear,
+        SpanNot,
+        SpanOr,
+    )
+
+    if isinstance(plan, (SpanNear, SpanOr, SpanNot)):
+        return True
+    if isinstance(plan, Phrase):
+        return plan.slop > 0
+    if isinstance(plan, Bool):
+        return any(
+            _is_positional(c)
+            for g in (plan.must, plan.should, plan.must_not, plan.filter)
+            for c in g
+        )
+    return False
 
 
 def _single_field(plans: dict) -> str:

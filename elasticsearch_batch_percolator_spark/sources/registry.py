@@ -188,18 +188,25 @@ def _flatten_groups(approx: Plan) -> list[set[tuple[str, str]]] | None:
 
 
 def _needs_verify(plan: Plan) -> bool:
-    """False only when phase-1 group semantics are EXACT for this plan."""
-    if isinstance(plan, Term):
-        return False
-    if isinstance(plan, MatchAll):
+    """False only when phase-1 group semantics are EXACT for this plan.
+
+    Wildcards are exact too: phase 1 expands them against the batch term
+    dictionary (the reference's automaton over the index terms,
+    WildcardTermsProducer.java:26-53), so presence of >=1 expanded term IS
+    the wildcard match.
+    """
+    if isinstance(plan, (Term, Wildcard, MatchAll)):
         return False
     if isinstance(plan, Bool):
-        if plan.must_not or plan.filter:
-            return True
-        if plan.must and plan.should:
-            return True  # shoulds are score-only but groups ignore that split
-        clauses = plan.must or plan.should
-        return not all(isinstance(c, Term) for c in clauses)
+        if plan.must_not:
+            return True  # groups ignore must_not -> over-approximate
+        if plan.must or plan.filter:
+            # shoulds are optional (score-only) when must/filter present —
+            # matching is decided by the must/filter atoms alone
+            clauses = plan.must + plan.filter
+        else:
+            clauses = plan.should
+        return not all(isinstance(c, (Term, Wildcard)) for c in clauses)
     return True
 
 
