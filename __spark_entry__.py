@@ -385,6 +385,25 @@ def _q_percolate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 phrase answered from POSITIONAL postings (index-side exact phase;
+    same oracle as phrase_match — two independent paths, one contract)."""
+    import hashlib
+
+    from elasticsearch_batch_percolator_spark.index.build import build_index, read_manifest
+    from elasticsearch_batch_percolator_spark.operators.phrase_index import (
+        phrase_docs_from_index,
+    )
+
+    tag = hashlib.sha256((sf_dir + ":pos").encode()).hexdigest()[:12]
+    out = f"/tmp/ebp_posindex_{tag}"
+    if read_manifest(out) is None:
+        build_index(spark, _tokens(spark, sf_dir), out, n_segments=4, positions=True)
+    return phrase_docs_from_index(spark, out, ["the", "fast"]).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 def _q_multi_percolate_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 _mypercolate slot fan-out/fan-in (E9) + count-only action (E5)."""
     from elasticsearch_batch_percolator_spark.streaming import multi_percolate
@@ -434,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_phrase_match": _q_wildcard_phrase_match,
         "search_paged": _q_search_paged,
         "percolate_scored": _q_percolate_scored,
+        "phrase_from_index": _q_phrase_from_index,
         "term_lookup": _q_term_lookup,
         "bool_must": _q_bool_must,
         "bool_should": _q_bool_should,
@@ -716,4 +736,5 @@ LIMIT 10
 """,
     }
     out["bm25_topk_wand"] = out["bm25_topk"]  # rank-identity: same oracle
+    out["phrase_from_index"] = out["phrase_match"]  # two paths, one contract
     return out

@@ -56,6 +56,7 @@ BLOCKS_TYPE = T.ArrayType(
             T.StructField("doc_bytes", T.BinaryType()),
             T.StructField("tf_bytes", T.BinaryType()),
             T.StructField("norm_bytes", T.BinaryType()),
+            T.StructField("pos_bytes", T.BinaryType()),
         ]
     )
 )
@@ -98,12 +99,18 @@ def build_index(
     resume: bool = True,
     lineage: str = "",
     fail_after_segments: int | None = None,
+    positions: bool = False,
 ) -> IndexManifest:
     """Build (or resume) the compressed inverted index for ``docs``
     (doc_id long, tokens array<string>).
 
     ``fail_after_segments`` is a test hook: abort after materializing that
     many segments to exercise the resume path.
+
+    ``positions=True`` stores within-doc token positions per posting
+    (delta+varint) — needed only when registered queries include phrases/
+    spans that should run index-side (SURVEY.md §7 hard part 2: keep
+    positions only where a query needs them; they dominate index size).
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = read_manifest(out_dir) if resume else None
@@ -145,7 +152,7 @@ def build_index(
         # whole shuffle of |tokens| rows disappears
         def count_tf(batches):
             for pdf in batches:
-                segs, terms, docs_, tfs, dls = [], [], [], [], []
+                segs, terms, docs_, tfs, dls, poss = [], [], [], [], [], []
                 for d, s, toks in zip(
                     pdf["doc_id"].to_numpy(),
                     pdf["segment_id"].to_numpy(),
@@ -157,7 +164,19 @@ def build_index(
                     dl = len(arr)
                     if dl == 0:
                         continue
-                    u, c = np.unique(arr, return_counts=True)
+                    if positions:
+                        order = np.argsort(arr, kind="stable")
+                        srt = arr[order]
+                        bnd = np.flatnonzero(srt[1:] != srt[:-1]) + 1
+                        starts = np.concatenate([[0], bnd])
+                        ends = np.concatenate([bnd, [dl]])
+                        u = srt[starts]
+                        c = (ends - starts).astype(np.int64)
+                        poss.extend(
+                            order[s0:e0].astype(np.int32) for s0, e0 in zip(starts, ends)
+                        )
+                    else:
+                        u, c = np.unique(arr, return_counts=True)
                     terms.append(u)
                     tfs.append(c)
                     docs_.append(np.full(len(u), d, dtype=np.int64))
@@ -165,24 +184,25 @@ def build_index(
                     dls.append(np.full(len(u), dl, dtype=np.int64))
                 if not terms:
                     continue
-                yield pd.DataFrame(
-                    {
-                        "segment_id": np.concatenate(segs),
-                        "term": np.concatenate(terms),
-                        "doc_id": np.concatenate(docs_),
-                        "tf": np.concatenate(tfs),
-                        "dl": np.concatenate(dls),
-                    }
-                )
+                out = {
+                    "segment_id": np.concatenate(segs),
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(docs_),
+                    "tf": np.concatenate(tfs),
+                    "dl": np.concatenate(dls),
+                }
+                if positions:
+                    out["positions"] = poss
+                yield pd.DataFrame(out)
 
+        tf_schema = "segment_id int, term string, doc_id long, tf long, dl long"
+        if positions:
+            tf_schema += ", positions array<int>"
         tf_rows = (
             docs.withColumn("segment_id", seg_col)
             .filter(F.col("segment_id").isin(missing))
             .select("segment_id", "doc_id", "tokens")
-            .mapInPandas(
-                count_tf,
-                "segment_id int, term string, doc_id long, tf long, dl long",
-            )
+            .mapInPandas(count_tf, tf_schema)
         )
 
         # pass 2: THE sort-merge shuffle (north_rule): one exchange by
@@ -213,7 +233,9 @@ def build_index(
                         "df": [len(g[2]) for g in groups],
                         "cf": [int(g[3].sum()) for g in groups],
                         "blocks": [
-                            encode_postings(g[2], g[3], g[4], block=block)
+                            encode_postings(
+                                g[2], g[3], g[4], block=block, positions_flat=g[5]
+                            )
                             for g in groups
                         ],
                     }
@@ -225,6 +247,13 @@ def build_index(
                 doc = pdf["doc_id"].to_numpy()
                 tf = pdf["tf"].to_numpy()
                 dl = pdf["dl"].to_numpy()
+                if positions:
+                    pos_flat = np.concatenate(
+                        [np.asarray(x, dtype=np.int64) for x in pdf["positions"]]
+                    )
+                    pos_bounds = np.concatenate([[0], np.cumsum(tf)]).astype(np.int64)
+                else:
+                    pos_flat = pos_bounds = None
                 norm = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
                 # run boundaries of (segment, term) over the sorted stream
                 change = np.flatnonzero(
@@ -234,7 +263,12 @@ def build_index(
                 ends = np.concatenate([change + 1, [len(seg)]])
                 groups = []
                 for s, e in zip(starts, ends):
-                    g = (seg[s], term[s], doc[s:e], tf[s:e], norm[s:e])
+                    gpos = (
+                        pos_flat[pos_bounds[s] : pos_bounds[e]]
+                        if positions
+                        else None
+                    )
+                    g = (seg[s], term[s], doc[s:e], tf[s:e], norm[s:e], gpos)
                     if carry is not None:
                         if carry[0] == g[0] and carry[1] == g[1]:
                             g = (
@@ -243,6 +277,7 @@ def build_index(
                                 np.concatenate([carry[2], g[2]]),
                                 np.concatenate([carry[3], g[3]]),
                                 np.concatenate([carry[4], g[4]]),
+                                np.concatenate([carry[5], g[5]]) if positions else None,
                             )
                         else:
                             groups.append(carry)

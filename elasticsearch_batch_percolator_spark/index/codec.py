@@ -73,30 +73,75 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return out
 
 
+def encode_positions(positions_flat: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Within-doc token positions, concatenated per posting, delta+varint.
+
+    ``positions_flat`` holds each posting's ascending positions back to
+    back; ``tfs`` gives each posting's count. Deltas reset at every posting
+    boundary (the first value of a posting is absolute).
+    """
+    p = np.asarray(positions_flat, dtype=np.int64)
+    if len(p) == 0:
+        return b""
+    deltas = p.copy()
+    deltas[1:] -= p[:-1]
+    starts = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+    deltas[starts] = p[starts]
+    return varint_encode(deltas.astype(np.uint64))
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions → flat positions (split with cumsum(tfs))."""
+    vals = varint_decode(buf).astype(np.int64)
+    if len(vals) == 0:
+        return vals
+    c = np.cumsum(vals)
+    ends = np.cumsum(np.asarray(tfs, dtype=np.int64))
+    offsets = np.concatenate([[0], c[ends[:-1] - 1]])
+    return c - np.repeat(offsets, tfs)
+
+
 def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray, block: int = BLOCK
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    block: int = BLOCK,
+    positions_flat: np.ndarray | None = None,
 ) -> list[dict]:
-    """Sorted postings → list of block dicts (one term, one segment)."""
+    """Sorted postings → list of block dicts (one term, one segment).
+
+    ``positions_flat``: optional concatenated per-posting positions aligned
+    with doc_ids order (caller must pre-sort when providing positions).
+    """
     order = np.argsort(doc_ids, kind="stable")
+    if positions_flat is not None and not np.array_equal(order, np.arange(len(doc_ids))):
+        raise ValueError("positions require pre-sorted postings")
     doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
     tfs = np.asarray(tfs, dtype=np.int64)[order]
     norms = np.asarray(norms, dtype=np.float64)[order]
+    pos_bounds = None
+    if positions_flat is not None:
+        pos_bounds = np.concatenate([[0], np.cumsum(tfs)]).astype(np.int64)
     blocks = []
     for s in range(0, len(doc_ids), block):
         d = doc_ids[s : s + block]
+        t = tfs[s : s + block]
         deltas = np.empty(len(d), dtype=np.uint64)
         deltas[0] = d[0]  # base-absolute first value
         deltas[1:] = np.diff(d).astype(np.uint64)
-        blocks.append(
-            {
-                "max_doc": int(d[-1]),
-                "max_norm": float(norms[s : s + block].max()),
-                "n": int(len(d)),
-                "doc_bytes": varint_encode(deltas),
-                "tf_bytes": varint_encode(tfs[s : s + block].astype(np.uint64)),
-                "norm_bytes": norms[s : s + block].tobytes(),
-            }
-        )
+        blk = {
+            "max_doc": int(d[-1]),
+            "max_norm": float(norms[s : s + block].max()),
+            "n": int(len(d)),
+            "doc_bytes": varint_encode(deltas),
+            "tf_bytes": varint_encode(t.astype(np.uint64)),
+            "norm_bytes": norms[s : s + block].tobytes(),
+            "pos_bytes": None,
+        }
+        if positions_flat is not None:
+            lo, hi = pos_bounds[s], pos_bounds[min(s + block, len(doc_ids))]
+            blk["pos_bytes"] = encode_positions(positions_flat[lo:hi], t)
+        blocks.append(blk)
     return blocks
 
 
