@@ -126,6 +126,33 @@ def main() -> None:
     timings["percolate_batch"] = time.perf_counter() - t0
 
     shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # --- synthetic 100k-doc section: large enough that fixed Spark job
+    # overhead stops dominating (the sf0.1 documents fixture is 5k rows) ---
+    from elasticsearch_batch_percolator_spark.corpus import synth_corpus
+    from elasticsearch_batch_percolator_spark.functions.tokenizer import tokenize_code
+
+    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_SYNTH", "100000"))
+    if n_synth:
+        synth_idx = tempfile.mkdtemp(prefix="ebp_bench_synth_")
+        shutil.rmtree(synth_idx, ignore_errors=True)
+        corpus = synth_corpus(spark, n_synth, partitions=CPUS * 4).select(
+            "doc_id", tokenize_code("content").alias("tokens")
+        )
+        t0 = time.perf_counter()
+        build_index(spark, corpus, synth_idx, n_segments=max(8, CPUS))
+        timings["synth_index_build"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        topk_from_index(spark, synth_idx, queries, k=10).count()
+        timings["synth_wand_batch100"] = time.perf_counter() - t0
+
+        synth_batch = synth_corpus(spark, n_synth // 2, partitions=CPUS * 4)
+        t0 = time.perf_counter()
+        percolate(spark, synth_batch, reg).matches.count()
+        timings["synth_percolate"] = time.perf_counter() - t0
+        shutil.rmtree(synth_idx, ignore_errors=True)
+
     total = sum(timings.values())
     print(
         json.dumps(
@@ -141,6 +168,22 @@ def main() -> None:
                 "wand_queries_per_sec": round(100 / timings["wand_batch100"], 2),
                 "join_queries_per_sec": round(100 / timings["join_batch100"], 2),
                 "percolate_docs_per_sec": round(n_docs / timings["percolate_batch"], 1),
+                **(
+                    {
+                        "synth_n_docs": n_synth,
+                        "synth_index_files_per_sec": round(
+                            n_synth / timings["synth_index_build"], 1
+                        ),
+                        "synth_wand_queries_per_sec": round(
+                            100 / timings["synth_wand_batch100"], 2
+                        ),
+                        "synth_percolate_docs_per_sec": round(
+                            (n_synth // 2) / timings["synth_percolate"], 1
+                        ),
+                    }
+                    if n_synth
+                    else {}
+                ),
             }
         )
     )
