@@ -184,7 +184,9 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the compressed inverted index for a fixture dir."""
     import hashlib
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    from elasticsearch_batch_percolator_spark import __version__
+
+    tag = hashlib.sha256(f"{sf_dir}:{__version__}".encode()).hexdigest()[:12]
     out = f"/tmp/ebp_index_{tag}"
     m = read_manifest(out)
     if m is None or len(m.completed) < m.n_segments:
@@ -395,7 +397,9 @@ def _q_phrase_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         phrase_docs_from_index,
     )
 
-    tag = hashlib.sha256((sf_dir + ":pos").encode()).hexdigest()[:12]
+    from elasticsearch_batch_percolator_spark import __version__
+
+    tag = hashlib.sha256(f"{sf_dir}:pos:{__version__}".encode()).hexdigest()[:12]
     out = f"/tmp/ebp_posindex_{tag}"
     if read_manifest(out) is None:
         build_index(spark, _tokens(spark, sf_dir), out, n_segments=4, positions=True)
