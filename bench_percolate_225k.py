@@ -1,0 +1,64 @@
+"""Reference-scale percolation benchmark: 225,000 registered queries.
+
+The reference's headline anecdote is ~1,000 docs/s at 225k registered
+queries (README.md:10-12, hardware unspecified, "differs greatly depending
+on the nature of your queries"). This reproduces that workload shape:
+selective multi-term MUST / phrase / wildcard-phrase / must_not queries
+drawn from the Zipf tail of a 10,000-term vocabulary (realistic term
+selectivity — a tiny vocabulary makes every query unrealistically dense),
+percolated against a 20k-doc batch.
+
+Measured on local[32] (round 1): 20,000 docs x 225,000 queries, 557
+matches, 27.4s warm = ~730 docs/s end-to-end (compile 225k queries: ~9s,
+amortized across all future batches, exactly like the reference's
+registration-time parse).
+
+    python bench_percolate_225k.py [n_queries] [n_docs]
+"""
+
+import sys, time, os, random
+import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/ebp-spark")
+from elasticsearch_batch_percolator_spark.session import get_spark
+from elasticsearch_batch_percolator_spark.corpus import synth_corpus, _full_vocab
+VOCAB = list(_full_vocab(10000))
+from elasticsearch_batch_percolator_spark.operators.percolate import percolate
+from elasticsearch_batch_percolator_spark.sources.registry import CompiledRegistry
+
+N_QUERIES = int(sys.argv[1]) if len(sys.argv) > 1 else 225_000
+N_DOCS = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+
+rng = random.Random(42)
+rows = []
+for i in range(N_QUERIES):
+    TAIL = VOCAB[len(VOCAB)//3:]   # Zipf tail -> realistic selectivity
+    kind = i % 10
+    if kind < 6:   # selective multi-term MUST
+        terms = rng.sample(TAIL, rng.randint(3, 5))
+        q = {"bool": {"must": [{"term": {"content": t}} for t in terms]}}
+    elif kind < 8:
+        q = {"phrase": {"field": "content", "terms": rng.sample(TAIL, 2)}}
+    elif kind < 9:
+        terms = rng.sample(TAIL, 4)
+        q = {"bool": {"must": [{"term": {"content": t}} for t in terms[:3]],
+                       "must_not": [{"term": {"content": terms[3]}}]}}
+    else:
+        terms = rng.sample(TAIL, 4)
+        q = {"wildcard_phrase": {"field": "content", "producers": [
+            {"term": {"content": terms[0]}}, {"wildcard": {"content": terms[1][:4] + "*"}}]}}
+    rows.append((f"q{i}", q))
+
+t0 = time.perf_counter()
+reg = CompiledRegistry.from_rows(rows)
+t_compile = time.perf_counter() - t0
+print(f"compiled {len(reg)} queries in {t_compile:.1f}s; verify plans: {len(reg.verify_plans())}")
+
+spark = get_spark('p225k', cores=32)
+batch = synth_corpus(spark, N_DOCS, partitions=128, vocab_size=10000).cache()
+batch.count()
+for rep in range(2):
+    t0 = time.perf_counter()
+    n = percolate(spark, batch, reg).matches.count()
+    dt = time.perf_counter() - t0
+    print(f"rep{rep}: {N_DOCS} docs x {N_QUERIES} queries -> {n} matches in {dt:.1f}s = {N_DOCS/dt:.0f} docs/s")
+spark.stop()

@@ -93,16 +93,28 @@ def _u01(i: np.ndarray, j: int) -> np.ndarray:
     return (_mix(i, j) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
+def _full_vocab(vocab_size: int | None) -> np.ndarray:
+    """Base vocabulary, optionally extended with a synthetic identifier tail
+    (``v00125``...) so benchmarks can emulate realistic term selectivity —
+    a 120-word vocabulary makes every multi-term query unrealistically
+    dense; real code corpora have 10^6+ identifiers."""
+    if not vocab_size or vocab_size <= len(VOCAB):
+        return np.asarray(VOCAB, dtype=object)
+    extra = [f"v{i:05d}" for i in range(len(VOCAB), vocab_size)]
+    return np.asarray(VOCAB + extra, dtype=object)
+
+
+def _gen_rows(ids: np.ndarray, vocab_size: int | None = None) -> pd.DataFrame:
     n = len(ids)
+    vocab = _full_vocab(vocab_size)
+    cdf = _VOCAB_CDF if len(vocab) == len(VOCAB) else _zipf_cdf(len(vocab))
     lang_ix = np.searchsorted(_LANG_CDF, _u01(ids, 0))
     lengths = 20 + (_mix(ids, 1) % np.uint64(180)).astype(np.int64)
     max_len = int(lengths.max()) if n else 0
     # token matrix: every column j is a Zipf draw from stream j+16
     tok_ix = np.empty((n, max_len), dtype=np.int64)
     for j in range(max_len):
-        tok_ix[:, j] = np.searchsorted(_VOCAB_CDF, _u01(ids, 16 + j))
-    vocab = np.asarray(VOCAB, dtype=object)
+        tok_ix[:, j] = np.searchsorted(cdf, _u01(ids, 16 + j))
     contents = [" ".join(vocab[tok_ix[r, : lengths[r]]]) for r in range(n)]
     langs = [_LANGS[k] for k in lang_ix]
     commits = [hashlib.sha256(f"commit{i}".encode()).hexdigest()[:40] for i in ids]
@@ -123,13 +135,18 @@ def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
     )
 
 
-def synth_corpus(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
+def synth_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    partitions: int | None = None,
+    vocab_size: int | None = None,
+) -> DataFrame:
     """Deterministic corpus of ``n_docs`` source files, generated in parallel."""
     partitions = partitions or max(1, n_docs // 25_000) * 4
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield _gen_rows(b["id"].to_numpy())
+            yield _gen_rows(b["id"].to_numpy(), vocab_size)
 
     return (
         spark.range(0, n_docs, numPartitions=partitions)

@@ -30,6 +30,7 @@ Scale notes (100 TB / 1000-executor thinking):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import pandas as pd
@@ -128,41 +129,67 @@ def percolate(
         tokenizer(content_col).alias("tokens"),
     )
 
-    # ---- phase 1: candidate (query, doc) pairs --------------------------
+    # ---- phase 1: candidate (query, doc) pairs via GATE groups ----------
+    # Joining every query term against the batch multiplies each (doc, term)
+    # row by |queries containing term| — 10^8 rows at 225k queries. Instead
+    # each query joins on ONE group: its most selective (lowest batch-df)
+    # necessary condition — the classic rarest-term gate. Candidate volume
+    # becomes sum_q df(gate_q); phase 2 settles the rest.
     batch_terms = batch.select(
-        "doc_id", F.explode_outer("tokens").alias("term")
+        "doc_id", F.explode("tokens").alias("term")
     ).dropDuplicates(["doc_id", "term"])
 
-    literal = registry.literal_pairs(spark)
-    patterns = registry.pattern_pairs(spark)
-    group_counts = registry.group_counts(spark)
-
-    # wildcard expansion against the batch term dictionary (Q7/Q8)
-    term_dict = batch_terms.select("term").dropDuplicates(["term"])
-    expanded = (
-        term_dict.join(F.broadcast(patterns))
-        .filter(F.expr("term LIKE pattern"))
-        .select("query_id", "group_id", "term")
+    involved = sorted(
+        {
+            v
+            for q in registry.queries.values()
+            if q.groups
+            for g in q.groups
+            for kind, v in g
+            if kind == "t"
+        }
     )
-    qterms = literal.unionByName(expanded)
+    term_df: dict[str, int] = {}
+    if involved:
+        inv_df = spark.createDataFrame([(t,) for t in involved], "term string")
+        term_df = {
+            r["term"]: int(r["df"])
+            for r in batch_terms.join(F.broadcast(inv_df), "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        }
 
-    hits = (
-        batch_terms.join(F.broadcast(qterms), "term")
-        .groupBy("doc_id", "query_id")
-        .agg(F.countDistinct("group_id").alias("n_hit"))
-        .join(F.broadcast(group_counts), "query_id")
-        .filter(F.col("n_hit") == F.col("n_groups"))
-        .select("doc_id", "query_id")
-    )
+    lit_rows, pat_rows = registry.gates(term_df)
+    parts_cand = []
+    if lit_rows:
+        gates = spark.createDataFrame(lit_rows, "query_id string, term string")
+        parts_cand.append(batch_terms.join(F.broadcast(gates), "term"))
+    if pat_rows:
+        patterns = spark.createDataFrame(pat_rows, "query_id string, pattern string")
+        term_dict = batch_terms.select("term").dropDuplicates(["term"])
+        expanded = (
+            term_dict.join(F.broadcast(patterns))
+            .filter(F.expr("term LIKE pattern"))
+            .select("query_id", "term")
+        )
+        parts_cand.append(batch_terms.join(F.broadcast(expanded), "term"))
 
     all_doc_qids = registry.all_docs_query_ids()
     if all_doc_qids:
-        everywhere = batch.select("doc_id").crossJoin(
-            spark.createDataFrame([(q,) for q in all_doc_qids], "query_id string")
+        parts_cand.append(
+            batch.select("doc_id").crossJoin(
+                spark.createDataFrame([(q,) for q in all_doc_qids], "query_id string")
+            )
         )
-        candidates = hits.unionByName(everywhere)
+
+    if not parts_cand:
+        candidates = spark.createDataFrame([], "doc_id long, query_id string")
     else:
-        candidates = hits
+        candidates = parts_cand[0].select("doc_id", "query_id")
+        for p in parts_cand[1:]:
+            candidates = candidates.unionByName(p.select("doc_id", "query_id"))
+        candidates = candidates.dropDuplicates(["doc_id", "query_id"])
 
     # ---- phase 2: exact verify on survivors only -------------------------
     # Split the verify set: everything non-positional becomes ONE Catalyst
@@ -170,9 +197,16 @@ def percolate(
     # positional queries (spans, sloppy phrases) cross into Python — the
     # same boundary the reference draws ("positional queries are magnitudes
     # slower", README.md:127-133).
-    verify_plans = registry.verify_plans()
+    verify_plans = registry.gate_verify_plans()
     columnar = {q: p for q, p in verify_plans.items() if not _is_positional(p)}
     pythonic = {q: p for q, p in verify_plans.items() if _is_positional(p)}
+    # a when-chain with 10^5 branches (225k-query registries) would blow up
+    # codegen; past the cap the compiled-python evaluator is the right tool
+    # (it is exactly the reference's per-(query,doc) evaluation loop)
+    max_branches = int(os.environ.get("EBP_MAX_WHEN_BRANCHES", "1500"))
+    if len(columnar) > max_branches:
+        pythonic.update(columnar)
+        columnar = {}
     parts = [
         candidates.join(
             F.broadcast(
@@ -215,32 +249,59 @@ def percolate(
 
     if pythonic:
         field = _single_field(pythonic)
-        predicates = {
-            qid: compile_predicate(plan, field) for qid, plan in pythonic.items()
-        }
+        # plans ship ONCE per executor via a Spark broadcast (pickling 10^5
+        # compiled closures into every task would dominate the job);
+        # predicates compile lazily per worker and memoize
+        bc_plans = spark.sparkContext.broadcast(dict(pythonic))
+        memo: dict = {}
 
-        @F.pandas_udf(T.BooleanType())
-        def verify(qids: pd.Series, tokens: pd.Series) -> pd.Series:
+        def _pred(qid):
+            p = memo.get(qid)
+            if p is None:
+                plan = bc_plans.value.get(qid)
+                if plan is None:
+                    return None
+                p = compile_predicate(plan, field)
+                memo[qid] = p
+            return p
+
+        # group candidates per doc: tokens ship ONCE per doc (not once per
+        # (doc, query) pair — a ~|queries|x blowup at dense candidate sets),
+        # and the token list/set conversions amortize over all its queries
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def verify_doc(qid_lists: pd.Series, tokens: pd.Series) -> pd.Series:
             out = []
-            for qid, toks in zip(qids, tokens):
-                p = predicates.get(qid)
-                try:
-                    out.append(
-                        p is not None and p(toks.tolist() if toks is not None else [])
-                    )
-                except Exception:
-                    out.append(False)  # per-query error isolation (E10)
+            for qids, toks in zip(qid_lists, tokens):
+                tlist = toks.tolist() if toks is not None else []
+                tset = set(tlist)
+                hit = []
+                for qid in qids:
+                    try:
+                        p = _pred(qid)
+                        if p is not None and p(tlist, tset):
+                            hit.append(qid)
+                    except Exception:
+                        pass  # per-query error isolation (E10)
+                out.append(hit)
             return pd.Series(out)
 
-        to_verify = candidates.join(
-            F.broadcast(spark.createDataFrame([(q,) for q in pythonic], "query_id string")),
-            "query_id",
-            "left_semi",
-        ).join(batch.select("doc_id", "tokens"), "doc_id")
+        to_verify = (
+            candidates.join(
+                F.broadcast(
+                    spark.createDataFrame([(q,) for q in pythonic], "query_id string")
+                ),
+                "query_id",
+                "left_semi",
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_list("query_id").alias("qids"))
+            .join(batch.select("doc_id", "tokens"), "doc_id")
+        )
         parts.append(
-            to_verify.withColumn("ok", verify(F.col("query_id"), F.col("tokens")))
-            .filter("ok")
-            .select("doc_id", "query_id")
+            to_verify.select(
+                "doc_id",
+                F.explode(verify_doc(F.col("qids"), F.col("tokens"))).alias("query_id"),
+            )
         )
 
     matches = parts[0]

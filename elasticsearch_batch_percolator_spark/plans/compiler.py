@@ -80,13 +80,41 @@ def compile_query(q: str | dict) -> Plan:
         return Term(f, toks[0])
 
     if kind == "match":
-        f, v = _field_value(body, "query")
+        if "field" in body or ("query" in body and len(body) > 1):
+            f = body.get("field") or next(
+                k for k in body if k not in ("query", "operator")
+            )
+            v = body.get("query", body.get(f))
+            op = body.get("operator", "or")
+        elif len(body) == 1 and isinstance(next(iter(body.values())), dict):
+            f, spec = next(iter(body.items()))
+            v = spec.get("query", "")
+            op = spec.get("operator", "or")
+        else:
+            f, v = _field_value(body, "query")
+            op = "or"
         toks = _analyze(v)
         if not toks:
             return MatchNone()
         if len(toks) == 1:
             return Term(f, toks[0])
+        terms = tuple(Term(f, t) for t in toks)
+        return Bool(must=terms) if str(op).lower() == "and" else Bool(should=terms)
+
+    if kind == "terms":
+        f, vals = _field_value(body)
+        if not isinstance(vals, (list, tuple)):
+            raise QueryParseError(f"terms value must be a list: {vals!r}")
+        toks = [t for v in vals for t in _analyze(v)]
+        if not toks:
+            return MatchNone()
+        if len(toks) == 1:
+            return Term(f, toks[0])
         return Bool(should=tuple(Term(f, t) for t in toks))
+
+    if kind == "prefix":
+        f, v = _field_value(body)
+        return Wildcard(f, str(v).lower() + "*")
 
     if kind in ("phrase", "match_phrase"):
         if "terms" in body:

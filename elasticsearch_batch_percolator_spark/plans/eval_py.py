@@ -191,32 +191,36 @@ def eval_plan(plan: Plan, doc: dict) -> bool:
 
 
 def compile_predicate(plan: Plan, field: str):
-    """plan → ``tokens_list -> bool`` closure over ONE tokenized field.
+    """plan → ``(tokens_list, token_set) -> bool`` closure over ONE field.
 
     The percolation phase-2 UDF calls the evaluator once per surviving
-    (query, doc) pair; pre-compiling removes the per-row dataclass walk
-    (isinstance dispatch) — the hot-path cost at 10^5+ candidates/batch.
+    (query, doc) pair; pre-compiling removes the per-row dataclass walk,
+    and the caller-supplied token SET makes term membership O(1) — it is
+    built once per DOC, amortized over every query verified against it.
     Semantics are eval_plan's exactly (asserted by tests side by side).
     """
     if isinstance(plan, MatchAll):
-        return lambda toks: True
+        return lambda toks, tset: True
     if isinstance(plan, MatchNone):
-        return lambda toks: False
+        return lambda toks, tset: False
     if isinstance(plan, Term):
         v = plan.value
-        return lambda toks: v in toks
+        return lambda toks, tset: v in tset
     if isinstance(plan, Wildcard):
         rx = wildcard_regex(plan.pattern)
-        return lambda toks: any(rx.match(t) for t in toks)
+        return lambda toks, tset: any(rx.match(t) for t in tset)
     if isinstance(plan, Phrase) and plan.slop == 0:
         terms = plan.terms
         first = terms[0]
         k = len(terms)
         if k == 1:
-            return lambda toks: first in toks
+            return lambda toks, tset: first in tset
         rest = terms[1:]
+        all_terms = frozenset(terms)
 
-        def phrase_pred(toks):
+        def phrase_pred(toks, tset):
+            if not all_terms <= tset:
+                return False
             n = len(toks)
             i = 0
             while True:
@@ -241,20 +245,20 @@ def compile_predicate(plan: Plan, field: str):
         shoulds = [compile_predicate(c, field) for c in plan.should]
         need_should = bool(plan.should) and not (plan.must or plan.filter)
 
-        def bool_pred(toks):
+        def bool_pred(toks, tset):
             for p in musts:
-                if not p(toks):
+                if not p(toks, tset):
                     return False
             for p in filters:
-                if not p(toks):
+                if not p(toks, tset):
                     return False
             for p in must_nots:
-                if p(toks):
+                if p(toks, tset):
                     return False
             if need_should:
-                return any(p(toks) for p in shoulds)
+                return any(p(toks, tset) for p in shoulds)
             return True
 
         return bool_pred
     # sloppy phrase / wildcard-phrase / spans: fall back to the generic walk
-    return lambda toks, _p=plan, _f=field: eval_plan(_p, {_f: toks})
+    return lambda toks, tset, _p=plan, _f=field: eval_plan(_p, {_f: toks})

@@ -157,6 +157,60 @@ class CompiledRegistry:
             if q.needs_verify and not q.match_none
         }
 
+    def gate_verify_plans(self) -> dict[str, Plan]:
+        """Phase-2 plans under GATED phase 1 (one group per query): every
+        query whose match isn't implied by its gate group alone — i.e. all
+        needs_verify queries plus exact multi-group conjunctions."""
+        return {
+            q.query_id: q.plan
+            for q in self.queries.values()
+            if not q.match_none
+            and (
+                q.needs_verify  # incl. unfilterable (groups None) queries
+                or (q.groups is not None and len(q.groups) > 1)
+            )
+        }
+
+    def gates(self, term_df: dict[str, int] | None = None) -> tuple[list, list]:
+        """Choose ONE gate group per filterable query: a doc can match only
+        if it satisfies every group, so any single group is a sound
+        candidate filter — pick the most selective (lowest summed df; the
+        rarest-term trick). Literal-only groups are preferred; a query with
+        no literal-only group gates on a pattern group (expanded against the
+        batch term dictionary downstream).
+
+        Returns (literal_gates, pattern_gates):
+        literal_gates = [(query_id, term)], pattern_gates = [(query_id, like_pattern)].
+        """
+        from ..operators.match import wildcard_to_like
+
+        term_df = term_df or {}
+        lit_rows: list[tuple[str, str]] = []
+        pat_rows: list[tuple[str, str]] = []
+        for q in self.queries.values():
+            if q.match_none or q.groups is None or len(q.groups) == 0:
+                continue
+            literal_groups = [
+                g for g in q.groups if all(kind == "t" for kind, _ in g)
+            ]
+            if literal_groups:
+                # absent-from-batch terms have df=0: gating on them is
+                # optimal (zero candidates, correctly)
+                gate = min(
+                    literal_groups,
+                    key=lambda g: sum(term_df.get(v, 0) for _, v in g),
+                )
+                lit_rows.extend((q.query_id, v) for _, v in gate)
+            else:
+                # fewest members ~ cheapest expansion
+                gate = min(q.groups, key=len)
+                for kind, v in gate:
+                    if kind == "t":
+                        lit_rows.append((q.query_id, v))
+                    else:
+                        pat_rows.append((q.query_id, wildcard_to_like(v)))
+        return lit_rows, pat_rows
+
 
 def _flatten_groups(approx: Plan) -> list[set[tuple[str, str]]] | None:
     if isinstance(approx, Term):

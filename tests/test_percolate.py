@@ -133,20 +133,26 @@ def test_percolate_randomized_oracle(spark):
     assert got == expected
 
 
+from dataclasses import dataclass
+
+from elasticsearch_batch_percolator_spark.plans.query_plan import Plan
+
+
+@dataclass(frozen=True)
+class BoomPlan(Plan):
+    """Module-level so it survives broadcast pickling (real plans are
+    module-level dataclasses too)."""
+
+    field: str = "content"
+
+    def to_dict(self):
+        return {"boom": {}}
+
+
 def test_per_query_error_isolation(spark):
     """E10: a query whose exact evaluation explodes is skipped (Meltwater
     skip-and-log, BatchPercolatorService.java:364-368), not batch-fatal."""
-    from dataclasses import dataclass
-
-    from elasticsearch_batch_percolator_spark.plans.query_plan import Plan
     from elasticsearch_batch_percolator_spark.sources.registry import CompiledQuery
-
-    @dataclass(frozen=True)
-    class BoomPlan(Plan):
-        field: str = "content"
-
-        def to_dict(self):
-            return {"boom": {}}
 
     reg = CompiledRegistry.from_rows([("ok", {"term": {"content": "a"}})])
     # phase-1 groups make it a candidate everywhere; phase-2 eval raises

@@ -113,7 +113,8 @@ def test_compile_predicate_matches_eval_plan(plan, doc):
     from elasticsearch_batch_percolator_spark.plans.eval_py import compile_predicate
 
     pred = compile_predicate(plan, FIELD)
-    assert pred(doc[FIELD]) == eval_plan(plan, doc), f"plan={plan}\ndoc={doc}"
+    got = pred(doc[FIELD], set(doc[FIELD]))
+    assert got == eval_plan(plan, doc), f"plan={plan}\ndoc={doc}"
 
 
 def test_compiler_es_shorthand():
@@ -125,6 +126,15 @@ def test_compiler_es_shorthand():
         should=(Term("content", "quick"), Term("content", "fox"))
     )
     assert compile_query('{"match_all": {}}') == MatchAll()
+    # ES-style match with operator:and (nested-spec form)
+    assert compile_query(
+        {"match": {"content": {"query": "quick fox", "operator": "and"}}}
+    ) == Bool(must=(Term("content", "quick"), Term("content", "fox")))
+    # terms (IN-list) and prefix
+    assert compile_query({"terms": {"content": ["a", "B"]}}) == Bool(
+        should=(Term("content", "a"), Term("content", "b"))
+    )
+    assert compile_query({"prefix": {"content": "Fo"}}) == Wildcard("content", "fo*")
 
 
 def test_limiting_reference_rules():
