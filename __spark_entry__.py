@@ -408,6 +408,20 @@ def _q_phrase_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_percolate_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 highlighting: matched terms wrapped in <b></b> per (query, doc)."""
+    from elasticsearch_batch_percolator_spark.operators.highlight import highlight_col
+
+    reg = CompiledRegistry.from_rows([("q-fox", {"term": {"text": "fox"}})])
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    res = percolate(spark, docs, reg)
+    return (
+        res.matches.join(res.docs.select("doc_id", "content"), "doc_id")
+        .withColumn("hl", highlight_col(reg, F.col("query_id"), F.col("content")))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "query_id", "hl")
+    )
+
+
 def _q_multi_percolate_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 _mypercolate slot fan-out/fan-in (E9) + count-only action (E5)."""
     from elasticsearch_batch_percolator_spark.streaming import multi_percolate
@@ -458,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_paged": _q_search_paged,
         "percolate_scored": _q_percolate_scored,
         "phrase_from_index": _q_phrase_from_index,
+        "percolate_highlight": _q_percolate_highlight,
         "term_lookup": _q_term_lookup,
         "bool_must": _q_bool_must,
         "bool_should": _q_bool_should,
@@ -640,6 +655,16 @@ SELECT d.doc_id::BIGINT AS slot,
 FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
 """,
         "range_query": "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200",
+        "percolate_highlight": f"""
+SELECT doc_id, 'q-fox' AS query_id,
+       array_to_string(
+         list_transform(string_split(text, ' '),
+                        t -> CASE WHEN lower(t) = 'fox' THEN '<b>' || t || '</b>'
+                             ELSE t END),
+         ' ') AS hl
+FROM documents
+WHERE {contains.format(t='fox')}
+""",
         "span_near_match": """
 WITH pos AS (
   SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS p
