@@ -97,10 +97,11 @@ def _q_bool_must(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bool_should(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 BooleanQuery SHOULD — OR, >=1 must match."""
+    """Q3 BooleanQuery SHOULD — OR, >=1 must match. Terms chosen with
+    non-zero df at every fixture scale so the entry is never vacuous."""
     return (
         _tokens(spark, sf_dir)
-        .filter(F.array_contains("tokens", "fox") | F.array_contains("tokens", "wolf"))
+        .filter(F.array_contains("tokens", "merge") | F.array_contains("tokens", "table"))
         .select(F.col("doc_id").cast("long").alias("doc_id"))
     )
 
@@ -155,12 +156,14 @@ def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# every term below has non-zero df in all fixtures (sf0.001/0.01/0.1) so no
+# entry passes vacuously — including the must_not exclusion term
 _PERC_QUERIES = {
-    "q-term": {"term": {"text": "fox"}},
+    "q-term": {"term": {"text": "row"}},
     "q-bool": {"bool": {"must": [{"term": {"text": "spark"}}, {"term": {"text": "window"}}]}},
     "q-phrase": {"phrase": {"field": "text", "terms": ["the", "fast"]}},
     "q-wild": {"wildcard": {"text": "merg*"}},
-    "q-not": {"bool": {"must": [{"term": {"text": "vector"}}], "must_not": [{"term": {"text": "wolf"}}]}},
+    "q-not": {"bool": {"must": [{"term": {"text": "vector"}}], "must_not": [{"term": {"text": "join"}}]}},
 }
 
 
@@ -264,10 +267,17 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from elasticsearch_batch_percolator_spark.functions.dedup import ngram_jaccard_pairs
+    """Exact Jaccard GATED on LSH candidates — the scale-safe composition:
+    the all-pairs shingle self-join is O(sum bucket^2) and dies at 100 TB;
+    gating first makes the cost sum over candidate pairs of |shingles|."""
+    from elasticsearch_batch_percolator_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
 
     docs = _tokens(spark, sf_dir)
-    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2).select(
+    pairs = minhash_lsh_candidates(docs, n_hashes=16, n_bands=8, shingle_n=3)
+    return ngram_jaccard_pairs(docs, pairs=pairs, shingle_n=3, threshold=0.2).select(
         F.col("doc_a").cast("long"),
         F.col("doc_b").cast("long"),
         F.round("jaccard", 6).alias("jaccard"),
@@ -412,7 +422,7 @@ def _q_percolate_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 highlighting: matched terms wrapped in <b></b> per (query, doc)."""
     from elasticsearch_batch_percolator_spark.operators.highlight import highlight_col
 
-    reg = CompiledRegistry.from_rows([("q-fox", {"term": {"text": "fox"}})])
+    reg = CompiledRegistry.from_rows([("q-merge", {"term": {"text": "merge"}})])
     docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     res = percolate(spark, docs, reg)
     return (
@@ -499,11 +509,11 @@ def oracle_sql() -> dict[str, str]:
     phrase = "contains(' ' || lower(text) || ' ', ' {p} ')"
     perc_union = " UNION ALL ".join(
         [
-            f"SELECT doc_id, 'q-term' AS query_id FROM documents WHERE {contains.format(t='fox')}",
+            f"SELECT doc_id, 'q-term' AS query_id FROM documents WHERE {contains.format(t='row')}",
             f"SELECT doc_id, 'q-bool' AS query_id FROM documents WHERE {contains.format(t='spark')} AND {contains.format(t='window')}",
             f"SELECT doc_id, 'q-phrase' AS query_id FROM documents WHERE {phrase.format(p='the fast')}",
             f"SELECT doc_id, 'q-wild' AS query_id FROM documents WHERE {has_like.format(p='merg%')}",
-            f"SELECT doc_id, 'q-not' AS query_id FROM documents WHERE {contains.format(t='vector')} AND NOT {contains.format(t='wolf')}",
+            f"SELECT doc_id, 'q-not' AS query_id FROM documents WHERE {contains.format(t='vector')} AND NOT {contains.format(t='join')}",
         ]
     )
     sh_ctes = """
@@ -563,11 +573,27 @@ JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """,
         "dedup_jaccard": f"""
 WITH {sh_ctes},
+sig AS (
+  SELECT doc_id, g.i AS i, min(md5(g.i::VARCHAR || '|' || s)) AS h
+  FROM shx, generate_series(0, 15) AS g(i)
+  GROUP BY doc_id, g.i
+),
+bands AS (
+  SELECT doc_id, (i // 2)::INT AS band, md5(string_agg(h, '|' ORDER BY i)) AS key
+  FROM sig GROUP BY doc_id, (i // 2)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n FROM sh),
 inter AS (
-  SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS ni
-  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.da, c.db, count(*)::BIGINT AS ni
+  FROM cand c
+  JOIN shx a ON a.doc_id = c.da
+  JOIN shx b ON b.doc_id = c.db AND b.s = a.s
+  GROUP BY c.da, c.db
 )
 SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b,
        round(ni / (sa.n + sb.n - ni), 6) AS jaccard
@@ -656,14 +682,14 @@ FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
 """,
         "range_query": "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200",
         "percolate_highlight": f"""
-SELECT doc_id, 'q-fox' AS query_id,
+SELECT doc_id, 'q-merge' AS query_id,
        array_to_string(
          list_transform(string_split(text, ' '),
-                        t -> CASE WHEN lower(t) = 'fox' THEN '<b>' || t || '</b>'
+                        t -> CASE WHEN lower(t) = 'merge' THEN '<b>' || t || '</b>'
                              ELSE t END),
          ' ') AS hl
 FROM documents
-WHERE {contains.format(t='fox')}
+WHERE {contains.format(t='merge')}
 """,
         "span_near_match": """
 WITH pos AS (
@@ -710,7 +736,7 @@ SELECT rank, doc_id, score_r FROM ranked WHERE rank > 5 AND rank <= 15
 WITH {_TOK_CTES},
 matches AS ({perc_union}),
 qterms(query_id, term) AS (VALUES
-  ('q-term', 'fox'), ('q-bool', 'spark'), ('q-bool', 'window'),
+  ('q-term', 'row'), ('q-bool', 'spark'), ('q-bool', 'window'),
   ('q-phrase', 'the'), ('q-phrase', 'fast'), ('q-not', 'vector')),
 contrib AS (
   SELECT q.query_id, tf.doc_id,
@@ -734,8 +760,8 @@ LEFT JOIN contrib c ON c.query_id = m.query_id AND c.doc_id = m.doc_id
             f"AND {contains.format(t='window')}"
         ),
         "bool_should": (
-            f"SELECT doc_id FROM documents WHERE {contains.format(t='fox')} "
-            f"OR {contains.format(t='wolf')}"
+            f"SELECT doc_id FROM documents WHERE {contains.format(t='merge')} "
+            f"OR {contains.format(t='table')}"
         ),
         "bool_must_not": (
             f"SELECT doc_id FROM documents WHERE {contains.format(t='spark')} "

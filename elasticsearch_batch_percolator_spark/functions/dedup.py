@@ -33,18 +33,24 @@ def exact_dedup(
     docs: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, canonical_id, group_size): canonical = min doc_id per
-    identical content. Survivors are rows with doc_id == canonical_id."""
-    groups = (
+    identical content. Survivors are rows with doc_id == canonical_id.
+
+    Window aggregation, NOT collect_list+explode: a duplicate group stays
+    row-shaped end to end. At 100 TB the pathological group (empty files,
+    boilerplate) can have 10^8 members — as an array that is one
+    driver-killing row; as a window partition it is just a big sorted run
+    that spills like any other.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h")
+    return (
         docs.select(F.col(id_col), content_hash(content_col).alias("h"))
-        .groupBy("h")
-        .agg(
-            F.min(id_col).alias("canonical_id"),
-            F.count(F.lit(1)).cast("long").alias("group_size"),
-            F.collect_list(id_col).alias("members"),
+        .select(
+            F.col(id_col),
+            F.min(id_col).over(w).alias("canonical_id"),
+            F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
         )
-    )
-    return groups.select(
-        F.explode("members").alias(id_col), "canonical_id", "group_size"
     )
 
 
@@ -79,9 +85,27 @@ def minhash_signature(shingle_col: Column | str, n_hashes: int = 16) -> Column:
     return F.array(*[F.array_min(F.transform(s, hasher(i))) for i in range(n_hashes)])
 
 
-def lsh_bands(sig_col: Column | str, n_bands: int = 4) -> Column:
+def lsh_bands(
+    sig_col: Column | str, n_bands: int = 4, n_hashes: int | None = None
+) -> Column:
     """array<struct<band:int, key:string>> — signature split into bands;
-    docs sharing any (band, key) are candidate near-duplicates."""
+    docs sharing any (band, key) are candidate near-duplicates.
+
+    ``n_hashes`` (when known) is validated up front: a signature length not
+    divisible by n_bands would silently DROP trailing hashes, and
+    n_bands > n_hashes truncates the band width to 0 so every doc hashes
+    the empty slice — bucketing the entire corpus together and exploding
+    the candidate self-join. Fail loudly instead.
+    """
+    if n_hashes is not None:
+        if n_bands <= 0 or n_bands > n_hashes:
+            raise ValueError(
+                f"n_bands must be in [1, n_hashes]: n_bands={n_bands}, n_hashes={n_hashes}"
+            )
+        if n_hashes % n_bands != 0:
+            raise ValueError(
+                f"n_hashes must divide evenly into bands: n_hashes={n_hashes}, n_bands={n_bands}"
+            )
     s = F.col(sig_col) if isinstance(sig_col, str) else sig_col
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -122,7 +146,7 @@ def minhash_lsh_candidates(
         .select(
             "doc",
             F.explode(
-                lsh_bands(minhash_signature(F.col("sh"), n_hashes), n_bands)
+                lsh_bands(minhash_signature(F.col("sh"), n_hashes), n_bands, n_hashes)
             ).alias("bk"),
         )
     )
@@ -147,21 +171,38 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) over candidate pairs (or all shingle-sharing
     pairs when ``pairs`` is None) — explode + join, never array ops over
-    whole documents in a cross join."""
+    whole documents in a cross join.
+
+    When ``pairs`` is given (e.g. from minhash_lsh_candidates) the gate is
+    applied BEFORE the shingle self-join: intersections are computed only
+    for candidate pairs, so the cost is sum over pairs of |shingles| — not
+    the O(sum over shingle buckets of bucket^2) all-pairs blowup. At 100 TB
+    the ungated path is only safe on pre-bucketed slices; always gate.
+    """
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles(tokens_col, shingle_n)).alias("s")
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        # gate-first: only candidate pairs' shingles ever meet.
+        # (pair, shingle-of-a) ⋈ (shingle-of-b) on (doc_b, s); count = |A∩B|
+        pa = pairs.join(sh.withColumnRenamed("doc", "doc_a"), "doc_a")
+        inter = (
+            pa.join(
+                sh.select(F.col("doc").alias("doc_b"), "s"), ["doc_b", "s"]
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, "s")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")

@@ -35,8 +35,34 @@ def _idf(n_docs: int, df: int) -> float:
     return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
 
 
-def _segment_topk_exhaustive(term_blocks: dict[str, list], idfs: dict[str, float], k: int):
-    """Decode everything, accumulate, top-k. The always-correct oracle."""
+def _round_half_up(x: float, round_to: int | None) -> float:
+    """HALF_UP rounding for non-negative scores — bit-identical to Spark's
+    F.round / DuckDB round, unlike np.round (banker's)."""
+    if round_to is None:
+        return x
+    m = 10.0**round_to
+    return float(np.floor(x * m + 0.5) / m)
+
+
+def _round_half_up_arr(x: np.ndarray, round_to: int | None) -> np.ndarray:
+    if round_to is None:
+        return x
+    m = 10.0**round_to
+    return np.floor(x * m + 0.5) / m
+
+
+def _segment_topk_exhaustive(
+    term_blocks: dict[str, list],
+    idfs: dict[str, float],
+    k: int,
+    round_to: int | None = None,
+):
+    """Decode everything, accumulate, top-k. The always-correct oracle.
+
+    The local k-cut ranks on (ROUNDED score desc, doc_id asc) — the exact
+    key the global merge uses — so a doc cut here by a sub-ulp raw margin
+    cannot have tied after rounding and won on doc_id globally.
+    """
     acc: dict[int, float] = {}
     for term, blocks in term_blocks.items():
         w = idfs[term]
@@ -44,7 +70,9 @@ def _segment_topk_exhaustive(term_blocks: dict[str, list], idfs: dict[str, float
             doc_ids, _, norms = decode_block(blk)
             for d, nr in zip(doc_ids.tolist(), (w * norms).tolist()):
                 acc[d] = acc.get(d, 0.0) + nr
-    return heapq.nsmallest(k, acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return heapq.nsmallest(
+        k, acc.items(), key=lambda kv: (-_round_half_up(kv[1], round_to), kv[0])
+    )
 
 
 def _decode_term(blocks) -> tuple[np.ndarray, np.ndarray]:
@@ -65,6 +93,7 @@ def _segment_topk_batch(
     queries: dict[str, list[str]],
     idfs: dict[str, float],
     k: int,
+    round_to: int | None = None,
 ) -> list[tuple[str, int, float]]:
     """Vectorized multi-query scorer: decode each term ONCE per segment,
     then per query sort+reduceat accumulation and argpartition top-k.
@@ -96,14 +125,17 @@ def _segment_topk_batch(
             uniq_idx = np.flatnonzero(np.diff(docs, prepend=docs[0] - 1))
             docs = docs[uniq_idx]
             scores = np.add.reduceat(scores, uniq_idx)
+        # local selection uses the ROUNDED score — the same total order
+        # (score_r desc, doc_id asc) the global merge ranks on, so the local
+        # k-cut can never drop a doc that would have tied after rounding
+        # and won on doc_id
+        scores_r = _round_half_up_arr(scores, round_to)
         if len(docs) > k:
-            # kth-largest score; keep every doc scoring >= it so score ties
-            # can still be broken by doc_id
-            kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
-            cand = np.flatnonzero(scores >= kth)
+            kth = scores_r[np.argpartition(-scores_r, k - 1)[k - 1]]
+            cand = np.flatnonzero(scores_r >= kth)
         else:
             cand = np.arange(len(docs))
-        order = np.lexsort((docs[cand], -scores[cand]))[:k]
+        order = np.lexsort((docs[cand], -scores_r[cand]))[:k]
         for i in order:
             rows.append((qid, int(docs[cand[i]]), float(scores[cand[i]])))
     return rows
@@ -171,11 +203,24 @@ class _TermIter:
             self._load()
 
 
-def _segment_topk_wand(term_blocks: dict[str, list], idfs: dict[str, float], k: int):
-    """Block-max WAND (Ding & Suel 2011 shape) over one segment."""
+def _segment_topk_wand(
+    term_blocks: dict[str, list],
+    idfs: dict[str, float],
+    k: int,
+    round_to: int | None = None,
+):
+    """Block-max WAND (Ding & Suel 2011 shape) over one segment.
+
+    The heap orders on (ROUNDED score, -doc_id) — the global merge's key —
+    and pruning thresholds are relaxed by half an ulp of the rounding grid,
+    so a doc whose raw score is a sub-ulp below theta but ties after
+    rounding (and could win on doc_id) is still scored.
+    """
     iters = [_TermIter(b, idfs[t]) for t, b in term_blocks.items() if len(b) > 0]
-    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of size k
+    # (rounded_score, -doc, raw_score) min-heap of size k
+    heap: list[tuple[float, int, float]] = []
     theta = 0.0
+    half_ulp = 0.5 * 10.0 ** (-round_to) if round_to is not None else 0.0
     EXHAUSTED = 1 << 62
 
     while True:
@@ -188,7 +233,7 @@ def _segment_topk_wand(term_blocks: dict[str, list], idfs: dict[str, float], k: 
             if it.doc == EXHAUSTED:
                 break
             acc += it.max_norm_all
-            if acc >= theta or len(heap) < k:
+            if acc >= theta - half_ulp or len(heap) < k:
                 pivot_idx = i
                 break
         if pivot_idx < 0:
@@ -210,7 +255,7 @@ def _segment_topk_wand(term_blocks: dict[str, list], idfs: dict[str, float], k: 
                 bi += 1
             if bi < len(it.blocks):
                 block_bound += it.idf * it.blocks[bi]["max_norm"]
-        if len(heap) >= k and block_bound < theta:
+        if len(heap) >= k and block_bound < theta - half_ulp:
             # no doc up to pivot can beat theta: advance the lagging iterator
             # past pivot (shallowest first keeps others' positions)
             iters[0].advance_to(pivot_doc + 1)
@@ -222,10 +267,10 @@ def _segment_topk_wand(term_blocks: dict[str, list], idfs: dict[str, float], k: 
             for it in iters:
                 if it.doc == pivot_doc:
                     s += it.score
-            item = (s, -pivot_doc)
+            item = (_round_half_up(s, round_to), -pivot_doc, s)
             if len(heap) < k:
                 heapq.heappush(heap, item)
-            elif item > heap[0]:
+            elif item[:2] > heap[0][:2]:
                 heapq.heapreplace(heap, item)
             if len(heap) >= k:
                 theta = heap[0][0]
@@ -235,8 +280,8 @@ def _segment_topk_wand(term_blocks: dict[str, list], idfs: dict[str, float], k: 
         else:
             iters[0].advance_to(pivot_doc)
 
-    out = sorted(((-d, s) for s, d in heap), key=lambda kv: (-kv[1], kv[0]))
-    return [(d, s) for d, s in out]
+    out = sorted(((-d, raw, sr) for sr, d, raw in heap), key=lambda kv: (-kv[2], kv[0]))
+    return [(d, raw) for d, raw, _ in out]
 
 
 def topk_from_index(
@@ -273,7 +318,7 @@ def topk_from_index(
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term = {r.term: r.blocks for r in pdf.itertuples()}
         if algorithm == "auto":
-            rows = _segment_topk_batch(by_term, q_broadcast, idfs, k)
+            rows = _segment_topk_batch(by_term, q_broadcast, idfs, k, round_to)
             return pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
         scorer = _segment_topk_wand if algorithm == "wand" else _segment_topk_exhaustive
         rows = []
@@ -281,7 +326,7 @@ def topk_from_index(
             tb = {t: by_term[t] for t in terms if t in by_term}
             if not tb:
                 continue
-            for d, s in scorer(tb, idfs, k):
+            for d, s in scorer(tb, idfs, k, round_to):
                 rows.append((qid, d, s))
         return pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
 

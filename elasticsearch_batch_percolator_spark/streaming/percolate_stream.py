@@ -35,14 +35,38 @@ def multi_percolate(
     get only the count (E5). Every slot appears in the output, empty or not
     (the reference's per-slot reduce, :284-308).
     """
+    # slot/batch_id bounds are enforced at pack time: an out-of-range slot
+    # would silently collide with another (batch_id, slot) and merge
+    # unrelated slots' matches — fail the job instead. Decode is pure
+    # integer bit ops (no float division on the packed long).
+    slot_ok = (F.col("slot") >= 0) & (F.col("slot") < F.lit(1 << _SLOT_SHIFT))
+    batch_ok = (F.col("batch_id") >= 0) & (
+        F.col("batch_id") < F.lit(1 << (62 - _SLOT_SHIFT))
+    )
     keyed = batches.withColumn(
         "doc_id",
-        (F.col("batch_id").cast("long") * (1 << _SLOT_SHIFT) + F.col("slot")).cast("long"),
+        F.when(
+            slot_ok & batch_ok,
+            F.shiftleft(F.col("batch_id").cast("long"), _SLOT_SHIFT)
+            + F.col("slot").cast("long"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"multi_percolate: slot must be in [0, {1 << _SLOT_SHIFT}) "),
+                    F.lit("and batch_id >= 0; got slot="),
+                    F.col("slot").cast("string"),
+                    F.lit(" batch_id="),
+                    F.col("batch_id").cast("string"),
+                )
+            ).cast("long")
+        ),
     )
     res = percolate(spark, keyed, registry, content_col=content_col)
     matches = res.matches.withColumn(
-        "batch_id", (F.col("doc_id") / (1 << _SLOT_SHIFT)).cast("long")
-    ).withColumn("slot", (F.col("doc_id") % (1 << _SLOT_SHIFT)).cast("long"))
+        "batch_id", F.shiftright(F.col("doc_id"), _SLOT_SHIFT)
+    ).withColumn(
+        "slot", F.col("doc_id").bitwiseAND(F.lit((1 << _SLOT_SHIFT) - 1)).cast("long")
+    )
     agg = matches.groupBy("batch_id", "slot").agg(
         F.sort_array(F.collect_list("query_id")).alias("matched_queries"),
         F.count(F.lit(1)).cast("long").alias("n_matches"),
