@@ -432,6 +432,28 @@ def _q_percolate_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# multi-field registry: queries split across two analyzed fields of the
+# same document (text + lang), the shape of every reference integration
+# test (SimplePercolationTests.java:51-92 field1/field2, APITests.java:81)
+_MF_QUERIES = {
+    "mf-text": {"term": {"text": "merge"}},
+    "mf-lang": {"term": {"lang": "de"}},
+    "mf-both": {"bool": {"must": [{"term": {"text": "spark"}}, {"term": {"lang": "en"}}]}},
+    "mf-phrase": {"bool": {"must": [{"phrase": {"field": "text", "terms": ["the", "fast"]}},
+                                     {"term": {"lang": "fr"}}]}},
+    "mf-wild": {"bool": {"must": [{"wildcard": {"text": "merg*"}},
+                                   {"wildcard": {"lang": "z*"}}]}},
+}
+
+
+def _q_multi_field_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 multi-field percolation: per-field analyzers, field-scoped match."""
+    reg = CompiledRegistry.from_rows(list(_MF_QUERIES.items()))
+    docs = _docs(spark, sf_dir)
+    res = percolate(spark, docs, reg, fields={"text": "text", "lang": "lang"})
+    return res.matches.select(F.col("doc_id").cast("long").alias("doc_id"), "query_id")
+
+
 def _q_multi_percolate_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 _mypercolate slot fan-out/fan-in (E9) + count-only action (E5)."""
     from elasticsearch_batch_percolator_spark.streaming import multi_percolate
@@ -475,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_ann_ivf": _q_embedding_ann_ivf,
         "text_stats": _q_text_stats,
+        "multi_field_percolate": _q_multi_field_percolate,
         "multi_percolate_slots": _q_multi_percolate_slots,
         "range_query": _q_range_query,
         "span_near_match": _q_span_near_match,
@@ -681,6 +704,25 @@ SELECT d.doc_id::BIGINT AS slot,
 FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
 """,
         "range_query": "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200",
+        "multi_field_percolate": f"""
+SELECT doc_id, 'mf-text' AS query_id FROM documents WHERE {contains.format(t='merge')}
+UNION ALL
+SELECT doc_id, 'mf-lang' AS query_id FROM documents
+  WHERE list_contains(list_filter(string_split(lower(lang), ' '), x -> x <> ''), 'de')
+UNION ALL
+SELECT doc_id, 'mf-both' AS query_id FROM documents
+  WHERE {contains.format(t='spark')}
+    AND list_contains(list_filter(string_split(lower(lang), ' '), x -> x <> ''), 'en')
+UNION ALL
+SELECT doc_id, 'mf-phrase' AS query_id FROM documents
+  WHERE {phrase.format(p='the fast')}
+    AND list_contains(list_filter(string_split(lower(lang), ' '), x -> x <> ''), 'fr')
+UNION ALL
+SELECT doc_id, 'mf-wild' AS query_id FROM documents
+  WHERE {has_like.format(p='merg%')}
+    AND len(list_filter(list_filter(string_split(lower(lang), ' '), x -> x <> ''),
+                        t -> t LIKE 'z%')) > 0
+""",
         "percolate_highlight": f"""
 SELECT doc_id, 'q-merge' AS query_id,
        array_to_string(

@@ -5,19 +5,27 @@ parse docs → index batch into a RAMDirectory → phase-1 limiting filter over
 ALL queries → per-query phase-2 search + highlight → per-doc result map.
 Its per-query loop (E1) is replaced by ONE set-oriented joined plan:
 
-  phase 1   batch (doc_id, term) ⋈ broadcast query (group, term) pairs
-            → groupBy(doc_id, query_id) countDistinct(group) == n_groups
-            (the semi-join shape of hasDocumentMatchingFilter,
-            BatchPercolatorService.java:197-222 — but for all queries at once)
+  phase 1   batch (doc_id, field, term) ⋈ broadcast query gate
+            (query_id, field, term) rows — the semi-join shape of
+            hasDocumentMatchingFilter (BatchPercolatorService.java:197-222)
+            for all queries at once, gated on each query's rarest group
   wildcards expanded against the BATCH term dictionary, exactly like the
             reference's automaton over the index terms
             (WildcardTermsProducer.getTerms:26-53)
-  phase 2   exact evaluator (plans/eval_py.py) inside one Arrow pandas UDF,
-            only over surviving (query, doc) pairs — and only for queries
-            whose phase-1 semantics are not already exact
+  phase 2   exact evaluator (plans/eval_py.py) — chunked Catalyst
+            when-chains for boolean structure, one Arrow pandas UDF for
+            positional queries — only over surviving (query, doc) pairs
   errors    per-query isolation: a failing phase-2 eval drops that query for
             that doc and is counted, Meltwater-style skip-and-log
             (BatchPercolatorService.java:364-368), not YouScan abort
+
+Multi-field documents (A1): ``fields={query_field: source_col | (source_col,
+analyzer)}`` mirrors the reference's PerFieldAnalyzerWrapper
+(RamDirectoryPercolatorIndex.java:68-81) — every integration test of the
+reference queries ``field1``/``field2`` (SimplePercolationTests.java:51-92,
+APITests.java:63-139). A query on a field the batch doesn't define behaves
+as a query on an EMPTY field (never matches) — per-query, not per-batch, so
+one multi-field query can't poison its siblings (E10).
 
 Scale notes (100 TB / 1000-executor thinking):
 - query tables are broadcast (225k queries × few terms ≈ MBs);
@@ -31,23 +39,30 @@ Scale notes (100 TB / 1000-executor thinking):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans.eval_py import compile_predicate
+from ..plans.eval_py import compile_predicate_fields
 from ..sources.registry import CompiledRegistry
+from .match import match_col
 
 
 @dataclass
 class PercolateResult:
-    """matches: (doc_id, query_id); per_doc(): reference-style per-doc map."""
+    """matches: (doc_id, query_id); per_doc(): reference-style per-doc map.
+
+    ``resolve`` maps query field name → tokens column in ``docs``;
+    ``content_of`` maps query field name → raw content column (highlights).
+    """
 
     matches: DataFrame
-    docs: DataFrame  # (doc_id, content, tokens)
+    docs: DataFrame
+    resolve: dict = dc_field(default_factory=dict)
+    content_of: dict = dc_field(default_factory=dict)
 
     def per_doc(self) -> DataFrame:
         """E7: every doc gets an entry, docs with no matches get []
@@ -76,29 +91,50 @@ class PercolateResult:
         the transient RAMDirectory index, so N/avgdl/df are batch-local
         (track_scores, YPercolatorService.java:518). Our upgrade: ES 2.4
         exposed no scores in percolate responses; BM25 is the north_rule
-        contract. Zero-term queries (match_all) score 0.0.
+        contract. Multi-field: each field scores against its OWN batch
+        statistics (Lucene per-field similarity), summed per (doc, query).
+        Zero-term queries (match_all) score 0.0.
         """
         from .bm25 import score_terms
         from .stats import corpus_stats, doc_freq, doc_lengths, term_frequencies
         from ..plans.query_plan import positive_terms
 
         spark = self.docs.sparkSession
-        rows = [
-            (qid, t)
-            for qid, cq in registry.queries.items()
-            for _, t in sorted(positive_terms(cq.plan))
-        ]
+        # (query_id, term) pairs grouped by the tokens COLUMN the field
+        # resolves to — fields sharing a column (single-field mode) dedup
+        by_col: dict[str, set[tuple[str, str]]] = {}
+        for qid, cq in registry.queries.items():
+            for fld, t in sorted(positive_terms(cq.plan)):
+                tc = self.resolve.get(fld)
+                if tc is not None:
+                    by_col.setdefault(tc, set()).add((qid, t))
+
         out_score = (
             F.round("score", round_to) if round_to is not None else F.col("score")
         )
-        if rows:
-            tf = term_frequencies(self.docs)
-            dl = doc_lengths(self.docs)
+        parts = []
+        for tc in sorted(by_col):
+            docs_tc = self.docs.select(
+                "doc_id", F.col(tc).alias("tokens")
+            )
+            tf = term_frequencies(docs_tc)
+            dl = doc_lengths(docs_tc)
             dfreq = doc_freq(tf)
-            n, avgdl = corpus_stats(self.docs)
-            qt = spark.createDataFrame(rows, "query_id string, term string")
-            scored = score_terms(tf, dl, dfreq, qt, n, avgdl).select(
-                "doc_id", "query_id", "score"
+            n, avgdl = corpus_stats(docs_tc)
+            qt = spark.createDataFrame(
+                sorted(by_col[tc]), "query_id string, term string"
+            )
+            parts.append(
+                score_terms(tf, dl, dfreq, qt, n, avgdl).select(
+                    "doc_id", "query_id", "score"
+                )
+            )
+        if parts:
+            scored = parts[0]
+            for p in parts[1:]:
+                scored = scored.unionByName(p)
+            scored = scored.groupBy("doc_id", "query_id").agg(
+                F.sum("score").alias("score")
             )
         else:
             scored = self.matches.select(
@@ -118,16 +154,45 @@ def percolate(
     content_col: str = "content",
     id_col: str = "doc_id",
     tokenizer=None,
+    fields: dict | None = None,
 ) -> PercolateResult:
-    """Match every registered query against every doc of the batch."""
-    from ..functions.tokenizer import tokenize_ws
+    """Match every registered query against every doc of the batch.
 
-    tokenizer = tokenizer or tokenize_ws
-    batch = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.col(content_col).alias("content"),
-        tokenizer(content_col).alias("tokens"),
-    )
+    ``fields=None`` — single-field mode: one analyzed ``content_col`` serves
+    every query field name (the flat-corpus default).
+    ``fields={qfield: src_col | (src_col, analyzer)}`` — multi-field mode
+    with per-field analyzers (A1); ``analyzer`` ∈ {"ws", "code"} or a
+    Column-function. Queries on unconfigured fields never match (treated as
+    empty fields), isolated per query.
+    """
+    from ..functions.tokenizer import tokenize_code, tokenize_ws
+
+    analyzers = {"ws": tokenize_ws, "code": tokenize_code}
+    qfields = sorted(registry.query_fields())
+
+    if fields is None:
+        tok = tokenizer or tokenize_ws
+        batch = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(content_col).alias("content"),
+            tok(content_col).alias("tokens"),
+        )
+        resolve = {qf: "tokens" for qf in qfields}
+        content_of = {qf: "content" for qf in qfields}
+    else:
+        sel = [F.col(id_col).cast("long").alias("doc_id")]
+        resolve, content_of = {}, {}
+        for qf in sorted(fields):
+            spec = fields[qf]
+            src, an = spec if isinstance(spec, tuple) else (spec, "ws")
+            tok = an if callable(an) else analyzers[an]
+            sel.append(F.col(src).alias(f"content__{qf}"))
+            sel.append(tok(src).alias(f"tokens__{qf}"))
+            resolve[qf] = f"tokens__{qf}"
+            content_of[qf] = f"content__{qf}"
+        batch = docs.select(*sel)
+
+    tok_cols = sorted(set(resolve.values()))
 
     # ---- phase 1: candidate (query, doc) pairs via GATE groups ----------
     # Joining every query term against the batch multiplies each (doc, term)
@@ -135,45 +200,87 @@ def percolate(
     # each query joins on ONE group: its most selective (lowest batch-df)
     # necessary condition — the classic rarest-term gate. Candidate volume
     # becomes sum_q df(gate_q); phase 2 settles the rest.
-    batch_terms = batch.select(
-        "doc_id", F.explode("tokens").alias("term")
-    ).dropDuplicates(["doc_id", "term"])
-
-    involved = sorted(
+    # only the columns gate groups actually reference get exploded — an
+    # unqueried field never pays the token-explode cost
+    used_tok_cols = sorted(
         {
-            v
+            resolve[f]
             for q in registry.queries.values()
             if q.groups
             for g in q.groups
-            for kind, v in g
-            if kind == "t"
+            for _, f, _ in g
+            if f in resolve
         }
     )
-    term_df: dict[str, int] = {}
+    if used_tok_cols:
+        bt_parts = [
+            batch.select(
+                "doc_id", F.lit(tc).alias("fcol"), F.explode(F.col(tc)).alias("term")
+            )
+            for tc in used_tok_cols
+        ]
+        batch_terms = bt_parts[0]
+        for p in bt_parts[1:]:
+            batch_terms = batch_terms.unionByName(p)
+        batch_terms = batch_terms.dropDuplicates(["doc_id", "fcol", "term"])
+    else:
+        batch_terms = spark.createDataFrame(
+            [], "doc_id long, fcol string, term string"
+        )
+
+    involved = sorted(
+        {
+            (resolve[f], v)
+            for q in registry.queries.values()
+            if q.groups
+            for g in q.groups
+            for kind, f, v in g
+            if kind == "t" and f in resolve
+        }
+    )
+    term_df: dict[tuple[str, str], int] = {}
     if involved:
-        inv_df = spark.createDataFrame([(t,) for t in involved], "term string")
-        term_df = {
-            r["term"]: int(r["df"])
-            for r in batch_terms.join(F.broadcast(inv_df), "term")
-            .groupBy("term")
+        inv_df = spark.createDataFrame(involved, "fcol string, term string")
+        col_df = {
+            (r["fcol"], r["term"]): int(r["df"])
+            for r in batch_terms.join(F.broadcast(inv_df), ["fcol", "term"])
+            .groupBy("fcol", "term")
             .agg(F.count(F.lit(1)).alias("df"))
             .collect()
         }
+        # registry.gates keys by (query_field, term): project through resolve
+        term_df = {
+            (qf, t): col_df.get((tc, t), 0)
+            for qf, tc in resolve.items()
+            for (tc2, t) in col_df
+            if tc2 == tc
+        }
 
     lit_rows, pat_rows = registry.gates(term_df)
+    # map gate rows' query fields to tokens columns; drop members on
+    # unmapped fields (those contribute no candidates — an empty field can
+    # never satisfy a positive term). A query whose ENTIRE gate group is
+    # unmapped gets zero candidates and correctly never matches.
+    lit_mapped = [(q, resolve[f], t) for q, f, t in lit_rows if f in resolve]
+    pat_mapped = [(q, resolve[f], p) for q, f, p in pat_rows if f in resolve]
+
     parts_cand = []
-    if lit_rows:
-        gates = spark.createDataFrame(lit_rows, "query_id string, term string")
-        parts_cand.append(batch_terms.join(F.broadcast(gates), "term"))
-    if pat_rows:
-        patterns = spark.createDataFrame(pat_rows, "query_id string, pattern string")
-        term_dict = batch_terms.select("term").dropDuplicates(["term"])
-        expanded = (
-            term_dict.join(F.broadcast(patterns))
-            .filter(F.expr("term LIKE pattern"))
-            .select("query_id", "term")
+    if lit_mapped:
+        gates = spark.createDataFrame(
+            lit_mapped, "query_id string, fcol string, term string"
         )
-        parts_cand.append(batch_terms.join(F.broadcast(expanded), "term"))
+        parts_cand.append(batch_terms.join(F.broadcast(gates), ["fcol", "term"]))
+    if pat_mapped:
+        patterns = spark.createDataFrame(
+            pat_mapped, "query_id string, fcol string, pattern string"
+        )
+        term_dict = batch_terms.select("fcol", "term").dropDuplicates(["fcol", "term"])
+        expanded = (
+            term_dict.join(F.broadcast(patterns), "fcol")
+            .filter(F.expr("term LIKE pattern"))
+            .select("query_id", "fcol", "term")
+        )
+        parts_cand.append(batch_terms.join(F.broadcast(expanded), ["fcol", "term"]))
 
     all_doc_qids = registry.all_docs_query_ids()
     if all_doc_qids:
@@ -192,19 +299,20 @@ def percolate(
         candidates = candidates.dropDuplicates(["doc_id", "query_id"])
 
     # ---- phase 2: exact verify on survivors only -------------------------
-    # Split the verify set: everything non-positional becomes ONE Catalyst
-    # when-chain over match_col predicates (JVM-side, codegen'd); only
-    # positional queries (spans, sloppy phrases) cross into Python — the
-    # same boundary the reference draws ("positional queries are magnitudes
-    # slower", README.md:127-133).
+    # Split the verify set: everything non-positional becomes Catalyst
+    # when-chains over match_col predicates (JVM-side, codegen'd), CHUNKED
+    # at EBP_MAX_WHEN_BRANCHES per chain so mid-size registries (10k
+    # queries) keep the JVM path; only positional queries (spans, sloppy
+    # phrases) cross into Python — the same boundary the reference draws
+    # ("positional queries are magnitudes slower", README.md:127-133).
+    # Past EBP_MAX_WHEN_CHUNKS chains the compiled-python evaluator takes
+    # over wholesale (a 225k-branch plan would blow up codegen/analysis).
     verify_plans = registry.gate_verify_plans()
     columnar = {q: p for q, p in verify_plans.items() if not _is_positional(p)}
     pythonic = {q: p for q, p in verify_plans.items() if _is_positional(p)}
-    # a when-chain with 10^5 branches (225k-query registries) would blow up
-    # codegen; past the cap the compiled-python evaluator is the right tool
-    # (it is exactly the reference's per-(query,doc) evaluation loop)
     max_branches = int(os.environ.get("EBP_MAX_WHEN_BRANCHES", "1500"))
-    if len(columnar) > max_branches:
+    max_chunks = int(os.environ.get("EBP_MAX_WHEN_CHUNKS", "8"))
+    if len(columnar) > max_branches * max_chunks:
         pythonic.update(columnar)
         columnar = {}
     parts = [
@@ -219,36 +327,50 @@ def percolate(
         else candidates
     ]
 
+    token_cols: dict[str, Column] = {}
+    for qf in qfields:
+        tc = resolve.get(qf)
+        token_cols[qf] = (
+            F.col(tc) if tc is not None else F.array().cast("array<string>")
+        )
+
     if columnar:
-        field = _single_field(columnar)
-        token_col = {field: F.col("tokens")}
-        pred = None
+        preds: list[Column] = []  # one when-chain per chunk
+        chunk_qids: list[list[str]] = []
+        cur_pred, cur_qids = None, []
         for qid, plan in list(columnar.items()):
             try:
-                branch = match_col(plan, token_col)
+                branch = match_col(plan, token_cols)
             except Exception:
                 # per-query isolation (E10): un-buildable predicate falls
                 # back to the python evaluator, which isolates per row
                 del columnar[qid]
                 pythonic[qid] = plan
                 continue
-            pred = (
+            cur_pred = (
                 F.when(F.col("query_id") == qid, branch)
-                if pred is None
-                else pred.when(F.col("query_id") == qid, branch)
+                if cur_pred is None
+                else cur_pred.when(F.col("query_id") == qid, branch)
             )
-    if columnar:
-        cands = candidates.join(
-            F.broadcast(spark.createDataFrame([(q,) for q in columnar], "query_id string")),
-            "query_id",
-            "left_semi",
-        ).join(batch.select("doc_id", "tokens"), "doc_id")
-        parts.append(
-            cands.filter(pred.otherwise(F.lit(False))).select("doc_id", "query_id")
-        )
+            cur_qids.append(qid)
+            if len(cur_qids) >= max_branches:
+                preds.append(cur_pred)
+                chunk_qids.append(cur_qids)
+                cur_pred, cur_qids = None, []
+        if cur_qids:
+            preds.append(cur_pred)
+            chunk_qids.append(cur_qids)
+        for pred, qids in zip(preds, chunk_qids):
+            cands = candidates.join(
+                F.broadcast(spark.createDataFrame([(q,) for q in qids], "query_id string")),
+                "query_id",
+                "left_semi",
+            ).join(batch.select("doc_id", *tok_cols), "doc_id")
+            parts.append(
+                cands.filter(pred.otherwise(F.lit(False))).select("doc_id", "query_id")
+            )
 
     if pythonic:
-        field = _single_field(pythonic)
         # plans ship ONCE per executor via a Spark broadcast (pickling 10^5
         # compiled closures into every task would dominate the job);
         # predicates compile lazily per worker and memoize
@@ -261,24 +383,32 @@ def percolate(
                 plan = bc_plans.value.get(qid)
                 if plan is None:
                     return None
-                p = compile_predicate(plan, field)
+                p = compile_predicate_fields(plan)
                 memo[qid] = p
             return p
 
         # group candidates per doc: tokens ship ONCE per doc (not once per
         # (doc, query) pair — a ~|queries|x blowup at dense candidate sets),
-        # and the token list/set conversions amortize over all its queries
+        # and the token list/set conversions amortize over all its queries.
+        # fieldmap views (one per tokens column) are built once per doc and
+        # shared by every query field resolving to that column.
+        qf_to_idx = {qf: tok_cols.index(tc) for qf, tc in resolve.items()}
+
         @F.pandas_udf(T.ArrayType(T.StringType()))
-        def verify_doc(qid_lists: pd.Series, tokens: pd.Series) -> pd.Series:
+        def verify_doc(qid_lists: pd.Series, *tok_series: pd.Series) -> pd.Series:
             out = []
-            for qids, toks in zip(qid_lists, tokens):
-                tlist = toks.tolist() if toks is not None else []
-                tset = set(tlist)
+            for row in zip(qid_lists, *tok_series):
+                qids = row[0]
+                views = []
+                for s in row[1:]:
+                    tl = s.tolist() if s is not None else []
+                    views.append((tl, set(tl)))
+                fmap = {qf: views[i] for qf, i in qf_to_idx.items()}
                 hit = []
                 for qid in qids:
                     try:
                         p = _pred(qid)
-                        if p is not None and p(tlist, tset):
+                        if p is not None and p(fmap):
                             hit.append(qid)
                     except Exception:
                         pass  # per-query error isolation (E10)
@@ -295,12 +425,14 @@ def percolate(
             )
             .groupBy("doc_id")
             .agg(F.collect_list("query_id").alias("qids"))
-            .join(batch.select("doc_id", "tokens"), "doc_id")
+            .join(batch.select("doc_id", *tok_cols), "doc_id")
         )
         parts.append(
             to_verify.select(
                 "doc_id",
-                F.explode(verify_doc(F.col("qids"), F.col("tokens"))).alias("query_id"),
+                F.explode(
+                    verify_doc(F.col("qids"), *[F.col(tc) for tc in tok_cols])
+                ).alias("query_id"),
             )
         )
 
@@ -308,7 +440,9 @@ def percolate(
     for p in parts[1:]:
         matches = matches.unionByName(p)
 
-    return PercolateResult(matches=matches, docs=batch)
+    return PercolateResult(
+        matches=matches, docs=batch, resolve=resolve, content_of=content_of
+    )
 
 
 def _is_positional(plan) -> bool:
@@ -333,15 +467,3 @@ def _is_positional(plan) -> bool:
             for c in g
         )
     return False
-
-
-def _single_field(plans: dict) -> str:
-    """The flat corpus has one analyzed field; recover its name from plans."""
-    from ..plans.query_plan import fields_of
-
-    fields = set()
-    for p in plans.values():
-        fields |= fields_of(p)
-    if len(fields) > 1:
-        raise ValueError(f"multi-field verify not supported yet: {fields}")
-    return next(iter(fields)) if fields else "content"

@@ -190,35 +190,60 @@ def eval_plan(plan: Plan, doc: dict) -> bool:
     raise TypeError(f"cannot evaluate {plan!r}")
 
 
-def compile_predicate(plan: Plan, field: str):
-    """plan → ``(tokens_list, token_set) -> bool`` closure over ONE field.
+_EMPTY_VIEW: tuple[list, frozenset] = ([], frozenset())
+
+
+def compile_predicate_fields(plan: Plan):
+    """plan → ``(fieldmap) -> bool`` closure over MULTI-FIELD documents.
+
+    ``fieldmap`` maps query field name → ``(tokens_list, token_set)`` for
+    analyzed text fields or a scalar for numeric fields (Range targets). A
+    field absent from the map behaves as an empty field (no tokens — the ES
+    semantics for querying a field the doc doesn't have).
 
     The percolation phase-2 UDF calls the evaluator once per surviving
     (query, doc) pair; pre-compiling removes the per-row dataclass walk,
-    and the caller-supplied token SET makes term membership O(1) — it is
+    and the caller-supplied token SETS make term membership O(1) — they are
     built once per DOC, amortized over every query verified against it.
     Semantics are eval_plan's exactly (asserted by tests side by side).
     """
     if isinstance(plan, MatchAll):
-        return lambda toks, tset: True
+        return lambda fm: True
     if isinstance(plan, MatchNone):
-        return lambda toks, tset: False
+        return lambda fm: False
     if isinstance(plan, Term):
-        v = plan.value
-        return lambda toks, tset: v in tset
+        v, f = plan.value, plan.field
+        return lambda fm: v in fm.get(f, _EMPTY_VIEW)[1]
     if isinstance(plan, Wildcard):
         rx = wildcard_regex(plan.pattern)
-        return lambda toks, tset: any(rx.match(t) for t in tset)
+        f = plan.field
+        return lambda fm: any(rx.match(t) for t in fm.get(f, _EMPTY_VIEW)[1])
+    if isinstance(plan, Range):
+        f, gte, lte = plan.field, plan.gte, plan.lte
+
+        def range_pred(fm):
+            v = fm.get(f)
+            if v is None or isinstance(v, (tuple, list)):
+                return False
+            if gte is not None and v < gte:
+                return False
+            if lte is not None and v > lte:
+                return False
+            return True
+
+        return range_pred
     if isinstance(plan, Phrase) and plan.slop == 0:
         terms = plan.terms
+        f = plan.field
         first = terms[0]
         k = len(terms)
         if k == 1:
-            return lambda toks, tset: first in tset
+            return lambda fm: first in fm.get(f, _EMPTY_VIEW)[1]
         rest = terms[1:]
         all_terms = frozenset(terms)
 
-        def phrase_pred(toks, tset):
+        def phrase_pred(fm):
+            toks, tset = fm.get(f, _EMPTY_VIEW)
             if not all_terms <= tset:
                 return False
             n = len(toks)
@@ -239,26 +264,51 @@ def compile_predicate(plan: Plan, field: str):
 
         return phrase_pred
     if isinstance(plan, Bool):
-        musts = [compile_predicate(c, field) for c in plan.must]
-        filters = [compile_predicate(c, field) for c in plan.filter]
-        must_nots = [compile_predicate(c, field) for c in plan.must_not]
-        shoulds = [compile_predicate(c, field) for c in plan.should]
+        musts = [compile_predicate_fields(c) for c in plan.must]
+        filters = [compile_predicate_fields(c) for c in plan.filter]
+        must_nots = [compile_predicate_fields(c) for c in plan.must_not]
+        shoulds = [compile_predicate_fields(c) for c in plan.should]
         need_should = bool(plan.should) and not (plan.must or plan.filter)
 
-        def bool_pred(toks, tset):
+        def bool_pred(fm):
             for p in musts:
-                if not p(toks, tset):
+                if not p(fm):
                     return False
             for p in filters:
-                if not p(toks, tset):
+                if not p(fm):
                     return False
             for p in must_nots:
-                if p(toks, tset):
+                if p(fm):
                     return False
             if need_should:
-                return any(p(toks, tset) for p in shoulds)
+                return any(p(fm) for p in shoulds)
             return True
 
         return bool_pred
-    # sloppy phrase / wildcard-phrase / spans: fall back to the generic walk
-    return lambda toks, tset, _p=plan, _f=field: eval_plan(_p, {_f: toks})
+
+    # sloppy phrase / wildcard-phrase / spans: generic walk over a plain
+    # field→tokens dict (rebuilt per call — positional plans are the
+    # documented slow path)
+    def generic(fm, _p=plan):
+        doc = {
+            f: (v[0] if isinstance(v, tuple) else v) for f, v in fm.items()
+        }
+        return eval_plan(_p, doc)
+
+    return generic
+
+
+def compile_predicate(plan: Plan, field: str):
+    """Single-field convenience wrapper: ``(tokens_list, token_set) -> bool``
+    where EVERY text field the plan references resolves to the given tokens
+    (the flat single-content-column mode of operators/percolate.py)."""
+    from .query_plan import fields_of
+
+    inner = compile_predicate_fields(plan)
+    fields = fields_of(plan) | {field}
+
+    def pred(toks, tset):
+        view = (toks, tset)
+        return inner({f: view for f in fields})
+
+    return pred

@@ -13,10 +13,12 @@ compiled form lives on the driver and ships to executors inside pandas-UDF
 closures / broadcast join inputs.
 
 Phase-1 flattening: each query's approximation is reduced to AND-of-OR-groups
-over literal terms and wildcard patterns:
+over (field, literal-term) and (field, wildcard-pattern) members — fields
+are carried through so multi-field registries gate each query on the right
+per-field posting stream:
 
-    groups(Term t)        = [{t}]
-    groups(Wildcard p)    = [{p:pattern}]
+    groups(Term f:t)      = [{(f, t)}]
+    groups(Wildcard f:p)  = [{(f, p)}]
     groups(MatchAll)      = []              (no constraint)
     groups(Bool must=...) = concat of child groups; an unreducible child is
                             DROPPED (fewer constraints -> still a superset)
@@ -58,7 +60,7 @@ class CompiledQuery:
     plan: Plan
     approx: Plan | None
     # phase-1 groups: list of OR-groups; each group is a set of
-    # ("t", literal) / ("w", like_pattern) members. None => unfilterable.
+    # ("t", field, literal) / ("w", field, pattern) members. None => unfilterable.
     groups: list[set[tuple[str, str]]] | None
     needs_verify: bool
     match_none: bool = False
@@ -102,21 +104,21 @@ class CompiledRegistry:
     # ---- Spark-side tables for the set-oriented phase-1 join ------------
 
     def literal_pairs(self, spark: SparkSession) -> DataFrame:
-        """(query_id, group_id, term) for literal group members."""
+        """(query_id, group_id, field, term) for literal group members."""
         rows = []
         for q in self.queries.values():
             if q.groups is None or q.match_none:
                 continue
             for gid, group in enumerate(q.groups):
-                for kind, val in group:
+                for kind, fld, val in group:
                     if kind == "t":
-                        rows.append((q.query_id, gid, val))
+                        rows.append((q.query_id, gid, fld, val))
         return spark.createDataFrame(
-            rows, "query_id string, group_id int, term string"
+            rows, "query_id string, group_id int, field string, term string"
         )
 
     def pattern_pairs(self, spark: SparkSession) -> DataFrame:
-        """(query_id, group_id, like_pattern) for wildcard group members."""
+        """(query_id, group_id, field, like_pattern) for wildcard members."""
         from ..operators.match import wildcard_to_like
 
         rows = []
@@ -124,12 +126,21 @@ class CompiledRegistry:
             if q.groups is None or q.match_none:
                 continue
             for gid, group in enumerate(q.groups):
-                for kind, val in group:
+                for kind, fld, val in group:
                     if kind == "w":
-                        rows.append((q.query_id, gid, wildcard_to_like(val)))
+                        rows.append((q.query_id, gid, fld, wildcard_to_like(val)))
         return spark.createDataFrame(
-            rows, "query_id string, group_id int, pattern string"
+            rows, "query_id string, group_id int, field string, pattern string"
         )
+
+    def query_fields(self) -> set[str]:
+        """Every document field any registered query references."""
+        from ..plans.query_plan import fields_of
+
+        out: set[str] = set()
+        for q in self.queries.values():
+            out |= fields_of(q.plan)
+        return out
 
     def group_counts(self, spark: SparkSession) -> DataFrame:
         """(query_id, n_groups) for filterable queries with >=1 group."""
@@ -171,7 +182,9 @@ class CompiledRegistry:
             )
         }
 
-    def gates(self, term_df: dict[str, int] | None = None) -> tuple[list, list]:
+    def gates(
+        self, term_df: dict[tuple[str, str], int] | None = None
+    ) -> tuple[list, list]:
         """Choose ONE gate group per filterable query: a doc can match only
         if it satisfies every group, so any single group is a sound
         candidate filter — pick the most selective (lowest summed df; the
@@ -179,44 +192,45 @@ class CompiledRegistry:
         no literal-only group gates on a pattern group (expanded against the
         batch term dictionary downstream).
 
-        Returns (literal_gates, pattern_gates):
-        literal_gates = [(query_id, term)], pattern_gates = [(query_id, like_pattern)].
+        ``term_df`` is keyed by (field, term). Returns (literal_gates,
+        pattern_gates): literal_gates = [(query_id, field, term)],
+        pattern_gates = [(query_id, field, like_pattern)].
         """
         from ..operators.match import wildcard_to_like
 
         term_df = term_df or {}
-        lit_rows: list[tuple[str, str]] = []
-        pat_rows: list[tuple[str, str]] = []
+        lit_rows: list[tuple[str, str, str]] = []
+        pat_rows: list[tuple[str, str, str]] = []
         for q in self.queries.values():
             if q.match_none or q.groups is None or len(q.groups) == 0:
                 continue
             literal_groups = [
-                g for g in q.groups if all(kind == "t" for kind, _ in g)
+                g for g in q.groups if all(kind == "t" for kind, _, _ in g)
             ]
             if literal_groups:
                 # absent-from-batch terms have df=0: gating on them is
                 # optimal (zero candidates, correctly)
                 gate = min(
                     literal_groups,
-                    key=lambda g: sum(term_df.get(v, 0) for _, v in g),
+                    key=lambda g: sum(term_df.get((f, v), 0) for _, f, v in g),
                 )
-                lit_rows.extend((q.query_id, v) for _, v in gate)
+                lit_rows.extend((q.query_id, f, v) for _, f, v in gate)
             else:
                 # fewest members ~ cheapest expansion
                 gate = min(q.groups, key=len)
-                for kind, v in gate:
+                for kind, f, v in gate:
                     if kind == "t":
-                        lit_rows.append((q.query_id, v))
+                        lit_rows.append((q.query_id, f, v))
                     else:
-                        pat_rows.append((q.query_id, wildcard_to_like(v)))
+                        pat_rows.append((q.query_id, f, wildcard_to_like(v)))
         return lit_rows, pat_rows
 
 
-def _flatten_groups(approx: Plan) -> list[set[tuple[str, str]]] | None:
+def _flatten_groups(approx: Plan) -> list[set[tuple[str, str, str]]] | None:
     if isinstance(approx, Term):
-        return [{("t", approx.value)}]
+        return [{("t", approx.field, approx.value)}]
     if isinstance(approx, Wildcard):
-        return [{("w", approx.pattern)}]
+        return [{("w", approx.field, approx.pattern)}]
     if isinstance(approx, MatchAll):
         return []
     if isinstance(approx, Range):
