@@ -454,6 +454,45 @@ def _q_multi_field_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.matches.select(F.col("doc_id").cast("long").alias("doc_id"), "query_id")
 
 
+def _q_percolate_highlight_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 reference-shaped highlighting: per-field fragment map honoring
+    requireFieldMatch and highlightQuery (APITests.java:63-139 shape),
+    exploded to (doc_id, query_id, field, fragment) rows for the gate.
+    fragment_size is set above any fixture doc so the fragment is the
+    whole field (SQL-expressible); windowing is covered by pytest."""
+    queries = {
+        "hf-text": {
+            "query": {"term": {"text": "merge"}},
+            "highlight": {"fields": ["text"], "fragment_size": 100000},
+        },
+        "hf-lang": {
+            "query": {"bool": {"must": [{"term": {"text": "spark"}},
+                                         {"term": {"lang": "de"}}]}},
+            "highlight": {"fields": ["text", "lang"],
+                          "require_field_match": True,
+                          "fragment_size": 100000},
+        },
+        "hf-hq": {
+            "query": {"term": {"text": "vector"}},
+            "highlight": {"fields": ["text"], "fragment_size": 100000,
+                          "highlight_query": {"term": {"text": "join"}}},
+        },
+    }
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    docs = _docs(spark, sf_dir)
+    res = percolate(spark, docs, reg, fields={"text": "text", "lang": "lang"})
+    hl = res.with_highlights(reg)
+    return (
+        hl.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "query_id",
+            F.explode("highlights").alias("field", "fragments"),
+        )
+        .select("doc_id", "query_id", "field",
+                F.explode("fragments").alias("fragment"))
+    )
+
+
 def _q_multi_percolate_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 _mypercolate slot fan-out/fan-in (E9) + count-only action (E5)."""
     from elasticsearch_batch_percolator_spark.streaming import multi_percolate
@@ -498,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": _q_embedding_ann_ivf,
         "text_stats": _q_text_stats,
         "multi_field_percolate": _q_multi_field_percolate,
+        "percolate_highlight_fields": _q_percolate_highlight_fields,
         "multi_percolate_slots": _q_multi_percolate_slots,
         "range_query": _q_range_query,
         "span_near_match": _q_span_near_match,
@@ -704,6 +744,44 @@ SELECT d.doc_id::BIGINT AS slot,
 FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
 """,
         "range_query": "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200",
+        "percolate_highlight_fields": f"""
+WITH wrap_merge AS (
+  SELECT doc_id,
+         array_to_string(list_transform(string_split(text, ' '),
+           t -> CASE WHEN lower(t) = 'merge' THEN '<b>' || t || '</b>' ELSE t END), ' ') AS frag
+  FROM documents WHERE {contains.format(t='merge')}
+),
+wrap_spark AS (
+  SELECT doc_id,
+         array_to_string(list_transform(string_split(text, ' '),
+           t -> CASE WHEN lower(t) = 'spark' THEN '<b>' || t || '</b>' ELSE t END), ' ') AS frag
+  FROM documents
+  WHERE {contains.format(t='spark')}
+    AND list_contains(list_filter(string_split(lower(lang), ' '), x -> x <> ''), 'de')
+),
+wrap_lang AS (
+  SELECT doc_id,
+         array_to_string(list_transform(string_split(lang, ' '),
+           t -> CASE WHEN lower(t) = 'de' THEN '<b>' || t || '</b>' ELSE t END), ' ') AS frag
+  FROM documents
+  WHERE {contains.format(t='spark')}
+    AND list_contains(list_filter(string_split(lower(lang), ' '), x -> x <> ''), 'de')
+),
+wrap_join AS (
+  SELECT doc_id,
+         array_to_string(list_transform(string_split(text, ' '),
+           t -> CASE WHEN lower(t) = 'join' THEN '<b>' || t || '</b>' ELSE t END), ' ') AS frag
+  FROM documents
+  WHERE {contains.format(t='vector')} AND {contains.format(t='join')}
+)
+SELECT doc_id, 'hf-text' AS query_id, 'text' AS field, frag AS fragment FROM wrap_merge
+UNION ALL
+SELECT doc_id, 'hf-lang', 'text', frag FROM wrap_spark
+UNION ALL
+SELECT doc_id, 'hf-lang', 'lang', frag FROM wrap_lang
+UNION ALL
+SELECT doc_id, 'hf-hq', 'text', frag FROM wrap_join
+""",
         "multi_field_percolate": f"""
 SELECT doc_id, 'mf-text' AS query_id FROM documents WHERE {contains.format(t='merge')}
 UNION ALL

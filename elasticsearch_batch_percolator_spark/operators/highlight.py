@@ -1,18 +1,35 @@
-"""Highlighting: wrap matched terms of each (query, doc) pair in tags.
+"""Highlighting: per-field fragment maps for matched (query, doc) pairs.
 
 The reference re-runs ES's highlight phase per matched (query, doc)
 (BatchPercolatorService.java:420-448, per-hit execution
-YPercolatorService.java:446-468) with forced source highlighting; golden
-outputs are token-wrapped fragments like ``"the <b>fox</b> is here"`` and
-``"<b>youscan</b> percolator"`` (APITests.java:132-139).
+YPercolatorService.java:446-468) with forced source highlighting; each
+registered query carries its OWN highlight spec (fields, pre/post tags,
+requireFieldMatch, highlightQuery override — APITests.java:63-90), and the
+response exposes ``highlights: {field: [fragment, ...]}`` with goldens
+``"the <b>fox</b> is here"`` / ``"<b>youscan</b> percolator"`` and an EMPTY
+map for queries registered without a spec (APITests.java:132-139).
 
-Here: one Arrow pandas UDF over matched pairs; tokens matching any of the
-query's positive literal terms or wildcard patterns get wrapped. Tokenization
-must agree with the analyzer (whitespace split), so highlighting operates on
-the raw split, preserving original casing of the source text.
+Engine-defined fragmenter (a deterministic approximation of Lucene's plain
+highlighter, documented rather than bug-compatible):
+- the field text is split into whitespace units (original casing kept);
+- a unit matches if its lowercase form equals a highlight term / wildcard
+  (for code-analyzed fields, if ANY code sub-token of the unit matches);
+- text shorter than ``fragment_size`` chars → ONE fragment = the whole
+  field (this reproduces the reference goldens);
+- longer text → windows grown around each matched unit (right then left)
+  up to ``fragment_size`` chars, overlapping windows merged, capped at
+  ``number_of_fragments``;
+- a field with no matching unit contributes no entry; a query with no
+  spec gets an empty map.
+
+One Arrow pandas UDF over matched pairs; specs/plans ship via a Spark
+broadcast (compile once per executor, not per task).
 """
 
 from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
 
 import pandas as pd
 from pyspark.sql import Column
@@ -23,16 +40,55 @@ from ..plans.eval_py import wildcard_regex
 from ..plans.query_plan import Plan, Wildcard, positive_terms
 from ..sources.registry import CompiledRegistry
 
+_CODE_SPLIT = re.compile(r"[^a-z0-9_]+")
 
-def _wildcards_of(plan: Plan) -> set[str]:
+
+@dataclass(frozen=True)
+class HighlightSpec:
+    """Per-query highlight request (HighlightBuilder analog,
+    APITests.java:66-84)."""
+
+    fields: tuple[str, ...]
+    pre_tag: str = "<b>"
+    post_tag: str = "</b>"
+    require_field_match: bool = True  # the ES 2.x default
+    highlight_query: Plan | None = None  # None = the match query itself
+    fragment_size: int = 100  # chars, the ES default
+    number_of_fragments: int = 5
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "HighlightSpec":
+        from ..plans.compiler import compile_query
+
+        fields = d.get("fields") or []
+        if isinstance(fields, dict):  # ES shape: {"field1": {}, ...}
+            fields = list(fields)
+        hq = d.get("highlight_query")
+        return cls(
+            fields=tuple(fields),
+            pre_tag=(d.get("pre_tags") or ["<b>"])[0]
+            if "pre_tags" in d
+            else d.get("pre_tag", "<b>"),
+            post_tag=(d.get("post_tags") or ["</b>"])[0]
+            if "post_tags" in d
+            else d.get("post_tag", "</b>"),
+            require_field_match=bool(d.get("require_field_match", True)),
+            highlight_query=compile_query(hq) if hq else None,
+            fragment_size=int(d.get("fragment_size", 100)),
+            number_of_fragments=int(d.get("number_of_fragments", 5)),
+        )
+
+
+def _wildcards_of(plan: Plan) -> set[tuple[str, str]]:
+    """(field, pattern) wildcard atoms contributing positively."""
     from ..plans.query_plan import Bool, SpanNear, SpanNot, SpanOr, WildcardPhrase
 
     if isinstance(plan, Wildcard):
-        return {plan.pattern}
+        return {(plan.field, plan.pattern)}
     if isinstance(plan, WildcardPhrase):
-        return {p.pattern for p in plan.producers if isinstance(p, Wildcard)}
+        return {(p.field, p.pattern) for p in plan.producers if isinstance(p, Wildcard)}
     if isinstance(plan, Bool):
-        out: set[str] = set()
+        out: set[tuple[str, str]] = set()
         for g in (plan.must, plan.should, plan.filter):
             for c in g:
                 out |= _wildcards_of(c)
@@ -47,6 +103,147 @@ def _wildcards_of(plan: Plan) -> set[str]:
     return set()
 
 
+def _unit_matcher(literals: set[str], patterns: list, analyzer: str):
+    """unit (original casing) -> bool; analyzer-aware sub-token match."""
+
+    def match(unit: str) -> bool:
+        low = unit.lower()
+        if low in literals or any(r.match(low) for r in patterns):
+            return True
+        if analyzer == "code":
+            for sub in _CODE_SPLIT.split(low):
+                if sub and (sub in literals or any(r.match(sub) for r in patterns)):
+                    return True
+        return False
+
+    return match
+
+
+def _fragments(
+    text: str,
+    match,
+    pre: str,
+    post: str,
+    fragment_size: int,
+    max_fragments: int,
+) -> list[str]:
+    units = text.split(" ")
+    hits = [i for i, u in enumerate(units) if u and match(u)]
+    if not hits:
+        return []
+
+    def render(lo: int, hi: int) -> str:
+        out = []
+        for i in range(lo, hi + 1):
+            u = units[i]
+            out.append(f"{pre}{u}{post}" if u and match(u) else u)
+        return " ".join(out)
+
+    if len(text) <= fragment_size:
+        return [render(0, len(units) - 1)]
+
+    # window growth: right first, then left, until fragment_size chars
+    windows: list[tuple[int, int]] = []
+    for h in hits:
+        if windows and h <= windows[-1][1]:
+            continue  # already covered
+        lo = hi = h
+        size = len(units[h])
+        while hi + 1 < len(units) and size + 1 + len(units[hi + 1]) <= fragment_size:
+            hi += 1
+            size += 1 + len(units[hi])
+        while lo - 1 >= 0 and size + 1 + len(units[lo - 1]) <= fragment_size:
+            lo -= 1
+            size += 1 + len(units[lo])
+        if windows and lo <= windows[-1][1]:
+            windows[-1] = (windows[-1][0], hi)  # merge overlap
+        else:
+            windows.append((lo, hi))
+    return [render(lo, hi) for lo, hi in windows[:max_fragments]]
+
+
+HIGHLIGHT_MAP_TYPE = T.MapType(T.StringType(), T.ArrayType(T.StringType()))
+
+
+def highlight_map_col(
+    registry: CompiledRegistry,
+    query_id_col: Column,
+    content_cols: dict[str, Column],
+    analyzers: dict[str, str] | None = None,
+) -> Column:
+    """``map<field, array<fragment>>`` for a (query_id, *field contents) row.
+
+    ``content_cols`` maps query field name → raw content Column (use
+    ``PercolateResult.content_of`` after a percolate run). ``analyzers``
+    maps field → "ws"|"code" for analyzer-aware unit matching.
+    """
+    analyzers = analyzers or {}
+    field_order = sorted(content_cols)
+
+    # per-query highlight programs: field -> (literals, patterns) under the
+    # spec's requireFieldMatch / highlightQuery rules, resolved ONCE here
+    programs: dict[str, dict] = {}
+    for qid, cq in registry.queries.items():
+        spec = getattr(cq, "highlight", None)
+        if spec is None or not spec.fields:
+            continue
+        src_plan = spec.highlight_query or cq.plan
+        lits = positive_terms(src_plan)
+        wilds = _wildcards_of(src_plan)
+        per_field = {}
+        for f in spec.fields:
+            if f not in content_cols:
+                continue
+            if spec.require_field_match:
+                flits = {t for fld, t in lits if fld == f}
+                fpats = [p for fld, p in wilds if fld == f]
+            else:
+                flits = {t for _, t in lits}
+                fpats = [p for _, p in wilds]
+            if flits or fpats:
+                per_field[f] = (flits, fpats)
+        programs[qid] = {
+            "fields": per_field,
+            "pre": spec.pre_tag,
+            "post": spec.post_tag,
+            "fsize": spec.fragment_size,
+            "nfrag": spec.number_of_fragments,
+        }
+
+    an_by_field = {f: analyzers.get(f, "ws") for f in field_order}
+
+    @F.pandas_udf(HIGHLIGHT_MAP_TYPE)
+    def hl(qids: pd.Series, *contents: pd.Series) -> pd.Series:
+        out = []
+        for row in zip(qids, *contents):
+            qid = row[0]
+            prog = programs.get(qid)
+            if not prog:
+                out.append({})
+                continue
+            result = {}
+            for fi, f in enumerate(field_order):
+                if f not in prog["fields"]:
+                    continue
+                text = row[1 + fi]
+                if not text:
+                    continue
+                lits, pats = prog["fields"][f]
+                matcher = _unit_matcher(
+                    lits, [wildcard_regex(p) for p in pats], an_by_field[f]
+                )
+                frags = _fragments(
+                    text, matcher, prog["pre"], prog["post"],
+                    prog["fsize"], prog["nfrag"],
+                )
+                if frags:
+                    result[f] = frags
+            out.append(result)
+        return pd.Series(out)
+
+    return hl(query_id_col, *[content_cols[f] for f in field_order])
+
+
 def highlight_col(
     registry: CompiledRegistry,
     query_id_col: Column,
@@ -54,9 +251,15 @@ def highlight_col(
     pre_tag: str = "<b>",
     post_tag: str = "</b>",
 ) -> Column:
-    """Column: highlighted content for a (query_id, content) pair."""
+    """Single-field whole-text wrap (the flat-corpus convenience): every
+    token matching any of the query's positive literal terms or wildcard
+    patterns gets wrapped, whole doc returned. For the reference-shaped
+    per-field fragment map use ``highlight_map_col``."""
     terms_by_q = {
-        qid: ({t for _, t in positive_terms(q.plan)}, _wildcards_of(q.plan))
+        qid: (
+            {t for _, t in positive_terms(q.plan)},
+            {p for _, p in _wildcards_of(q.plan)},
+        )
         for qid, q in registry.queries.items()
     }
 

@@ -63,6 +63,7 @@ class PercolateResult:
     docs: DataFrame
     resolve: dict = dc_field(default_factory=dict)
     content_of: dict = dc_field(default_factory=dict)
+    analyzer_names: dict = dc_field(default_factory=dict)
 
     def per_doc(self) -> DataFrame:
         """E7: every doc gets an entry, docs with no matches get []
@@ -83,6 +84,27 @@ class PercolateResult:
         """E5 count-only mode (YPercolateRequest.onlyCount:151-158)."""
         return self.matches.groupBy("query_id").agg(
             F.count(F.lit(1)).cast("long").alias("n_matches")
+        )
+
+    def with_highlights(self, registry: CompiledRegistry) -> DataFrame:
+        """E6: (doc_id, query_id, highlights map<field, array<fragment>>)
+        per matched pair, honoring each query's registered HighlightSpec
+        (fields, tags, requireFieldMatch, highlightQuery, fragments) —
+        the reference's per-hit highlight phase
+        (BatchPercolatorService.java:420-448, goldens APITests.java:132-139)."""
+        from .highlight import highlight_map_col
+
+        joined = self.matches.join(
+            self.docs.select("doc_id", *sorted(set(self.content_of.values()))),
+            "doc_id",
+        )
+        content_cols = {qf: F.col(c) for qf, c in self.content_of.items()}
+        return joined.select(
+            "doc_id",
+            "query_id",
+            highlight_map_col(
+                registry, F.col("query_id"), content_cols, self.analyzer_names
+            ).alias("highlights"),
         )
 
     def with_scores(self, registry: CompiledRegistry, round_to: int | None = 4) -> DataFrame:
@@ -179,17 +201,19 @@ def percolate(
         )
         resolve = {qf: "tokens" for qf in qfields}
         content_of = {qf: "content" for qf in qfields}
+        analyzer_names = {qf: "ws" for qf in qfields}
     else:
         sel = [F.col(id_col).cast("long").alias("doc_id")]
-        resolve, content_of = {}, {}
+        resolve, content_of, analyzer_names = {}, {}, {}
         for qf in sorted(fields):
             spec = fields[qf]
-            src, an = spec if isinstance(spec, tuple) else (spec, "ws")
+            src_col, an = spec if isinstance(spec, tuple) else (spec, "ws")
             tok = an if callable(an) else analyzers[an]
-            sel.append(F.col(src).alias(f"content__{qf}"))
-            sel.append(tok(src).alias(f"tokens__{qf}"))
+            sel.append(F.col(src_col).alias(f"content__{qf}"))
+            sel.append(tok(src_col).alias(f"tokens__{qf}"))
             resolve[qf] = f"tokens__{qf}"
             content_of[qf] = f"content__{qf}"
+            analyzer_names[qf] = an if isinstance(an, str) else "ws"
         batch = docs.select(*sel)
 
     tok_cols = sorted(set(resolve.values()))
@@ -441,7 +465,11 @@ def percolate(
         matches = matches.unionByName(p)
 
     return PercolateResult(
-        matches=matches, docs=batch, resolve=resolve, content_of=content_of
+        matches=matches,
+        docs=batch,
+        resolve=resolve,
+        content_of=content_of,
+        analyzer_names=analyzer_names,
     )
 
 

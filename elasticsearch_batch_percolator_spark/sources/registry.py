@@ -64,6 +64,9 @@ class CompiledQuery:
     groups: list[set[tuple[str, str]]] | None
     needs_verify: bool
     match_none: bool = False
+    # per-query highlight spec (HighlightBuilder analog, APITests.java:63-90);
+    # None = query registered without highlighting -> empty highlights map
+    highlight: object | None = None
 
 
 @dataclass
@@ -87,15 +90,31 @@ class CompiledRegistry:
 
     def register(self, query_id: str, query_json: str | dict) -> None:
         """Parse + approximate + flatten (the reference's preIndex validate +
-        postIndexUnderLock register, BatchPercolatorQueriesRegistry.java:270-313)."""
+        postIndexUnderLock register, BatchPercolatorQueriesRegistry.java:270-313).
+
+        Accepts either a bare query object or the reference's stored-doc
+        shape ``{"query": {...}, "highlight": {...}}`` — a percolator doc
+        carries its own highlight spec (APITests.java:63-90)."""
+        if isinstance(query_json, str):
+            query_json = json.loads(query_json)
+        highlight = None
+        if isinstance(query_json, dict) and "query" in query_json:
+            hl_body = query_json.get("highlight")
+            if hl_body:
+                from ..operators.highlight import HighlightSpec
+
+                highlight = HighlightSpec.from_dict(hl_body)
+            query_json = query_json["query"]
         plan = compile_query(query_json)
         approx = limiting_filter(plan)
         if isinstance(approx, MatchNone):
-            self.queries[query_id] = CompiledQuery(query_id, plan, approx, None, False, True)
+            self.queries[query_id] = CompiledQuery(
+                query_id, plan, approx, None, False, True, highlight
+            )
             return
         groups = _flatten_groups(approx) if approx is not None else None
         self.queries[query_id] = CompiledQuery(
-            query_id, plan, approx, groups, _needs_verify(plan)
+            query_id, plan, approx, groups, _needs_verify(plan), False, highlight
         )
 
     def unregister(self, query_id: str) -> None:
