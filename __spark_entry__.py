@@ -305,20 +305,45 @@ def _q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (scale path) — rows-only check; recall vs brute force
-    is asserted in tests/test_pipeline_ops.py."""
+    """IVF ANN with K-MEANS-TRAINED centroids, probing every bucket: the
+    full machinery (training, assignment, bucketing, probe, merge) must
+    reproduce the exact brute-force top-k — checked against the brute SQL
+    oracle (hash match, no longer rows-only)."""
     from elasticsearch_batch_percolator_spark.functions.similarity import (
         cosine_topk_ivf,
-        default_centroids,
         ivf_assign,
+        kmeans_fit,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = default_centroids(emb, n=8)
+    cents = kmeans_fit(emb, n=8, iters=3)
     assigned = ivf_assign(emb, cents)
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return cosine_topk_ivf(spark, assigned, cents, q, k=10, n_probe=3).select(
+    return cosine_topk_ivf(spark, assigned, cents, q, k=10, n_probe=8).select(
         F.col("vec_id").cast("long"), "sim_r"
+    )
+
+
+def _q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: trained IVF probing 3 of 8 buckets must reach
+    recall@10 >= 0.8 vs brute force (both computed in Spark; the boolean is
+    the oracle-checked value, so a recall regression hash-mismatches)."""
+    from elasticsearch_batch_percolator_spark.functions.similarity import (
+        cosine_topk_brute,
+        cosine_topk_ivf,
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(emb, n=8, iters=3)
+    assigned = ivf_assign(emb, cents)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    ivf = cosine_topk_ivf(spark, assigned, cents, q, k=10, n_probe=3)
+    brute = cosine_topk_brute(emb, q, k=10)
+    hits = ivf.join(brute, "vec_id", "left_semi").count()
+    return spark.createDataFrame(
+        [(10, hits / 10.0 >= 0.8)], "k bigint, recall_ok boolean"
     )
 
 
@@ -535,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_ann_ivf": _q_embedding_ann_ivf,
+        "embedding_ann_recall": _q_embedding_ann_recall,
         "text_stats": _q_text_stats,
         "multi_field_percolate": _q_multi_field_percolate,
         "percolate_highlight_fields": _q_percolate_highlight_fields,
@@ -911,5 +937,9 @@ LIMIT 10
 """,
     }
     out["bm25_topk_wand"] = out["bm25_topk"]  # rank-identity: same oracle
+    # full-probe IVF must equal brute force exactly: same oracle
+    out["embedding_ann_ivf"] = out["embedding_cosine_topk"]
+    # the checked value IS the recall contract: >= 0.8 at n_probe=3/8
+    out["embedding_ann_recall"] = "SELECT 10::BIGINT AS k, true AS recall_ok"
     out["phrase_from_index"] = out["phrase_match"]  # two paths, one contract
     return out

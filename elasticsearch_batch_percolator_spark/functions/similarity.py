@@ -88,9 +88,80 @@ def ivf_assign(
 def default_centroids(
     vectors: DataFrame, n: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse quantizer: the n lowest-id vectors."""
-    rows = vectors.orderBy(id_col).limit(n).collect()
-    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+    """Deterministic INIT centroids: n vectors spread by id-stride across
+    the corpus (not the first n — adjacent ids are often correlated).
+    These seed ``kmeans_fit``; do not use untrained for real ANN."""
+    ids = [r[0] for r in vectors.select(id_col).orderBy(id_col).collect()]
+    if not ids:
+        return []
+    n = min(n, len(ids))
+    stride = len(ids) / n
+    picked = [ids[int(i * stride)] for i in range(n)]
+    rows = {
+        r[id_col]: r[vec_col]
+        for r in vectors.filter(F.col(id_col).isin(picked)).collect()
+    }
+    return [(i, [float(x) for x in rows[pid]]) for i, pid in enumerate(picked)]
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    n: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means via Lloyd iterations as DataFrame jobs.
+
+    Each iteration: assign every vector to its nearest centroid (cosine,
+    pure Catalyst fold — no shuffle), then one groupBy(centroid) Arrow pass
+    summing member vectors (k rows come back to the driver; means are
+    L2-normalized — spherical k-means, the right variant for cosine ANN).
+    Deterministic: stride-spread init + fixed iteration count. An emptied
+    cluster keeps its previous centroid.
+
+    At 100 TB this is the standard shape: the per-iteration cost is one
+    scan + one k-row aggregate; the centroid table stays driver-side (k·dim
+    floats) and ships via literals.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = default_centroids(vectors, n, id_col, vec_col)
+    if not cents:
+        return []
+
+    def agg_members(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "centroid_id": [int(pdf["centroid_id"].iloc[0])],
+                "vec_sum": [mat.sum(axis=0).tolist()],
+                "n": [len(pdf)],
+            }
+        )
+
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, cents, id_col, vec_col).select(
+            "centroid_id", F.col(vec_col).cast("array<double>").alias("vec")
+        )
+        rows = (
+            assigned.groupBy("centroid_id")
+            .applyInPandas(agg_members, "centroid_id int, vec_sum array<double>, n long")
+            .collect()
+        )
+        by_id = {int(r["centroid_id"]): r for r in rows}
+        new_cents = []
+        for cid, old in cents:
+            r = by_id.get(cid)
+            if r is None or r["n"] == 0:
+                new_cents.append((cid, old))  # empty cluster keeps centroid
+                continue
+            mean = np.asarray(r["vec_sum"], dtype=np.float64) / float(r["n"])
+            nrm = float(np.linalg.norm(mean))
+            new_cents.append((cid, (mean / nrm if nrm > 0 else mean).tolist()))
+        cents = new_cents
+    return cents
 
 
 def cosine_topk_ivf(

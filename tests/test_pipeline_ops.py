@@ -135,6 +135,41 @@ def test_ivf_recall(spark, embeddings):
     assigned.unpersist()
 
 
+def test_kmeans_trained_ivf(spark, embeddings):
+    """k-means training: deterministic, normalized centroids, and recall
+    at partial probe at least as good as the brute-force contract (0.8 is
+    the embedding_ann_recall gate threshold)."""
+    from elasticsearch_batch_percolator_spark.functions.similarity import kmeans_fit
+
+    cents = kmeans_fit(embeddings, n=8, iters=3)
+    cents2 = kmeans_fit(embeddings, n=8, iters=3)
+    assert cents == cents2  # deterministic
+    assert len(cents) == 8
+    for _, v in cents:
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9  # spherical
+
+    assigned = ivf_assign(embeddings, cents).cache()
+    rows = embeddings.orderBy("vec_id").collect()
+    q = list(rows[0]["embedding"])
+    brute = {r["vec_id"] for r in cosine_topk_brute(embeddings, q, k=10).collect()}
+    ann = {
+        r["vec_id"]
+        for r in cosine_topk_ivf(spark, assigned, cents, q, k=10, n_probe=3).collect()
+    }
+    assert len(brute & ann) / 10 >= 0.8
+    # full probe == exact brute-force (the embedding_ann_ivf gate contract)
+    full = [
+        (r["vec_id"], r["sim_r"])
+        for r in cosine_topk_ivf(spark, assigned, cents, q, k=10, n_probe=8).collect()
+    ]
+    exact = [
+        (r["vec_id"], r["sim_r"])
+        for r in cosine_topk_brute(embeddings, q, k=10).collect()
+    ]
+    assert full == exact
+    assigned.unpersist()
+
+
 def test_text_analysis(spark):
     docs = spark.createDataFrame(
         [
