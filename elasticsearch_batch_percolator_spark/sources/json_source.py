@@ -67,7 +67,14 @@ def parse_single_body(bodies: DataFrame, body_col: str = "body") -> DataFrame:
 
 
 def parse_ndjson(spark: SparkSession, path_or_df) -> DataFrame:
-    """S3: NDJSON bulk → (slot, action, doc_id, content)."""
+    """S3: NDJSON bulk → (slot, action, doc_id, content, parse_error).
+
+    A slot whose doc cannot be parsed is FLAGGED, not dropped — the
+    reference answers such slots with a ``_parse_error_`` item while the
+    sibling slots still percolate (YPercolatorService.java:214-218). A line
+    so malformed that even its slot is unreadable surfaces as a
+    null-slot error row (our self-contained-line NDJSON has no positional
+    slot to recover, documented divergence)."""
     lines = (
         spark.read.text(path_or_df)
         if isinstance(path_or_df, str)
@@ -82,6 +89,9 @@ def parse_ndjson(spark: SparkSession, path_or_df) -> DataFrame:
             F.coalesce("r.action", F.lit("percolate")).alias("action"),
             F.col("r.doc.doc_id").alias("doc_id"),
             F.col("r.doc.content").alias("content"),
+            (F.col("r").isNull() | F.col("r.doc").isNull()
+             | F.col("r.doc.content").isNull() | F.col("r.slot").isNull()
+             ).alias("parse_error"),
         )
     )
 

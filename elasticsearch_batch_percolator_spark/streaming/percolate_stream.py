@@ -29,12 +29,21 @@ def multi_percolate(
     registry: CompiledRegistry,
     content_col: str = "content",
 ) -> DataFrame:
-    """(batch_id, slot, action, content) → per-slot results.
+    """(batch_id, slot, action, content [, parse_error]) → per-slot results.
 
     percolate-action slots get sorted matched query ids; count-action slots
     get only the count (E5). Every slot appears in the output, empty or not
-    (the reference's per-slot reduce, :284-308).
+    (the reference's per-slot reduce, :284-308). A slot flagged
+    ``parse_error`` (or with NULL content/slot) is answered with
+    ``error='_parse_error_'`` and zero matches while sibling slots
+    percolate normally — the reference's per-slot error channel
+    (YPercolatorService.java:214-218); healthy slots have ``error`` NULL.
     """
+    bad_flag = F.col(content_col).isNull() | F.col("slot").isNull()
+    if "parse_error" in batches.columns:
+        bad_flag = bad_flag | F.coalesce(F.col("parse_error"), F.lit(False))
+    flagged = batches.withColumn("_bad", bad_flag)
+    good = flagged.filter(~F.col("_bad"))
     # slot/batch_id bounds are enforced at pack time: an out-of-range slot
     # would silently collide with another (batch_id, slot) and merge
     # unrelated slots' matches — fail the job instead. Decode is pure
@@ -43,7 +52,7 @@ def multi_percolate(
     batch_ok = (F.col("batch_id") >= 0) & (
         F.col("batch_id") < F.lit(1 << (62 - _SLOT_SHIFT))
     )
-    keyed = batches.withColumn(
+    keyed = good.withColumn(
         "doc_id",
         F.when(
             slot_ok & batch_ok,
@@ -71,17 +80,23 @@ def multi_percolate(
         F.sort_array(F.collect_list("query_id")).alias("matched_queries"),
         F.count(F.lit(1)).cast("long").alias("n_matches"),
     )
-    base = batches.select("batch_id", "slot", "action").dropDuplicates(
+    base = flagged.select("batch_id", "slot", "action", "_bad").dropDuplicates(
         ["batch_id", "slot"]
     )
     out = base.join(agg, ["batch_id", "slot"], "left").select(
         "batch_id",
         "slot",
         "action",
-        F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
-        F.when(F.col("action") == "count", F.array().cast("array<string>"))
+        F.when(F.col("_bad"), F.lit(0).cast("long"))
+        .otherwise(F.coalesce("n_matches", F.lit(0).cast("long")))
+        .alias("n_matches"),
+        F.when(
+            F.col("_bad") | (F.col("action") == "count"),
+            F.array().cast("array<string>"),
+        )
         .otherwise(F.coalesce("matched_queries", F.array().cast("array<string>")))
         .alias("matched_queries"),
+        F.when(F.col("_bad"), F.lit("_parse_error_")).alias("error"),
     )
     return out
 

@@ -126,3 +126,90 @@ def test_percolate_stream_foreachbatch(spark, tmp_path):
         (2, "q-youscan"), (2, "q-all"),
         (3, "q-all"),
     }
+
+
+def test_parse_error_slot_channel(spark):
+    """A bad slot answers `_parse_error_` while siblings percolate
+    (YPercolatorService.java:214-218)."""
+    reg = CompiledRegistry.from_rows(list(QUERIES.items()))
+    batches = spark.createDataFrame(
+        [
+            (0, 0, "percolate", "the fox is here", False),
+            (0, 1, "percolate", None, True),        # flagged upstream
+            (0, 2, "percolate", None, False),       # NULL content -> flagged here
+            (0, 3, "count", "youscan percolator", False),
+        ],
+        "batch_id long, slot long, action string, content string, parse_error boolean",
+    )
+    rows = {
+        (r["batch_id"], r["slot"]): (r["n_matches"], list(r["matched_queries"]), r["error"])
+        for r in multi_percolate(spark, batches, reg).collect()
+    }
+    assert rows[(0, 0)] == (2, ["q-all", "q-fox"], None)
+    assert rows[(0, 1)] == (0, [], "_parse_error_")
+    assert rows[(0, 2)] == (0, [], "_parse_error_")
+    assert rows[(0, 3)] == (2, [], None)
+
+
+def test_parse_ndjson_flags_bad_lines(spark, tmp_path):
+    lines = [
+        json.dumps({"action": "percolate", "slot": 0, "doc": {"doc_id": 1, "content": "ok"}}),
+        json.dumps({"action": "percolate", "slot": 1}),     # missing doc
+        "this is not json at all",                           # unreadable line
+    ]
+    p = tmp_path / "bulk_bad.ndjson"
+    p.write_text("\n".join(lines))
+    got = parse_ndjson(spark, str(p)).collect()
+    by_slot = {r["slot"]: r["parse_error"] for r in got}
+    assert by_slot[0] is False
+    assert by_slot[1] is True
+    assert by_slot[None] is True  # slot unrecoverable from a garbage line
+
+
+def test_registry_hot_swap_between_microbatches(spark, tmp_path):
+    """S5's real-time listener analog: register/unregister between
+    foreachBatch micro-batches — the next batch sees the change."""
+    import time as _t
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    reg = CompiledRegistry.from_rows(list(QUERIES.items()))
+
+    spark.createDataFrame(
+        [(1, "the fox is here")], "doc_id long, content string"
+    ).write.mode("overwrite").parquet(str(src / "b0"))
+
+    stream = spark.readStream.schema("doc_id long, content string").parquet(
+        str(src / "*")
+    )
+    q = percolate_stream(spark, stream, reg, str(out), str(ckpt))
+    try:
+        q.processAllAvailable()
+        # hot-swap: register a new query, drop an old one — same registry
+        # object the closure holds, mutated between micro-batches
+        reg.register("q-wolf", {"term": {"content": "wolf"}})
+        reg.unregister("q-fox")
+        spark.createDataFrame(
+            [(2, "the fox met a wolf")], "doc_id long, content string"
+        ).write.mode("overwrite").parquet(str(src / "b1"))
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            q.processAllAvailable()
+            got = spark.read.parquet(str(out))
+            if got.filter(F.col("doc_id") == 2).count() > 0:
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in spark.read.parquet(str(out)).select("doc_id", "query_id").collect()
+    }
+    # batch 1 saw q-fox; batch 2 saw q-wolf but NOT q-fox
+    assert got == {
+        (1, "q-fox"), (1, "q-all"),
+        (2, "q-wolf"), (2, "q-all"),
+    }
