@@ -132,7 +132,10 @@ def main() -> None:
     from elasticsearch_batch_percolator_spark.corpus import synth_corpus
     from elasticsearch_batch_percolator_spark.functions.tokenizer import tokenize_code
 
-    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_SYNTH", "100000"))
+    # 1M docs by default: far enough from fixed Spark job costs that the
+    # headline throughputs mean something (VERDICT r1 item 10)
+    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_SYNTH", "1000000"))
+    stages: dict[str, float] = {}
     if n_synth:
         synth_idx = tempfile.mkdtemp(prefix="ebp_bench_synth_")
         shutil.rmtree(synth_idx, ignore_errors=True)
@@ -140,7 +143,7 @@ def main() -> None:
             "doc_id", tokenize_code("content").alias("tokens")
         )
         t0 = time.perf_counter()
-        build_index(spark, corpus, synth_idx, n_segments=max(8, CPUS))
+        build_index(spark, corpus, synth_idx, n_segments=CPUS * 4)
         timings["synth_index_build"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -148,9 +151,19 @@ def main() -> None:
         timings["synth_wand_batch100"] = time.perf_counter() - t0
 
         synth_batch = synth_corpus(spark, n_synth // 2, partitions=CPUS * 4)
+        # per-stage attribution: driver plan build (incl. the gate-stats
+        # job) vs distributed execute — regressions in either show up
+        # separately in BENCH history
         t0 = time.perf_counter()
-        percolate(spark, synth_batch, reg).matches.count()
-        timings["synth_percolate"] = time.perf_counter() - t0
+        res = percolate(spark, synth_batch, reg)
+        stages["synth_percolate_plan_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        res.matches.count()
+        stages["synth_percolate_execute_s"] = round(time.perf_counter() - t0, 3)
+        timings["synth_percolate"] = (
+            stages["synth_percolate_plan_s"] + stages["synth_percolate_execute_s"]
+        )
+        res.unpersist()
         shutil.rmtree(synth_idx, ignore_errors=True)
 
     total = sum(timings.values())
@@ -168,6 +181,7 @@ def main() -> None:
                 "wand_queries_per_sec": round(100 / timings["wand_batch100"], 2),
                 "join_queries_per_sec": round(100 / timings["join_batch100"], 2),
                 "percolate_docs_per_sec": round(n_docs / timings["percolate_batch"], 1),
+                "stages": stages,
                 **(
                     {
                         "synth_n_docs": n_synth,

@@ -8,10 +8,11 @@ drawn from the Zipf tail of a 10,000-term vocabulary (realistic term
 selectivity — a tiny vocabulary makes every query unrealistically dense),
 percolated against a 20k-doc batch.
 
-Measured on local[32] (round 1): 20,000 docs x 225,000 queries, 557
-matches, 27.4s warm = ~730 docs/s end-to-end (compile 225k queries: ~9s,
-amortized across all future batches, exactly like the reference's
-registration-time parse).
+Measured on local[32]: round 1 — 27.4s warm = ~730 docs/s; round 2 —
+14.1s warm = ~1,417 docs/s, 720 docs/s cold (cached verify-plan
+broadcast + simple-MUST fast lane + persisted batch terms). Query compile
+(~7-9s for all 225k) is registration-time, amortized across all future
+batches exactly like the reference's parse.
 
     python bench_percolate_225k.py [n_queries] [n_docs]
 """

@@ -19,9 +19,13 @@ Scale properties:
   is the explicit skew handling the north_rule asks for (a term-partitioned
   layout would put 10^10 postings of "the" in one row/task at 10^12-file
   scale; a document-partitioned one never exceeds seg_size).
-- the shuffle is ONE repartition by segment + in-partition sort by term
-  (sort-merge shuffle); parquet min/max row-group stats on the sorted term
-  column give term-lookup pruning at read time.
+- the shuffle is ONE repartition of DOC rows by segment (~corpus bytes on
+  the wire — token-level rows would triple that); each task then builds its
+  whole segments locally: numpy tf-count + (term, doc) lexsort + run
+  grouping + block encode in a single Arrow pass. Parquet min/max row-group
+  stats on the term-sorted output give term-lookup pruning at read time.
+- parallelism = n_segments (tasks >> cores is the sizing rule: pick
+  n_segments ≈ 4×cores or corpus_bytes / ~1 GiB, whichever is larger).
 - resume: Spark dynamic partition overwrite rewrites only the segments
   being (re)built; completed segments are recorded in the manifest and
   skipped (north_rule checkpoint/resume; the reference's recovery analog is
@@ -145,71 +149,24 @@ def build_index(
         seg_col = F.least(
             (F.col("doc_id") / F.lit(seg_size)).cast("int"), F.lit(n_segments - 1)
         )
-        missing_set = set(missing)
 
-        # pass 1 (map-only, embarrassingly parallel): per-doc term frequency
-        # via np.unique — replaces explode + groupBy(doc, term), i.e. one
-        # whole shuffle of |tokens| rows disappears
-        def count_tf(batches):
-            for pdf in batches:
-                segs, terms, docs_, tfs, dls, poss = [], [], [], [], [], []
-                for d, s, toks in zip(
-                    pdf["doc_id"].to_numpy(),
-                    pdf["segment_id"].to_numpy(),
-                    pdf["tokens"],
-                ):
-                    if s not in missing_set:
-                        continue
-                    arr = np.asarray(toks)
-                    dl = len(arr)
-                    if dl == 0:
-                        continue
-                    if positions:
-                        order = np.argsort(arr, kind="stable")
-                        srt = arr[order]
-                        bnd = np.flatnonzero(srt[1:] != srt[:-1]) + 1
-                        starts = np.concatenate([[0], bnd])
-                        ends = np.concatenate([bnd, [dl]])
-                        u = srt[starts]
-                        c = (ends - starts).astype(np.int64)
-                        poss.extend(
-                            order[s0:e0].astype(np.int32) for s0, e0 in zip(starts, ends)
-                        )
-                    else:
-                        u, c = np.unique(arr, return_counts=True)
-                    terms.append(u)
-                    tfs.append(c)
-                    docs_.append(np.full(len(u), d, dtype=np.int64))
-                    segs.append(np.full(len(u), s, dtype=np.int32))
-                    dls.append(np.full(len(u), dl, dtype=np.int64))
-                if not terms:
-                    continue
-                out = {
-                    "segment_id": np.concatenate(segs),
-                    "term": np.concatenate(terms),
-                    "doc_id": np.concatenate(docs_),
-                    "tf": np.concatenate(tfs),
-                    "dl": np.concatenate(dls),
-                }
-                if positions:
-                    out["positions"] = poss
-                yield pd.DataFrame(out)
-
-        tf_schema = "segment_id int, term string, doc_id long, tf long, dl long"
-        if positions:
-            tf_schema += ", positions array<int>"
-        tf_rows = (
+        # THE one exchange (north_rule sort-merge shuffle): DOC rows move,
+        # not token rows. Shipping (doc_id, tokens) costs ~corpus bytes;
+        # the old token-level exchange shipped one row per DISTINCT
+        # (doc, term) with the term string duplicated per doc (~3x the
+        # bytes) plus a JVM external sort behind it. hash(segment_id)
+        # routing keeps every segment WHOLE in one partition (collisions
+        # only co-locate two segments, never split one), so each task can
+        # build its segments' complete posting lists locally in numpy —
+        # tf-count, (term, doc) lexsort, run grouping and block encoding
+        # all happen in ONE Arrow pass with zero further data movement.
+        # Task memory is bounded by seg_size (the explicit 100-TB contract:
+        # pick n_segments so a segment's docs fit an executor).
+        staged = (
             docs.withColumn("segment_id", seg_col)
             .filter(F.col("segment_id").isin(missing))
             .select("segment_id", "doc_id", "tokens")
-            .mapInPandas(count_tf, tf_schema)
-        )
-
-        # pass 2: THE sort-merge shuffle (north_rule): one exchange by
-        # segment, in-partition sort by (term, doc_id), then a streaming
-        # run-grouping encoder over sorted Arrow batches
-        sorted_rows = tf_rows.repartition("segment_id").sortWithinPartitions(
-            "segment_id", "term", "doc_id"
+            .repartition(n_segments, "segment_id")
         )
 
         out_schema = T.StructType(
@@ -222,75 +179,83 @@ def build_index(
             ]
         )
 
-        def encode_stream(batches):
-            carry = None  # (seg, term, docs, tfs, norms) of the unfinished run
-
-            def emit(groups):
-                return pd.DataFrame(
+        def encode_segments(batches):
+            # accumulate the partition's doc rows per segment (a partition
+            # holds only whole segments — same key, same partition)
+            per_seg: dict[int, list] = {}
+            for pdf in batches:
+                for s, grp in pdf.groupby("segment_id"):
+                    per_seg.setdefault(int(s), []).append(
+                        (grp["doc_id"].to_numpy(), grp["tokens"])
+                    )
+            for s in sorted(per_seg):
+                doc_arrs, tok_lists = [], []
+                for doc_ids, toks in per_seg[s]:
+                    doc_arrs.append(doc_ids)
+                    tok_lists.extend(np.asarray(t) for t in toks)
+                doc_ids = np.concatenate(doc_arrs)
+                counts = np.fromiter(
+                    (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+                )
+                keep = counts > 0
+                if not keep.any():
+                    continue
+                # flat occurrence arrays: token, its doc, its in-doc position
+                flat_tok = np.concatenate([t for t, k in zip(tok_lists, keep) if k])
+                flat_doc = np.repeat(doc_ids[keep], counts[keep])
+                flat_dl = np.repeat(counts[keep], counts[keep])
+                if positions:
+                    flat_pos = np.concatenate(
+                        [np.arange(c, dtype=np.int64) for c in counts[keep]]
+                    )
+                # ONE stable lexsort by (term, doc): runs of equal (term,
+                # doc) are the postings' tf groups; positions stay ascending
+                # within each run (stability + ascending original order)
+                order = np.lexsort((flat_doc, flat_tok))
+                flat_tok = flat_tok[order]
+                flat_doc = flat_doc[order]
+                flat_dl = flat_dl[order]
+                if positions:
+                    flat_pos = flat_pos[order]
+                pair_change = np.flatnonzero(
+                    (flat_tok[1:] != flat_tok[:-1]) | (flat_doc[1:] != flat_doc[:-1])
+                )
+                p_starts = np.concatenate([[0], pair_change + 1])
+                p_ends = np.concatenate([pair_change + 1, [len(flat_tok)]])
+                term = flat_tok[p_starts]
+                doc = flat_doc[p_starts]
+                tf = (p_ends - p_starts).astype(np.int64)
+                dlv = flat_dl[p_starts]
+                norm = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dlv / avgdl))
+                # term runs over the (term, doc) rows
+                t_change = np.flatnonzero(term[1:] != term[:-1])
+                t_starts = np.concatenate([[0], t_change + 1])
+                t_ends = np.concatenate([t_change + 1, [len(term)]])
+                terms_out, dfs_out, cfs_out, blocks_out = [], [], [], []
+                for ts, te in zip(t_starts, t_ends):
+                    gpos = None
+                    if positions:
+                        gpos = flat_pos[p_starts[ts] : p_ends[te - 1]]
+                    terms_out.append(term[ts])
+                    dfs_out.append(int(te - ts))
+                    cfs_out.append(int(tf[ts:te].sum()))
+                    blocks_out.append(
+                        encode_postings(
+                            doc[ts:te], tf[ts:te], norm[ts:te],
+                            block=block, positions_flat=gpos,
+                        )
+                    )
+                yield pd.DataFrame(
                     {
-                        "segment_id": [g[0] for g in groups],
-                        "term": [g[1] for g in groups],
-                        "df": [len(g[2]) for g in groups],
-                        "cf": [int(g[3].sum()) for g in groups],
-                        "blocks": [
-                            encode_postings(
-                                g[2], g[3], g[4], block=block, positions_flat=g[5]
-                            )
-                            for g in groups
-                        ],
+                        "segment_id": np.full(len(terms_out), s, dtype=np.int32),
+                        "term": terms_out,
+                        "df": dfs_out,
+                        "cf": cfs_out,
+                        "blocks": blocks_out,
                     }
                 )
 
-            for pdf in batches:
-                seg = pdf["segment_id"].to_numpy()
-                term = pdf["term"].to_numpy(dtype=object)
-                doc = pdf["doc_id"].to_numpy()
-                tf = pdf["tf"].to_numpy()
-                dl = pdf["dl"].to_numpy()
-                if positions:
-                    pos_flat = np.concatenate(
-                        [np.asarray(x, dtype=np.int64) for x in pdf["positions"]]
-                    )
-                    pos_bounds = np.concatenate([[0], np.cumsum(tf)]).astype(np.int64)
-                else:
-                    pos_flat = pos_bounds = None
-                norm = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-                # run boundaries of (segment, term) over the sorted stream
-                change = np.flatnonzero(
-                    (seg[1:] != seg[:-1]) | (term[1:] != term[:-1])
-                )
-                starts = np.concatenate([[0], change + 1])
-                ends = np.concatenate([change + 1, [len(seg)]])
-                groups = []
-                for s, e in zip(starts, ends):
-                    gpos = (
-                        pos_flat[pos_bounds[s] : pos_bounds[e]]
-                        if positions
-                        else None
-                    )
-                    g = (seg[s], term[s], doc[s:e], tf[s:e], norm[s:e], gpos)
-                    if carry is not None:
-                        if carry[0] == g[0] and carry[1] == g[1]:
-                            g = (
-                                g[0],
-                                g[1],
-                                np.concatenate([carry[2], g[2]]),
-                                np.concatenate([carry[3], g[3]]),
-                                np.concatenate([carry[4], g[4]]),
-                                np.concatenate([carry[5], g[5]]) if positions else None,
-                            )
-                        else:
-                            groups.append(carry)
-                        carry = None
-                    groups.append(g)
-                if groups:
-                    carry = groups.pop()  # last run may continue next batch
-                if groups:
-                    yield emit(groups)
-            if carry is not None:
-                yield emit([carry])
-
-        result = sorted_rows.mapInPandas(encode_stream, out_schema)
+        result = staged.mapInPandas(encode_segments, out_schema)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         result.write.partitionBy("segment_id").mode("overwrite").parquet(
             os.path.join(out_dir, "postings")

@@ -51,6 +51,14 @@ from ..sources.registry import CompiledRegistry
 from .match import match_col
 
 
+def _qid_df(spark: SparkSession, qids) -> DataFrame:
+    """query_id DataFrame via pandas/Arrow — 10x faster than a Python
+    tuple list at 10^5 registries (driver-side plan-build latency)."""
+    return spark.createDataFrame(
+        pd.DataFrame({"query_id": list(qids)}), "query_id string"
+    )
+
+
 @dataclass
 class PercolateResult:
     """matches: (doc_id, query_id); per_doc(): reference-style per-doc map.
@@ -64,6 +72,15 @@ class PercolateResult:
     resolve: dict = dc_field(default_factory=dict)
     content_of: dict = dc_field(default_factory=dict)
     analyzer_names: dict = dc_field(default_factory=dict)
+    cached: list = dc_field(default_factory=list)
+
+    def unpersist(self) -> None:
+        """E11 per-batch cleanup: release every DataFrame percolate cached."""
+        for df in self.cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
     def per_doc(self) -> DataFrame:
         """E7: every doc gets an entry, docs with no matches get []
@@ -217,6 +234,7 @@ def percolate(
         batch = docs.select(*sel)
 
     tok_cols = sorted(set(resolve.values()))
+    cached_frames: list[DataFrame] = []
 
     # ---- phase 1: candidate (query, doc) pairs via GATE groups ----------
     # Joining every query term against the batch multiplies each (doc, term)
@@ -236,25 +254,37 @@ def percolate(
             if f in resolve
         }
     )
+    # the field tag on token rows is a TINYINT index into used_tok_cols —
+    # one byte through the dedup/join shuffles, not a repeated column-name
+    # string (single-field batches pay ~nothing for multi-field generality)
+    col_idx = {tc: i for i, tc in enumerate(used_tok_cols)}
     if used_tok_cols:
         bt_parts = [
             batch.select(
-                "doc_id", F.lit(tc).alias("fcol"), F.explode(F.col(tc)).alias("term")
+                "doc_id",
+                F.lit(col_idx[tc]).cast("tinyint").alias("fcol"),
+                F.explode(F.col(tc)).alias("term"),
             )
             for tc in used_tok_cols
         ]
         batch_terms = bt_parts[0]
         for p in bt_parts[1:]:
             batch_terms = batch_terms.unionByName(p)
-        batch_terms = batch_terms.dropDuplicates(["doc_id", "fcol", "term"])
+        # persisted: the gate-selectivity job, the candidate join and the
+        # wildcard dictionary all reuse this explode+dedup instead of
+        # recomputing it (E11: unpersisted with the batch)
+        batch_terms = batch_terms.dropDuplicates(
+            ["doc_id", "fcol", "term"]
+        ).persist()
+        cached_frames.append(batch_terms)
     else:
         batch_terms = spark.createDataFrame(
-            [], "doc_id long, fcol string, term string"
+            [], "doc_id long, fcol tinyint, term string"
         )
 
     involved = sorted(
         {
-            (resolve[f], v)
+            (col_idx[resolve[f]], v)
             for q in registry.queries.values()
             if q.groups
             for g in q.groups
@@ -264,20 +294,22 @@ def percolate(
     )
     term_df: dict[tuple[str, str], int] = {}
     if involved:
-        inv_df = spark.createDataFrame(involved, "fcol string, term string")
+        inv_df = spark.createDataFrame(involved, "fcol tinyint, term string")
         col_df = {
-            (r["fcol"], r["term"]): int(r["df"])
+            (int(r["fcol"]), r["term"]): int(r["df"])
             for r in batch_terms.join(F.broadcast(inv_df), ["fcol", "term"])
             .groupBy("fcol", "term")
             .agg(F.count(F.lit(1)).alias("df"))
             .collect()
         }
         # registry.gates keys by (query_field, term): project through resolve
+        # (fields outside every gate group have no column index — skip them)
         term_df = {
-            (qf, t): col_df.get((tc, t), 0)
+            (qf, t): col_df.get((col_idx[tc], t), 0)
             for qf, tc in resolve.items()
-            for (tc2, t) in col_df
-            if tc2 == tc
+            if tc in col_idx
+            for (ci, t) in col_df
+            if ci == col_idx[tc]
         }
 
     lit_rows, pat_rows = registry.gates(term_df)
@@ -285,18 +317,26 @@ def percolate(
     # unmapped fields (those contribute no candidates — an empty field can
     # never satisfy a positive term). A query whose ENTIRE gate group is
     # unmapped gets zero candidates and correctly never matches.
-    lit_mapped = [(q, resolve[f], t) for q, f, t in lit_rows if f in resolve]
-    pat_mapped = [(q, resolve[f], p) for q, f, p in pat_rows if f in resolve]
+    lit_mapped = [
+        (q, col_idx[resolve[f]], t) for q, f, t in lit_rows if f in resolve
+    ]
+    pat_mapped = [
+        (q, col_idx[resolve[f]], p) for q, f, p in pat_rows if f in resolve
+    ]
 
     parts_cand = []
     if lit_mapped:
+        gpdf = pd.DataFrame(lit_mapped, columns=["query_id", "fcol", "term"])
+        gpdf["fcol"] = gpdf["fcol"].astype("int8")
         gates = spark.createDataFrame(
-            lit_mapped, "query_id string, fcol string, term string"
+            gpdf, "query_id string, fcol tinyint, term string"
         )
         parts_cand.append(batch_terms.join(F.broadcast(gates), ["fcol", "term"]))
     if pat_mapped:
+        ppdf = pd.DataFrame(pat_mapped, columns=["query_id", "fcol", "pattern"])
+        ppdf["fcol"] = ppdf["fcol"].astype("int8")
         patterns = spark.createDataFrame(
-            pat_mapped, "query_id string, fcol string, pattern string"
+            ppdf, "query_id string, fcol tinyint, pattern string"
         )
         term_dict = batch_terms.select("fcol", "term").dropDuplicates(["fcol", "term"])
         expanded = (
@@ -309,9 +349,7 @@ def percolate(
     all_doc_qids = registry.all_docs_query_ids()
     if all_doc_qids:
         parts_cand.append(
-            batch.select("doc_id").crossJoin(
-                spark.createDataFrame([(q,) for q in all_doc_qids], "query_id string")
-            )
+            batch.select("doc_id").crossJoin(_qid_df(spark, all_doc_qids))
         )
 
     if not parts_cand:
@@ -339,17 +377,23 @@ def percolate(
     if len(columnar) > max_branches * max_chunks:
         pythonic.update(columnar)
         columnar = {}
-    parts = [
-        candidates.join(
-            F.broadcast(
-                spark.createDataFrame([(q,) for q in verify_plans], "query_id string")
-            ),
-            "query_id",
-            "left_anti",
-        )
-        if verify_plans
-        else candidates
+    # queries decided exactly by phase 1 pass through without verification;
+    # joining on this (usually small) set beats an anti-join against the
+    # 10^5-row verify set
+    exact_qids = [
+        q for q, cq in registry.queries.items()
+        if not cq.match_none and q not in verify_plans
     ]
+    if not verify_plans:
+        parts = [candidates]
+    elif not exact_qids:
+        parts = []
+    else:
+        parts = [
+            candidates.join(
+                F.broadcast(_qid_df(spark, exact_qids)), "query_id", "left_semi"
+            )
+        ]
 
     token_cols: dict[str, Column] = {}
     for qf in qfields:
@@ -386,9 +430,7 @@ def percolate(
             chunk_qids.append(cur_qids)
         for pred, qids in zip(preds, chunk_qids):
             cands = candidates.join(
-                F.broadcast(spark.createDataFrame([(q,) for q in qids], "query_id string")),
-                "query_id",
-                "left_semi",
+                F.broadcast(_qid_df(spark, qids)), "query_id", "left_semi"
             ).join(batch.select("doc_id", *tok_cols), "doc_id")
             parts.append(
                 cands.filter(pred.otherwise(F.lit(False))).select("doc_id", "query_id")
@@ -397,17 +439,22 @@ def percolate(
     if pythonic:
         # plans ship ONCE per executor via a Spark broadcast (pickling 10^5
         # compiled closures into every task would dominate the job);
-        # predicates compile lazily per worker and memoize
-        bc_plans = spark.sparkContext.broadcast(dict(pythonic))
+        # predicates compile lazily per worker and memoize. The broadcast is
+        # the registry's CACHED verify-plan dict (a superset of pythonic —
+        # only candidate qids are ever looked up) so its multi-second pickle
+        # is paid once per registry, not once per batch.
+        bc_plans = registry.broadcast_verify_plans(spark)
         memo: dict = {}
 
         def _pred(qid):
+            import pickle
+
             p = memo.get(qid)
             if p is None:
-                plan = bc_plans.value.get(qid)
-                if plan is None:
+                blob = bc_plans.value["plans"].get(qid)
+                if blob is None:
                     return None
-                p = compile_predicate_fields(plan)
+                p = compile_predicate_fields(pickle.loads(blob))
                 memo[qid] = p
             return p
 
@@ -418,8 +465,11 @@ def percolate(
         # shared by every query field resolving to that column.
         qf_to_idx = {qf: tok_cols.index(tc) for qf, tc in resolve.items()}
 
+        _EMPTY = ([], frozenset())
+
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def verify_doc(qid_lists: pd.Series, *tok_series: pd.Series) -> pd.Series:
+            simple = bc_plans.value["simple"]
             out = []
             for row in zip(qid_lists, *tok_series):
                 qids = row[0]
@@ -431,6 +481,18 @@ def percolate(
                 hit = []
                 for qid in qids:
                     try:
+                        req = simple.get(qid)
+                        if req is not None:
+                            # term-conjunction fast lane: one containment
+                            # check per required (field, term), no closure
+                            ok = True
+                            for f, t in req:
+                                if t not in fmap.get(f, _EMPTY)[1]:
+                                    ok = False
+                                    break
+                            if ok:
+                                hit.append(qid)
+                            continue
                         p = _pred(qid)
                         if p is not None and p(fmap):
                             hit.append(qid)
@@ -439,15 +501,19 @@ def percolate(
                 out.append(hit)
             return pd.Series(out)
 
-        to_verify = (
-            candidates.join(
-                F.broadcast(
-                    spark.createDataFrame([(q,) for q in pythonic], "query_id string")
-                ),
-                "query_id",
-                "left_semi",
+        # when EVERY candidate-producing query is pythonic (the 10^5-registry
+        # wholesale path: no exact, no columnar), the semi join is a no-op —
+        # skip it instead of broadcasting a 10^5-row filter
+        pythonic_covers_all = not columnar and not exact_qids
+        cand_py = (
+            candidates
+            if pythonic_covers_all
+            else candidates.join(
+                F.broadcast(_qid_df(spark, pythonic)), "query_id", "left_semi"
             )
-            .groupBy("doc_id")
+        )
+        to_verify = (
+            cand_py.groupBy("doc_id")
             .agg(F.collect_list("query_id").alias("qids"))
             .join(batch.select("doc_id", *tok_cols), "doc_id")
         )
@@ -460,6 +526,8 @@ def percolate(
             )
         )
 
+    if not parts:
+        parts = [spark.createDataFrame([], "doc_id long, query_id string")]
     matches = parts[0]
     for p in parts[1:]:
         matches = matches.unionByName(p)
@@ -470,6 +538,7 @@ def percolate(
         resolve=resolve,
         content_of=content_of,
         analyzer_names=analyzer_names,
+        cached=cached_frames,
     )
 
 

@@ -72,9 +72,47 @@ class CompiledQuery:
 @dataclass
 class CompiledRegistry:
     queries: dict[str, CompiledQuery] = field(default_factory=dict)
+    # mutation counter: invalidates the cached verify-plan broadcast
+    version: int = 0
 
     def __len__(self) -> int:
         return len(self.queries)
+
+    def broadcast_verify_plans(self, spark: SparkSession):
+        """Spark broadcast of the phase-2 verify set, cached per
+        (app, version); value = {"simple": {qid: ((field, term), ...)},
+        "plans": {qid: Plan}}.
+
+        Pickling a 10^5-plan dict costs seconds; the registry outlives many
+        percolation batches (the reference amortizes its registration-time
+        parse the same way), so the broadcast is built once and reused until
+        register/unregister bumps ``version``. Pure term-conjunctions — the
+        bulk of a realistic registry — ship as bare (field, term) tuples:
+        the verify UDF evaluates them as ONE set-containment check with no
+        per-query closure compile, and they pickle far smaller than plan
+        trees."""
+        sc = spark.sparkContext
+        key = (sc.applicationId, self.version)
+        cached = getattr(self, "_bc_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        import pickle
+
+        simple: dict[str, tuple] = {}
+        plans: dict[str, bytes] = {}
+        for qid, plan in self.gate_verify_plans().items():
+            req = _simple_required(plan)
+            if req is not None:
+                simple[qid] = req
+            else:
+                # plans ship INDIVIDUALLY pickled: a plan that cannot
+                # unpickle on a worker (exotic class, bad state) fails only
+                # its own per-query lookup under the verify UDF's
+                # try/except, never the whole broadcast load (E10)
+                plans[qid] = pickle.dumps(plan)
+        bc = sc.broadcast({"simple": simple, "plans": plans})
+        self._bc_cache = (key, bc)
+        return bc
 
     @classmethod
     def from_rows(cls, rows: list[tuple[str, str | dict]]) -> "CompiledRegistry":
@@ -105,6 +143,7 @@ class CompiledRegistry:
 
                 highlight = HighlightSpec.from_dict(hl_body)
             query_json = query_json["query"]
+        self.version += 1
         plan = compile_query(query_json)
         approx = limiting_filter(plan)
         if isinstance(approx, MatchNone):
@@ -118,6 +157,7 @@ class CompiledRegistry:
         )
 
     def unregister(self, query_id: str) -> None:
+        self.version += 1
         self.queries.pop(query_id, None)
 
     # ---- Spark-side tables for the set-oriented phase-1 join ------------
@@ -243,6 +283,22 @@ class CompiledRegistry:
                     else:
                         pat_rows.append((q.query_id, f, wildcard_to_like(v)))
         return lit_rows, pat_rows
+
+
+def _simple_required(plan: Plan) -> tuple | None:
+    """((field, term), ...) when matching ``plan`` is EXACTLY "doc contains
+    every one of these terms": Bool with must/filter all Terms, no must_not
+    (shoulds are score-only when must/filter present — evaluator semantics).
+    None otherwise."""
+    if isinstance(plan, Bool):
+        clauses = plan.must + plan.filter
+        if (
+            clauses
+            and not plan.must_not
+            and all(isinstance(c, Term) for c in clauses)
+        ):
+            return tuple((c.field, c.value) for c in clauses)
+    return None
 
 
 def _flatten_groups(approx: Plan) -> list[set[tuple[str, str, str]]] | None:

@@ -126,7 +126,8 @@ def percolate_stream(
             .write.mode("append")
             .parquet(out_path)
         )
-        res.docs.unpersist()  # per-batch cleanup (E11)
+        res.unpersist()  # per-batch cleanup (E11)
+        res.docs.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)

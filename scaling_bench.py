@@ -83,7 +83,10 @@ def run_inner(cores: int) -> None:
 
     def do_build():
         shutil.rmtree(idx_dir, ignore_errors=True)
-        build_index(spark, corpus, idx_dir, n_segments=32)
+        # tasks >> cores: 128 segments give the reduce stage headroom to
+        # scale with parallelism (32 segments capped it at 32 tasks with
+        # hash-collision skew)
+        build_index(spark, corpus, idx_dir, n_segments=128)
 
     out["index_build_s"] = best_of(do_build)
 
