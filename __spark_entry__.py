@@ -399,6 +399,37 @@ def _q_wildcard_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nested_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 ToParentBlockJoinQuery: parent matches iff ONE child satisfies
+    the whole query. Children are derived deterministically (the two halves
+    of each doc's token stream), so a doc with 'spark' in one half and
+    'row' in the other does NOT match — the exact distinction that
+    separates a block join from a flat bool."""
+    plan = compile_query(
+        {"nested": {"path": "children",
+                    "query": {"bool": {"must": [{"term": {"ctoks": "spark"}},
+                                                 {"term": {"ctoks": "row"}}]}}}}
+    )
+    toks = tokenize_ws("text")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", toks.alias("toks"), F.floor(F.size(toks) / 2).cast("int").alias("half")
+    )
+    docs = docs.withColumn(
+        "children",
+        F.array(
+            F.struct(F.slice("toks", F.lit(1), F.col("half")).alias("ctoks")),
+            F.struct(
+                F.slice(
+                    "toks", F.col("half") + 1, F.size("toks") - F.col("half")
+                ).alias("ctoks")
+            ),
+        ),
+    )
+    return docs.filter(match_col(plan, {"children": F.col("children")})).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 def _q_search_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 from/size paging over the score-desc window."""
     from elasticsearch_batch_percolator_spark.operators.search import search
@@ -566,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_highlight_fields": _q_percolate_highlight_fields,
         "multi_percolate_slots": _q_multi_percolate_slots,
         "range_query": _q_range_query,
+        "nested_block_join": _q_nested_block_join,
         "span_near_match": _q_span_near_match,
         "wildcard_phrase_match": _q_wildcard_phrase_match,
         "search_paged": _q_search_paged,
@@ -770,6 +802,17 @@ SELECT d.doc_id::BIGINT AS slot,
 FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
 """,
         "range_query": "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200",
+        "nested_block_join": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+h AS (SELECT doc_id, toks, (len(toks) // 2)::INT AS half FROM t),
+c AS (SELECT doc_id, toks[1:half] AS c1, toks[half+1:len(toks)] AS c2 FROM h)
+SELECT doc_id FROM c
+WHERE (list_contains(c1, 'spark') AND list_contains(c1, 'row'))
+   OR (list_contains(c2, 'spark') AND list_contains(c2, 'row'))
+""",
         "percolate_highlight_fields": f"""
 WITH wrap_merge AS (
   SELECT doc_id,

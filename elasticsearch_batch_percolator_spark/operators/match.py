@@ -29,6 +29,7 @@ from ..plans.query_plan import (
     Bool,
     MatchAll,
     MatchNone,
+    Nested,
     Phrase,
     Plan,
     Range,
@@ -136,6 +137,23 @@ def match_col(
             else:
                 preds.append(lambda t, lk=wildcard_to_like(p.pattern): t.like(lk))
         return _positional_col(tokens, preds, len(plan.producers))
+
+    if isinstance(plan, Nested):
+        # Q10 block join, Catalyst-native: EXISTS over the array<struct>
+        # children column; child token-array fields resolve via getField, so
+        # must-clauses bind within ONE child (the ToParentBlockJoinQuery
+        # contract) — no explode, no shuffle, whole-stage codegen'd
+        arr = token_fields[plan.path]
+        child_fields = fields_of(plan.query)
+
+        def child_pred(c: Column) -> Column:
+            return match_col(
+                plan.query,
+                {f: c.getField(f) for f in child_fields},
+                value_fields,
+            )
+
+        return F.exists(arr, child_pred)
 
     if isinstance(plan, (SpanNear, SpanOr, SpanNot)):
         fs = fields_of(plan)

@@ -142,10 +142,14 @@ class PercolateResult:
         # (query_id, term) pairs grouped by the tokens COLUMN the field
         # resolves to — fields sharing a column (single-field mode) dedup
         by_col: dict[str, set[tuple[str, str]]] = {}
+        nested = {
+            tc for qf, tc in self.resolve.items()
+            if self.analyzer_names.get(qf) == "nested"
+        }
         for qid, cq in registry.queries.items():
             for fld, t in sorted(positive_terms(cq.plan)):
                 tc = self.resolve.get(fld)
-                if tc is not None:
+                if tc is not None and tc not in nested:
                     by_col.setdefault(tc, set()).add((qid, t))
 
         out_score = (
@@ -219,12 +223,23 @@ def percolate(
         resolve = {qf: "tokens" for qf in qfields}
         content_of = {qf: "content" for qf in qfields}
         analyzer_names = {qf: "ws" for qf in qfields}
+        nested_cols = set()
     else:
         sel = [F.col(id_col).cast("long").alias("doc_id")]
         resolve, content_of, analyzer_names = {}, {}, {}
+        nested_cols: set[str] = set()
         for qf in sorted(fields):
             spec = fields[qf]
             src_col, an = spec if isinstance(spec, tuple) else (spec, "ws")
+            if an == "nested":
+                # Q10: the column is a pre-tokenized array<struct> of child
+                # objects (child fields = array<string> tokens); Nested
+                # queries on this path bind per child
+                sel.append(F.col(src_col).alias(f"tokens__{qf}"))
+                resolve[qf] = f"tokens__{qf}"
+                nested_cols.add(f"tokens__{qf}")
+                analyzer_names[qf] = "nested"
+                continue
             tok = an if callable(an) else analyzers[an]
             sel.append(F.col(src_col).alias(f"content__{qf}"))
             sel.append(tok(src_col).alias(f"tokens__{qf}"))
@@ -258,15 +273,32 @@ def percolate(
     # one byte through the dedup/join shuffles, not a repeated column-name
     # string (single-field batches pay ~nothing for multi-field generality)
     col_idx = {tc: i for i, tc in enumerate(used_tok_cols)}
+    def _term_rows(tc: str):
+        fcol = F.lit(col_idx[tc]).cast("tinyint").alias("fcol")
+        if tc not in nested_cols:
+            return [batch.select("doc_id", fcol, F.explode(F.col(tc)).alias("term"))]
+        # nested column: every child's token arrays flatten into the
+        # parent's gate stream (matches the limiting-filter field remap)
+        dt = batch.schema[tc].dataType
+
+        def _getter(name):
+            # NB: one-parameter lambda only — a second (defaulted) parameter
+            # would make F.transform pass the ARRAY INDEX into it
+            return lambda c: c.getField(name)
+
+        out = []
+        for f in dt.elementType.fields:
+            if isinstance(f.dataType, T.ArrayType):
+                toks = F.flatten(F.transform(F.col(tc), _getter(f.name)))
+                out.append(
+                    batch.select(
+                        "doc_id", fcol, F.explode(F.coalesce(toks, F.array())).alias("term")
+                    )
+                )
+        return out
+
     if used_tok_cols:
-        bt_parts = [
-            batch.select(
-                "doc_id",
-                F.lit(col_idx[tc]).cast("tinyint").alias("fcol"),
-                F.explode(F.col(tc)).alias("term"),
-            )
-            for tc in used_tok_cols
-        ]
+        bt_parts = [p for tc in used_tok_cols for p in _term_rows(tc)]
         batch_terms = bt_parts[0]
         for p in bt_parts[1:]:
             batch_terms = batch_terms.unionByName(p)
@@ -466,6 +498,7 @@ def percolate(
         qf_to_idx = {qf: tok_cols.index(tc) for qf, tc in resolve.items()}
 
         _EMPTY = ([], frozenset())
+        nested_idx = {i for i, tc in enumerate(tok_cols) if tc in nested_cols}
 
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def verify_doc(qid_lists: pd.Series, *tok_series: pd.Series) -> pd.Series:
@@ -474,9 +507,20 @@ def percolate(
             for row in zip(qid_lists, *tok_series):
                 qids = row[0]
                 views = []
-                for s in row[1:]:
-                    tl = s.tolist() if s is not None else []
-                    views.append((tl, set(tl)))
+                for ci, s in enumerate(row[1:]):
+                    if ci in nested_idx:
+                        kids = []
+                        for kid in (s if s is not None else []):
+                            kids.append(
+                                {
+                                    k: (list(v) if v is not None else [])
+                                    for k, v in dict(kid).items()
+                                }
+                            )
+                        views.append(kids)
+                    else:
+                        tl = s.tolist() if s is not None else []
+                        views.append((tl, set(tl)))
                 fmap = {qf: views[i] for qf, i in qf_to_idx.items()}
                 hit = []
                 for qid in qids:
@@ -487,7 +531,8 @@ def percolate(
                             # check per required (field, term), no closure
                             ok = True
                             for f, t in req:
-                                if t not in fmap.get(f, _EMPTY)[1]:
+                                v = fmap.get(f, _EMPTY)
+                                if type(v) is not tuple or t not in v[1]:
                                     ok = False
                                     break
                             if ok:
@@ -547,6 +592,7 @@ def _is_positional(plan) -> bool:
     expressible Catalyst (spans, sloppy phrases) — anywhere in the tree."""
     from ..plans.query_plan import (
         Bool,
+        Nested,
         Phrase,
         SpanNear,
         SpanNot,
@@ -555,6 +601,10 @@ def _is_positional(plan) -> bool:
 
     if isinstance(plan, (SpanNear, SpanOr, SpanNot)):
         return True
+    if isinstance(plan, Nested):
+        # a positional inner query cannot run inside the Catalyst exists
+        # lambda (pandas UDFs are not allowed in higher-order functions)
+        return _is_positional(plan.query)
     if isinstance(plan, Phrase):
         return plan.slop > 0
     if isinstance(plan, Bool):

@@ -30,6 +30,7 @@ from .query_plan import (
     Bool,
     MatchAll,
     MatchNone,
+    Nested,
     Phrase,
     Plan,
     Range,
@@ -173,6 +174,9 @@ def compile_query(q: str | dict) -> Plan:
 
     if kind == "span_not":
         return SpanNot(compile_query(body["include"]), compile_query(body["exclude"]))
+
+    if kind == "nested":
+        return Nested(body["path"], compile_query(body["query"]))
 
     if kind == "match_all":
         return MatchAll()

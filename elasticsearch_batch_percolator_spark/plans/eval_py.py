@@ -30,6 +30,7 @@ from .query_plan import (
     Bool,
     MatchAll,
     MatchNone,
+    Nested,
     Phrase,
     Plan,
     Range,
@@ -171,6 +172,13 @@ def eval_plan(plan: Plan, doc: dict) -> bool:
         return any(
             all(preds[j](toks[i + j]) for j in range(k))
             for i in range(len(toks) - k + 1)
+        )
+    if isinstance(plan, Nested):
+        kids = doc.get(plan.path)
+        if not isinstance(kids, (list, tuple)):
+            return False
+        return any(
+            eval_plan(plan.query, k) for k in kids if isinstance(k, dict)
         )
     if isinstance(plan, (SpanTerm, SpanNear, SpanOr, SpanNot)):
         return bool(spans_of(plan, doc))

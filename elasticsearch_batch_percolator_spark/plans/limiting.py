@@ -29,6 +29,7 @@ from .query_plan import (
     Bool,
     MatchAll,
     MatchNone,
+    Nested,
     Phrase,
     Plan,
     Range,
@@ -104,6 +105,16 @@ def limiting_filter(plan: Plan, negated: bool = False) -> Plan | None:
     if isinstance(plan, SpanNot):
         return limiting_filter(plan.include)
 
+    if isinstance(plan, Nested):
+        # the parent's flattened token stream (field = path) contains every
+        # child's tokens, so "child exists with all terms" implies "parent
+        # stream has all terms" — a sound over-approximation of the block
+        # join (the reference runs the block-join query itself as phase 1,
+        # LimitingFilterFactory.java:68-72; our flattened rewrite is the
+        # Spark-joinable equivalent). Never exact: phase 2 always verifies.
+        child = limiting_filter(plan.query)
+        return _remap_fields(child, plan.path) if child is not None else None
+
     if isinstance(plan, Bool):
         must_approx = []
         for c in list(plan.must) + list(plan.filter):
@@ -134,3 +145,28 @@ def limiting_filter(plan: Plan, negated: bool = False) -> Plan | None:
         return MatchAll()
 
     return None  # unknown plan type: always phase-2
+
+
+def _remap_fields(plan: Plan, path: str) -> Plan:
+    """Copy of ``plan`` with every field reference replaced by ``path``
+    (child-field terms become parent-stream terms for gating)."""
+    from dataclasses import replace
+
+    from .query_plan import Phrase, SpanTerm, Term, Wildcard, WildcardPhrase
+
+    if isinstance(plan, (Term, Wildcard, Phrase, WildcardPhrase, SpanTerm, Range)):
+        return replace(plan, field=path)
+    if isinstance(plan, Bool):
+        return Bool(
+            must=tuple(_remap_fields(c, path) for c in plan.must),
+            should=tuple(_remap_fields(c, path) for c in plan.should),
+            must_not=tuple(_remap_fields(c, path) for c in plan.must_not),
+            filter=tuple(_remap_fields(c, path) for c in plan.filter),
+        )
+    if isinstance(plan, (SpanNear, SpanOr)):
+        from dataclasses import replace as _r
+
+        return _r(plan, clauses=tuple(_remap_fields(c, path) for c in plan.clauses))
+    if isinstance(plan, SpanNot):
+        return SpanNot(_remap_fields(plan.include, path), _remap_fields(plan.exclude, path))
+    return plan  # MatchAll/MatchNone/Nested-in-nested approximations

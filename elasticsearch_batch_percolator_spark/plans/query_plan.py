@@ -151,6 +151,21 @@ class MatchNone(Plan):
 
 
 @dataclass(frozen=True)
+class Nested(Plan):
+    """Parent-child block join (Q10): the parent matches iff AT LEAST ONE
+    child object under ``path`` satisfies ``query`` — child fields are
+    scoped per child, so must-clauses must hold within the SAME child
+    (the semantics ToParentBlockJoinQuery provides and the reference
+    passes through, LimitingFilterFactory.java:68-72)."""
+
+    path: str
+    query: Plan = None  # type: ignore[assignment]
+
+    def to_dict(self):
+        return {"nested": {"path": self.path, "query": self.query.to_dict()}}
+
+
+@dataclass(frozen=True)
 class Range(Plan):
     """Numeric range — the reference's term-on-long-field becomes a
     RangeQuery via the mapping (ConcurrentPercolation.java:53-57)."""
@@ -164,9 +179,12 @@ class Range(Plan):
 
 
 def fields_of(plan: Plan) -> set[str]:
-    """All document fields a plan touches."""
+    """All TOP-LEVEL document fields a plan touches (a Nested plan's child
+    fields live inside the path's objects — the path is the doc field)."""
     if isinstance(plan, (Term, Wildcard, Phrase, WildcardPhrase, SpanTerm, Range)):
         return {plan.field}
+    if isinstance(plan, Nested):
+        return {plan.path}
     if isinstance(plan, Bool):
         out: set[str] = set()
         for group in (plan.must, plan.should, plan.must_not, plan.filter):
@@ -186,9 +204,12 @@ def fields_of(plan: Plan) -> set[str]:
 def positive_terms(plan: Plan) -> set[tuple[str, str]]:
     """(field, term) literals contributing positively to a match — the BM25
     scoring terms (must/should/phrase/span; never must_not or filter —
-    FILTER is non-scoring, Q5)."""
+    FILTER is non-scoring, Q5). Nested children score under the PATH field
+    (parent-side aggregation of child term hits)."""
     if isinstance(plan, (Term, SpanTerm)):
         return {(plan.field, plan.value)}
+    if isinstance(plan, Nested):
+        return {(plan.path, t) for _, t in positive_terms(plan.query)}
     if isinstance(plan, Phrase):
         return {(plan.field, t) for t in plan.terms}
     if isinstance(plan, WildcardPhrase):

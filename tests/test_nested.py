@@ -1,0 +1,109 @@
+"""Q10 nested block join: parent matches iff ONE child satisfies the query.
+
+The reference passes ToParentBlockJoinQuery through its limiting filter as
+its own approximation (LimitingFilterFactory.java:68-72); here Nested is a
+first-class plan: Catalyst `exists` over an array<struct> children column
+(match path), per-child evaluation in eval_plan (verify path), and a
+flattened-fields over-approximation for phase-1 gating.
+"""
+
+from pyspark.sql import functions as F
+
+from elasticsearch_batch_percolator_spark.operators.match import match_col
+from elasticsearch_batch_percolator_spark.operators.percolate import percolate
+from elasticsearch_batch_percolator_spark.plans.compiler import compile_query
+from elasticsearch_batch_percolator_spark.plans.eval_py import eval_plan
+from elasticsearch_batch_percolator_spark.plans.limiting import limiting_filter
+from elasticsearch_batch_percolator_spark.sources.registry import CompiledRegistry
+
+NESTED_Q = {
+    "nested": {
+        "path": "children",
+        "query": {"bool": {"must": [{"term": {"ctoks": "a"}},
+                                     {"term": {"ctoks": "b"}}]}},
+    }
+}
+
+# doc 1: one child has BOTH a and b -> matches
+# doc 2: a and b split ACROSS children -> flat bool would match, nested must NOT
+# doc 3: no a at all -> no match
+DOCS = [
+    (1, [(["a", "b", "x"],), (["c"],)]),
+    (2, [(["a", "x"],), (["b", "y"],)]),
+    (3, [(["c", "b"],), (["d"],)]),
+]
+SCHEMA = "doc_id long, children array<struct<ctoks: array<string>>>"
+
+
+def test_eval_plan_nested_semantics():
+    plan = compile_query(NESTED_Q)
+    doc1 = {"children": [{"ctoks": ["a", "b", "x"]}, {"ctoks": ["c"]}]}
+    doc2 = {"children": [{"ctoks": ["a", "x"]}, {"ctoks": ["b", "y"]}]}
+    assert eval_plan(plan, doc1) is True
+    assert eval_plan(plan, doc2) is False  # the block-join distinction
+    assert eval_plan(plan, {"children": []}) is False
+    assert eval_plan(plan, {}) is False
+
+
+def test_nested_limiting_filter_is_flattened_superset():
+    plan = compile_query(NESTED_Q)
+    approx = limiting_filter(plan)
+    # flattened over-approximation: parent stream must contain both terms
+    from elasticsearch_batch_percolator_spark.plans.query_plan import Bool, Term
+
+    assert approx == Bool(must=(Term("children", "a"), Term("children", "b")))
+    # superset: doc2 (split across children) passes the approx but not exact
+    assert eval_plan(approx, {"children": ["a", "x", "b", "y"]}) is True
+
+
+def test_match_col_nested_exists(spark):
+    plan = compile_query(NESTED_Q)
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = sorted(
+        r["doc_id"]
+        for r in df.filter(match_col(plan, {"children": F.col("children")})).collect()
+    )
+    assert got == [1]
+
+
+def test_match_col_nested_wildcard(spark):
+    plan = compile_query(
+        {"nested": {"path": "children",
+                    "query": {"wildcard": {"ctoks": "c*"}}}}
+    )
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = sorted(
+        r["doc_id"]
+        for r in df.filter(match_col(plan, {"children": F.col("children")})).collect()
+    )
+    assert got == [1, 3]
+
+
+def test_percolate_nested_field(spark):
+    """End-to-end percolation over a nested column (columnar + python paths)."""
+    queries = {
+        "q-both": NESTED_Q,
+        "q-span": {  # positional inner -> python verify path
+            "nested": {
+                "path": "children",
+                "query": {"span_near": {"clauses": [{"span_term": {"ctoks": "a"}},
+                                                     {"span_term": {"ctoks": "b"}}],
+                                        "slop": 0, "in_order": True}},
+            }
+        },
+        "q-flat": {"term": {"flat": "z"}},
+    }
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    docs = spark.createDataFrame(
+        [(d, kids, "z z") for d, kids in DOCS],
+        SCHEMA + ", flat string",
+    )
+    res = percolate(
+        spark, docs, reg,
+        fields={"children": ("children", "nested"), "flat": "flat"},
+    )
+    got = {(int(r["doc_id"]), r["query_id"]) for r in res.matches.collect()}
+    assert got == {
+        (1, "q-both"), (1, "q-span"),
+        (1, "q-flat"), (2, "q-flat"), (3, "q-flat"),
+    }
