@@ -347,6 +347,22 @@ def _q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (driver-brief dedup method):
+    exact all-pairs path through the gate (fixture embeddings carry no
+    planted duplicates, so the threshold is 0.4 to stay non-vacuous at
+    every scale); the SRP-LSH scale path is recall-tested on planted
+    near-dups in tests/test_pipeline_ops.py."""
+    from elasticsearch_batch_percolator_spark.functions.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_neardup_pairs(emb, threshold=0.4).select(
+        F.col("vec_a").cast("long"), F.col("vec_b").cast("long"), "sim_r"
+    )
+
+
 def _q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 numeric range (reference: term on a long field becomes a
     RangeQuery via the mapping, ConcurrentPercolation.java:53-57)."""
@@ -592,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_ann_ivf": _q_embedding_ann_ivf,
         "embedding_ann_recall": _q_embedding_ann_recall,
+        "embedding_neardup": _q_embedding_neardup,
         "text_stats": _q_text_stats,
         "multi_field_percolate": _q_multi_field_percolate,
         "percolate_highlight_fields": _q_percolate_highlight_fields,
@@ -802,6 +819,19 @@ SELECT d.doc_id::BIGINT AS slot,
 FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
 """,
         "range_query": "SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 200",
+        "embedding_neardup": """
+WITH p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+           6) AS sim_r
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b, sim_r
+FROM p WHERE sim_r >= 0.4
+""",
         "nested_block_join": """
 WITH t AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

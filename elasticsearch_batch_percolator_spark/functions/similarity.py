@@ -186,3 +186,90 @@ def cosine_topk_ivf(
     probe = [cid for _, cid in sorted(sims, reverse=True)[:n_probe]]
     bucket = assigned.filter(F.col("centroid_id").isin(probe))
     return cosine_topk_brute(bucket, query_vec, k, id_col, vec_col, round_to)
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    pairs: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """(vec_a, vec_b, sim_r) — embedding near-duplicate pairs with cosine
+    >= threshold (the embedding analog of ngram_jaccard_pairs).
+
+    ``pairs=None`` runs the exact all-pairs join — the always-correct
+    oracle path, O(n^2), ONLY for bounded slices (gates, re-ranking a
+    bucket). At scale pass ``srp_lsh_candidates`` output: cost becomes
+    sum over candidate pairs of dim, like the LSH-gated Jaccard path.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    a = vectors.select(F.col(id_col).alias("vec_a"), v.alias("va"))
+    b = vectors.select(F.col(id_col).alias("vec_b"), v.alias("vb"))
+    if pairs is not None:
+        j = pairs.join(a, "vec_a").join(b, "vec_b")
+    else:
+        j = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
+    out_sim = F.round(sim, round_to) if round_to is not None else sim
+    return (
+        j.withColumn("sim_r", out_sim)
+        .filter(F.col("sim_r") >= threshold)
+        .select("vec_a", "vec_b", "sim_r")
+    )
+
+
+def srp_lsh_candidates(
+    vectors: DataFrame,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b) candidate near-duplicate pairs via signed random
+    projections (Charikar SRP — the embedding-space SimHash).
+
+    Each vector gets n_bits sign bits from fixed seeded hyperplanes (pure
+    Catalyst folds, no UDF); bits split into n_bands; vectors sharing any
+    band bucket become candidates. P(bit agrees) = 1 - theta/pi, so for
+    true near-duplicates (cosine >= ~0.9) a 16-bit/4-band config finds
+    >90% of pairs; verify candidates with cosine_neardup_pairs(pairs=...).
+
+    Deterministic: hyperplanes from RandomState(seed); the bucket join is
+    the standard banded shape (AQE splits skewed buckets).
+    """
+    import numpy as np
+
+    if n_bits % n_bands != 0 or n_bands <= 0 or n_bands > n_bits:
+        raise ValueError(f"n_bits must split evenly: {n_bits=} {n_bands=}")
+    first = vectors.select(vec_col).first()
+    if first is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long"
+        )
+    dim = len(first[0])
+    planes = np.random.RandomState(seed).randn(n_bits, dim)
+
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for k in range(n_bits):
+        h = F.array(*[F.lit(float(x)) for x in planes[k]])
+        bits.append(F.when(dot(v, h) > 0, F.lit("1")).otherwise(F.lit("0")))
+    width = n_bits // n_bands
+    band_keys = [
+        F.concat(*bits[b * width : (b + 1) * width]) for b in range(n_bands)
+    ]
+    sig = vectors.select(
+        F.col(id_col).alias("vec"),
+        F.posexplode(F.array(*band_keys)).alias("band", "key"),
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.vec") < F.col("b.vec"))
+        .select(F.col("a.vec").alias("vec_a"), F.col("b.vec").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )

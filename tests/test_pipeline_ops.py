@@ -223,3 +223,49 @@ def test_extract_features_real_path_fails_cleanly(spark):
     media = synth_media(docs)
     with pytest.raises(Exception):
         extract_features(media, fake_decode=False).collect()
+
+
+def test_cosine_neardup_srp_lsh(spark):
+    """SRP-LSH near-dup: planted jittered copies must be recovered with
+    recall >= 0.9 at sim >= 0.95, and verified sims must equal the exact
+    all-pairs path on the candidate subset."""
+    import numpy as np
+
+    from elasticsearch_batch_percolator_spark.functions.similarity import (
+        cosine_neardup_pairs,
+        srp_lsh_candidates,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 32)
+    rows = []
+    vid = 0
+    expected_pairs = set()
+    for i in range(40):
+        rows.append((vid, base[i].tolist()))
+        orig = vid
+        vid += 1
+        if i % 2 == 0:  # plant a near-duplicate (tiny jitter)
+            dup = base[i] + 0.02 * rng.randn(32)
+            rows.append((vid, dup.tolist()))
+            expected_pairs.add((orig, vid))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cand = srp_lsh_candidates(emb, n_bits=16, n_bands=4, seed=42)
+    verified = cosine_neardup_pairs(emb, threshold=0.95, pairs=cand)
+    got = {(r["vec_a"], r["vec_b"]) for r in verified.collect()}
+    recall = len(got & expected_pairs) / len(expected_pairs)
+    assert recall >= 0.9, f"recall {recall}"
+
+    # verified sims agree with the exact path restricted to candidates
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["sim_r"]
+        for r in cosine_neardup_pairs(emb, threshold=0.95).collect()
+    }
+    for pair in got:
+        assert pair in exact
+
+    # determinism of the seeded hyperplanes
+    cand2 = srp_lsh_candidates(emb, n_bits=16, n_bands=4, seed=42)
+    assert sorted(map(tuple, cand.collect())) == sorted(map(tuple, cand2.collect()))
