@@ -78,6 +78,10 @@ class IndexManifest:
     tokenizer: str = "ws"
     input_lineage: str = ""
     completed: dict = field(default_factory=dict)  # seg_id(str) -> metrics
+    # sparse-id segmentation: doc_id cut points (len n_segments-1) frozen at
+    # first build so resume assigns identically; empty = dense arithmetic
+    # ranges via seg_size
+    boundaries: list = field(default_factory=list)
 
     def save(self, out_dir: str) -> None:
         tmp = os.path.join(out_dir, "manifest.json.tmp")
@@ -128,7 +132,19 @@ def build_index(
         ).first()
         n_docs = int(row["n"])
         avgdl = float(row["total_dl"]) / n_docs if n_docs else 0.0
-        seg_size = max(1, math.ceil((int(row["max_doc"]) + 1) / n_segments))
+        max_doc = int(row["max_doc"] or 0)
+        seg_size = max(1, math.ceil((max_doc + 1) / n_segments))
+        boundaries: list[int] = []
+        # sparse id space (ids span >> row count): arithmetic ranges would
+        # leave most segments empty and pile rows into a few — cut on doc_id
+        # quantiles instead, frozen into the manifest so a resume assigns
+        # every doc to the same segment
+        if n_docs and (max_doc + 1) > 4 * n_docs and n_segments > 1:
+            qs = [i / n_segments for i in range(1, n_segments)]
+            boundaries = [
+                int(x)
+                for x in docs.stat.approxQuantile("doc_id", qs, 0.001)
+            ]
         manifest = IndexManifest(
             n_docs=n_docs,
             avgdl=avgdl,
@@ -136,19 +152,28 @@ def build_index(
             seg_size=seg_size,
             block=block,
             input_lineage=lineage,
+            boundaries=boundaries,
         )
         manifest.save(out_dir)
     # frozen stats from the manifest — a resume MUST score identically
     avgdl, seg_size, n_segments = manifest.avgdl, manifest.seg_size, manifest.n_segments
     k1, b = manifest.k1, manifest.b
+    boundaries = list(manifest.boundaries or [])
 
     missing = [s for s in range(n_segments) if str(s) not in manifest.completed]
     if fail_after_segments is not None:
         missing = missing[:fail_after_segments]
     if missing:
-        seg_col = F.least(
-            (F.col("doc_id") / F.lit(seg_size)).cast("int"), F.lit(n_segments - 1)
-        )
+        if boundaries:
+            # segment = number of boundaries <= doc_id (monotone cut points)
+            seg_col = sum(
+                (F.col("doc_id") > F.lit(int(bd))).cast("int") for bd in boundaries
+            ).cast("int")
+        else:
+            seg_col = F.least(
+                (F.col("doc_id") / F.lit(seg_size)).cast("int"),
+                F.lit(n_segments - 1),
+            )
 
         # THE one exchange (north_rule sort-merge shuffle): DOC rows move,
         # not token rows. Shipping (doc_id, tokens) costs ~corpus bytes;

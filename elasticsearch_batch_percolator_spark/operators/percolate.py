@@ -12,9 +12,11 @@ Its per-query loop (E1) is replaced by ONE set-oriented joined plan:
   wildcards expanded against the BATCH term dictionary, exactly like the
             reference's automaton over the index terms
             (WildcardTermsProducer.getTerms:26-53)
-  phase 2   exact evaluator (plans/eval_py.py) — chunked Catalyst
-            when-chains for boolean structure, one Arrow pandas UDF for
-            positional queries — only over surviving (query, doc) pairs
+  phase 2   exact evaluator (plans/eval_py.py) in ONE Arrow pandas UDF over
+            surviving (query, doc) pairs: dict-dispatched compiled
+            predicates + a set-containment fast lane for term conjunctions
+            (measured faster than Catalyst when-chains at every registry
+            size — see the phase-2 comment below)
   errors    per-query isolation: a failing phase-2 eval drops that query for
             that doc and is counted, Meltwater-style skip-and-log
             (BatchPercolatorService.java:364-368), not YouScan abort
@@ -393,22 +395,31 @@ def percolate(
         candidates = candidates.dropDuplicates(["doc_id", "query_id"])
 
     # ---- phase 2: exact verify on survivors only -------------------------
-    # Split the verify set: everything non-positional becomes Catalyst
-    # when-chains over match_col predicates (JVM-side, codegen'd), CHUNKED
-    # at EBP_MAX_WHEN_BRANCHES per chain so mid-size registries (10k
-    # queries) keep the JVM path; only positional queries (spans, sloppy
-    # phrases) cross into Python — the same boundary the reference draws
-    # ("positional queries are magnitudes slower", README.md:127-133).
-    # Past EBP_MAX_WHEN_CHUNKS chains the compiled-python evaluator takes
-    # over wholesale (a 225k-branch plan would blow up codegen/analysis).
+    # The default verifier is the broadcast compiled-python evaluator: per
+    # candidate it is ONE dict dispatch + a compiled predicate (or the
+    # simple-MUST set-containment lane), with doc-grouped token views. The
+    # alternative Catalyst when-chain re-COMPARES query_id per branch — a
+    # per-row linear scan over the registry — and measured STRICTLY slower
+    # at every registry size on this engine (50k docs x N queries,
+    # local[32], best-of-2): N=100: 4.4s vs 2.1s; N=400: 8.9s vs 2.0s;
+    # N=1500: 31.9s vs 2.3s; N=10k (8 chunks): 203s vs 4.6s. The when-chain
+    # path therefore defaults OFF; set EBP_MAX_WHEN_BRANCHES > 0 to use it
+    # where Python workers are unavailable. Positional queries (spans,
+    # sloppy phrases, positional nested) always use the python evaluator —
+    # the same boundary the reference draws ("positional queries are
+    # magnitudes slower", README.md:127-133).
     verify_plans = registry.gate_verify_plans()
-    columnar = {q: p for q, p in verify_plans.items() if not _is_positional(p)}
-    pythonic = {q: p for q, p in verify_plans.items() if _is_positional(p)}
-    max_branches = int(os.environ.get("EBP_MAX_WHEN_BRANCHES", "1500"))
+    max_branches = int(os.environ.get("EBP_MAX_WHEN_BRANCHES", "0"))
     max_chunks = int(os.environ.get("EBP_MAX_WHEN_CHUNKS", "8"))
-    if len(columnar) > max_branches * max_chunks:
-        pythonic.update(columnar)
+    if max_branches > 0:
+        columnar = {q: p for q, p in verify_plans.items() if not _is_positional(p)}
+        pythonic = {q: p for q, p in verify_plans.items() if _is_positional(p)}
+        if len(columnar) > max_branches * max_chunks:
+            pythonic.update(columnar)
+            columnar = {}
+    else:
         columnar = {}
+        pythonic = dict(verify_plans)
     # queries decided exactly by phase 1 pass through without verification;
     # joining on this (usually small) set beats an anti-join against the
     # 10^5-row verify set

@@ -120,3 +120,36 @@ def test_resume_from_partial_build(spark, sf_dir, tmp_path):
         (r["query_id"], r["rank"], r["doc_id"], r["score_r"]) for r in rows
     )
     assert norm(a) == norm(b)
+
+
+def test_sparse_doc_id_segmentation(spark, tmp_path):
+    """Sparse id spaces cut on quantile boundaries, not arithmetic ranges —
+    an id space 1000x wider than the row count must still fill every
+    segment, and query results must be unchanged."""
+    import random
+
+    from elasticsearch_batch_percolator_spark.index.build import (
+        build_index,
+        read_manifest,
+    )
+    from elasticsearch_batch_percolator_spark.operators.wand import topk_from_index
+
+    rng = random.Random(3)
+    ids = sorted(rng.sample(range(10_000_000), 400))
+    rows = [(i, f"alpha beta gamma{n % 7} delta{n % 3}".split(" "))
+            for n, i in enumerate(ids)]
+    docs = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = str(tmp_path / "sparse_idx")
+    build_index(spark, docs, out, n_segments=8)
+    m = read_manifest(out)
+    assert len(m.boundaries) == 7
+    per_seg = {
+        int(s): v["postings"] for s, v in m.completed.items()
+    }
+    # every segment non-empty and roughly balanced (quantile cuts)
+    assert len(per_seg) == 8
+    assert min(per_seg.values()) > 0
+    assert max(per_seg.values()) <= 4 * min(per_seg.values())
+    # correctness: top-k equals the join-free expectation (alpha in all docs)
+    got = topk_from_index(spark, out, {"q": ["alpha"]}, k=5)
+    assert got.count() == 5
