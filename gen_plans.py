@@ -44,7 +44,7 @@ with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), 'PLANS.md'),'
     f.write("""# PLANS — physical-plan evidence (`.explain(\"formatted\")`)
 
 Captured from the real plans at sf0.01 (regenerate with
-`python /tmp/gen_plans.py`, or any of the calls below in a shell).
+`python gen_plans.py`, or any of the calls below in a shell).
 What to look for in each plan is stated above it; these are the properties
 the engine's 100 TB story depends on (SURVEY.md §4).
 
