@@ -226,10 +226,12 @@ def percolate(
         content_of = {qf: "content" for qf in qfields}
         analyzer_names = {qf: "ws" for qf in qfields}
         nested_cols = set()
+        scalar_cols = set()
     else:
         sel = [F.col(id_col).cast("long").alias("doc_id")]
         resolve, content_of, analyzer_names = {}, {}, {}
         nested_cols: set[str] = set()
+        scalar_cols: set[str] = set()
         for qf in sorted(fields):
             spec = fields[qf]
             src_col, an = spec if isinstance(spec, tuple) else (spec, "ws")
@@ -241,6 +243,15 @@ def percolate(
                 resolve[qf] = f"tokens__{qf}"
                 nested_cols.add(f"tokens__{qf}")
                 analyzer_names[qf] = "nested"
+                continue
+            if an == "numeric":
+                # Q12 in percolation: a mapping-typed numeric field — Range
+                # plans read the scalar (the reference's term-on-long-field
+                # becomes a RangeQuery, ConcurrentPercolation.java:53-57)
+                sel.append(F.col(src_col).alias(f"value__{qf}"))
+                resolve[qf] = f"value__{qf}"
+                scalar_cols.add(f"value__{qf}")
+                analyzer_names[qf] = "numeric"
                 continue
             tok = an if callable(an) else analyzers[an]
             sel.append(F.col(src_col).alias(f"content__{qf}"))
@@ -277,6 +288,8 @@ def percolate(
     col_idx = {tc: i for i, tc in enumerate(used_tok_cols)}
     def _term_rows(tc: str):
         fcol = F.lit(col_idx[tc]).cast("tinyint").alias("fcol")
+        if tc in scalar_cols:
+            return []  # numeric fields carry no gate terms
         if tc not in nested_cols:
             return [batch.select("doc_id", fcol, F.explode(F.col(tc)).alias("term"))]
         # nested column: every child's token arrays flatten into the
@@ -510,6 +523,7 @@ def percolate(
 
         _EMPTY = ([], frozenset())
         nested_idx = {i for i, tc in enumerate(tok_cols) if tc in nested_cols}
+        scalar_idx = {i for i, tc in enumerate(tok_cols) if tc in scalar_cols}
 
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def verify_doc(qid_lists: pd.Series, *tok_series: pd.Series) -> pd.Series:
@@ -519,6 +533,9 @@ def percolate(
                 qids = row[0]
                 views = []
                 for ci, s in enumerate(row[1:]):
+                    if ci in scalar_idx:
+                        views.append(s)  # raw scalar for Range predicates
+                        continue
                     if ci in nested_idx:
                         kids = []
                         for kid in (s if s is not None else []):

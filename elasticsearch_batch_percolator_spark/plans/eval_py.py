@@ -136,8 +136,8 @@ def eval_plan(plan: Plan, doc: dict) -> bool:
         return any(rx.match(t) for t in _tokens(doc, plan.field))
     if isinstance(plan, Range):
         v = doc.get(plan.field)
-        if v is None or isinstance(v, (list, tuple)):
-            return False
+        if v is None or isinstance(v, (list, tuple)) or v != v:
+            return False  # v != v catches NaN (Arrow's nullable-int repr)
         if plan.gte is not None and v < plan.gte:
             return False
         if plan.lte is not None and v > plan.lte:
@@ -231,7 +231,9 @@ def compile_predicate_fields(plan: Plan):
 
         def range_pred(fm):
             v = fm.get(f)
-            if v is None or isinstance(v, (tuple, list)):
+            # v != v catches NaN — Arrow ships a NULL long as float NaN,
+            # which would otherwise slip past both bound comparisons
+            if v is None or isinstance(v, (tuple, list)) or v != v:
                 return False
             if gte is not None and v < gte:
                 return False

@@ -28,6 +28,8 @@ def multi_percolate(
     batches: DataFrame,
     registry: CompiledRegistry,
     content_col: str = "content",
+    track_scores: bool = False,
+    size: int | None = None,
 ) -> DataFrame:
     """(batch_id, slot, action, content [, parse_error]) → per-slot results.
 
@@ -38,6 +40,12 @@ def multi_percolate(
     ``error='_parse_error_'`` and zero matches while sibling slots
     percolate normally — the reference's per-slot error channel
     (YPercolatorService.java:214-218); healthy slots have ``error`` NULL.
+
+    ``track_scores=True`` orders each slot's matches by BM25 score DESC
+    (query_id tie-break — the only sort the reference allows, E4) and adds
+    a parallel ``scores`` array; ``size`` truncates each slot's list (the
+    S2 per-request size option; counts still reflect ALL matches, matching
+    the reference where total is independent of page size).
     """
     bad_flag = F.col(content_col).isNull() | F.col("slot").isNull()
     if "parse_error" in batches.columns:
@@ -71,19 +79,52 @@ def multi_percolate(
         ),
     )
     res = percolate(spark, keyed, registry, content_col=content_col)
-    matches = res.matches.withColumn(
+    base_matches = (
+        res.with_scores(registry).select("doc_id", "query_id", "score")
+        if track_scores
+        else res.matches.withColumn("score", F.lit(0.0))
+    )
+    matches = base_matches.withColumn(
         "batch_id", F.shiftright(F.col("doc_id"), _SLOT_SHIFT)
     ).withColumn(
         "slot", F.col("doc_id").bitwiseAND(F.lit((1 << _SLOT_SHIFT) - 1)).cast("long")
     )
-    agg = matches.groupBy("batch_id", "slot").agg(
-        F.sort_array(F.collect_list("query_id")).alias("matched_queries"),
-        F.count(F.lit(1)).cast("long").alias("n_matches"),
-    )
+    if track_scores:
+        # score DESC, query_id ASC — sort the collected structs by the
+        # negated score then id (E3/E4 per slot)
+        ordered = F.transform(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("score")).alias("ns"), "query_id", "score"))
+            ),
+            lambda s: F.struct(s.getField("query_id"), s.getField("score")),
+        )
+        if size is not None:
+            ordered = F.slice(ordered, 1, int(size))
+        agg = matches.groupBy("batch_id", "slot").agg(
+            ordered.alias("ranked"),
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+        ).select(
+            "batch_id",
+            "slot",
+            F.transform("ranked", lambda s: s.getField("query_id")).alias(
+                "matched_queries"
+            ),
+            F.transform("ranked", lambda s: s.getField("score")).alias("scores"),
+            "n_matches",
+        )
+    else:
+        agg = matches.groupBy("batch_id", "slot").agg(
+            F.sort_array(F.collect_list("query_id")).alias("matched_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+        )
+        if size is not None:
+            agg = agg.withColumn(
+                "matched_queries", F.slice("matched_queries", 1, int(size))
+            )
     base = flagged.select("batch_id", "slot", "action", "_bad").dropDuplicates(
         ["batch_id", "slot"]
     )
-    out = base.join(agg, ["batch_id", "slot"], "left").select(
+    cols = [
         "batch_id",
         "slot",
         "action",
@@ -97,7 +138,17 @@ def multi_percolate(
         .otherwise(F.coalesce("matched_queries", F.array().cast("array<string>")))
         .alias("matched_queries"),
         F.when(F.col("_bad"), F.lit("_parse_error_")).alias("error"),
-    )
+    ]
+    if track_scores:
+        cols.append(
+            F.when(
+                F.col("_bad") | (F.col("action") == "count"),
+                F.array().cast("array<double>"),
+            )
+            .otherwise(F.coalesce("scores", F.array().cast("array<double>")))
+            .alias("scores")
+        )
+    out = base.join(agg, ["batch_id", "slot"], "left").select(*cols)
     return out
 
 

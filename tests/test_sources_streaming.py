@@ -213,3 +213,29 @@ def test_registry_hot_swap_between_microbatches(spark, tmp_path):
         (1, "q-fox"), (1, "q-all"),
         (2, "q-wolf"), (2, "q-all"),
     }
+
+
+def test_multi_percolate_track_scores_and_size(spark):
+    """S2 options end-to-end: score-desc ordering per slot (the only sort
+    the reference allows, E4) and per-slot size truncation; n_matches
+    still counts ALL matches."""
+    reg = CompiledRegistry.from_rows(list(QUERIES.items()))
+    batches = spark.createDataFrame(
+        [(0, 0, "percolate", "the fox fox fox is here"),
+         (0, 1, "percolate", "nothing relevant")],
+        "batch_id long, slot long, action string, content string",
+    )
+    rows = {
+        r["slot"]: r
+        for r in multi_percolate(
+            spark, batches, reg, track_scores=True, size=1
+        ).collect()
+    }
+    r0 = rows[0]
+    # q-fox (tf=3 BM25 > 0) must outrank q-all (score 0); size=1 keeps it
+    assert list(r0["matched_queries"]) == ["q-fox"]
+    assert len(r0["scores"]) == 1 and r0["scores"][0] > 0.0
+    assert r0["n_matches"] == 2  # total unaffected by size
+    r1 = rows[1]
+    assert r1["n_matches"] == 1 and list(r1["matched_queries"]) == ["q-all"]
+    assert r1["scores"][0] == 0.0
