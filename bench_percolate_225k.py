@@ -9,10 +9,11 @@ selectivity — a tiny vocabulary makes every query unrealistically dense),
 percolated against a 20k-doc batch.
 
 Measured on local[32]: round 1 — 27.4s warm = ~730 docs/s; round 2 —
-14.1s warm = ~1,417 docs/s, 720 docs/s cold (cached verify-plan
-broadcast + simple-MUST fast lane + persisted batch terms). Query compile
-(~7-9s for all 225k) is registration-time, amortized across all future
-batches exactly like the reference's parse.
+14.1-19.3s warm across runs = ~1,038-1,417 docs/s (cached verify-plan
+broadcast + simple-MUST fast lane + persisted batch terms; this box's
+run-to-run variance is ±25%). Query compile (~7-10s for all 225k) is
+registration-time, amortized across all future batches exactly like the
+reference's parse.
 
     python bench_percolate_225k.py [n_queries] [n_docs]
 """

@@ -34,7 +34,7 @@ sections.append(("Join-based BM25: query terms BROADCAST (BroadcastHashJoin), si
 reg = CompiledRegistry.from_rows([("a", {"term": {"content": "spark"}}), ("b", {"bool": {"must": [{"term": {"content": "the"}}, {"term": {"content": "fox"}}]}})])
 docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", F.col("text").alias("content"))
 p3 = grab(percolate(spark, docs, reg).matches)
-sections.append(("Percolation: broadcast query-term table joined to batch (doc, term) pairs; groupBy count-distinct group check; no cross join of batch x queries", p3))
+sections.append(("Percolation phase 1: broadcast rarest-group gate table joined to the persisted batch (doc, field, term) rows; phase 2 = one Arrow UDF over doc-grouped candidates (broadcast compiled plans) — candidate volume is sum_q df(gate_q), never batch x queries", p3))
 
 def trim(s, n=80):
     lines = [l.rstrip() for l in s.splitlines()]

@@ -183,3 +183,33 @@ def test_registry_save_load_roundtrip(spark, tmp_path):
         for r in percolate(spark, docs_df, reg).matches.collect()
     }
     assert got == {(0, "1"), (0, "2")}
+
+
+def test_registry_roundtrip_preserves_highlight_and_nested(spark, tmp_path):
+    """RecoveryTests.java analog for round-2 features: a stored percolator
+    doc carries its highlight spec and nested plan through save -> reload
+    (the reference re-parses the FULL stored source on recovery,
+    BatchPercolatorQueriesRegistry.parsePercolatorDocument:138-185)."""
+    rows = [
+        ("hq", {"query": {"term": {"content": "fox"}},
+                 "highlight": {"fields": ["content"], "pre_tags": ["<em>"],
+                               "post_tags": ["</em>"]}}),
+        ("nq", {"nested": {"path": "kids",
+                            "query": {"term": {"ctoks": "x"}}}}),
+    ]
+    path = str(tmp_path / "queries2")
+    save_registry(spark, rows, path)
+    reg = load_registry(spark, path)
+    assert len(reg) == 2
+    hl = reg.queries["hq"].highlight
+    assert hl is not None and hl.fields == ("content",) and hl.pre_tag == "<em>"
+    from elasticsearch_batch_percolator_spark.plans.query_plan import Nested
+    assert isinstance(reg.queries["nq"].plan, Nested)
+    # and the reloaded registry actually highlights
+    docs_df = spark.createDataFrame([(0, "a fox here")], "doc_id long, content string")
+    res = percolate(spark, docs_df, reg)
+    got = {
+        (r["query_id"], r["highlights"].get("content", [None])[0])
+        for r in res.with_highlights(reg).collect()
+    }
+    assert got == {("hq", "a <em>fox</em> here")}
