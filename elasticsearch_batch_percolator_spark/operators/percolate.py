@@ -555,14 +555,22 @@ def percolate(
                     try:
                         req = simple.get(qid)
                         if req is not None:
-                            # term-conjunction fast lane: one containment
-                            # check per required (field, term), no closure
+                            # term-conjunction fast lane: set-containment
+                            # checks for required AND forbidden terms, no
+                            # closure compile
+                            need, forbid = req
                             ok = True
-                            for f, t in req:
+                            for f, t in need:
                                 v = fmap.get(f, _EMPTY)
                                 if type(v) is not tuple or t not in v[1]:
                                     ok = False
                                     break
+                            if ok:
+                                for f, t in forbid:
+                                    v = fmap.get(f, _EMPTY)
+                                    if type(v) is tuple and t in v[1]:
+                                        ok = False
+                                        break
                             if ok:
                                 hit.append(qid)
                             continue

@@ -286,18 +286,22 @@ class CompiledRegistry:
 
 
 def _simple_required(plan: Plan) -> tuple | None:
-    """((field, term), ...) when matching ``plan`` is EXACTLY "doc contains
-    every one of these terms": Bool with must/filter all Terms, no must_not
-    (shoulds are score-only when must/filter present — evaluator semantics).
-    None otherwise."""
+    """(required, forbidden) — each a tuple of (field, term) — when matching
+    ``plan`` is EXACTLY "doc contains every required term and no forbidden
+    term": Bool with must/filter all Terms and must_not all Terms (shoulds
+    are score-only when must/filter present — evaluator semantics). None
+    otherwise."""
     if isinstance(plan, Bool):
         clauses = plan.must + plan.filter
         if (
             clauses
-            and not plan.must_not
             and all(isinstance(c, Term) for c in clauses)
+            and all(isinstance(c, Term) for c in plan.must_not)
         ):
-            return tuple((c.field, c.value) for c in clauses)
+            return (
+                tuple((c.field, c.value) for c in clauses),
+                tuple((c.field, c.value) for c in plan.must_not),
+            )
     return None
 
 
