@@ -160,17 +160,44 @@ def percolate_stream(
     checkpoint_path: str,
     content_col: str = "content",
     id_col: str = "doc_id",
+    registry_path: str | None = None,
 ):
     """readStream → foreachBatch(percolate) → parquet sink.
 
     Returns the StreamingQuery; caller awaits/stops it. Registry updates
-    take effect at micro-batch boundaries (S5's real-time listener analog:
-    re-register then restart or swap the registry object between batches).
+    take effect at micro-batch boundaries (S5's real-time listener analog):
+    either mutate the shared registry object between batches, or pass
+    ``registry_path`` — the durable queries table — and the stream RELOADS
+    it before any micro-batch in which its files changed (mtime probe; the
+    reference's RealTimePercolatorOperationListener keeps the in-memory map
+    in step with the stored ~ypercolator docs the same way,
+    BatchPercolatorQueriesRegistry.java:270-313).
     """
+    state = {"reg": registry, "stamp": None}
+
+    def _table_stamp() -> tuple | None:
+        import os as _os
+
+        try:
+            entries = sorted(
+                (e.name, e.stat().st_mtime_ns)
+                for e in _os.scandir(registry_path)
+                if not e.name.startswith("_") and not e.name.startswith(".")
+            )
+            return tuple(entries)
+        except OSError:
+            return None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if registry_path is not None:
+            stamp = _table_stamp()
+            if stamp is not None and stamp != state["stamp"]:
+                from ..sources.registry import load_registry
+
+                state["reg"] = load_registry(spark, registry_path)
+                state["stamp"] = stamp
         res = percolate(
-            spark, batch_df, registry, content_col=content_col, id_col=id_col
+            spark, batch_df, state["reg"], content_col=content_col, id_col=id_col
         )
         (
             res.matches.withColumn("stream_batch_id", F.lit(batch_id))

@@ -239,3 +239,50 @@ def test_multi_percolate_track_scores_and_size(spark):
     r1 = rows[1]
     assert r1["n_matches"] == 1 and list(r1["matched_queries"]) == ["q-all"]
     assert r1["scores"][0] == 0.0
+
+
+def test_registry_table_auto_reload(spark, tmp_path):
+    """registry_path mode: rewriting the durable queries table between
+    micro-batches changes what the NEXT batch matches — no restart, no
+    shared-object mutation (the stored-docs listener analog)."""
+    import time as _t
+
+    from elasticsearch_batch_percolator_spark.sources.registry import save_registry
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    qtab = str(tmp_path / "queries_tab")
+    src.mkdir()
+
+    save_registry(spark, [("q-fox", {"term": {"content": "fox"}})], qtab)
+    reg = CompiledRegistry.from_rows([("q-fox", {"term": {"content": "fox"}})])
+
+    spark.createDataFrame(
+        [(1, "the fox is here")], "doc_id long, content string"
+    ).write.mode("overwrite").parquet(str(src / "b0"))
+    stream = spark.readStream.schema("doc_id long, content string").parquet(
+        str(src / "*")
+    )
+    q = percolate_stream(spark, stream, reg, str(out), str(ckpt), registry_path=qtab)
+    try:
+        q.processAllAvailable()
+        # rewrite the durable table: drop q-fox, add q-wolf
+        save_registry(spark, [("q-wolf", {"term": {"content": "wolf"}})], qtab)
+        spark.createDataFrame(
+            [(2, "the fox met a wolf")], "doc_id long, content string"
+        ).write.mode("overwrite").parquet(str(src / "b1"))
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            q.processAllAvailable()
+            if spark.read.parquet(str(out)).filter(F.col("doc_id") == 2).count() > 0:
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in spark.read.parquet(str(out)).select("doc_id", "query_id").collect()
+    }
+    assert got == {(1, "q-fox"), (2, "q-wolf")}
