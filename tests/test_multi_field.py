@@ -132,3 +132,36 @@ def test_single_field_mode_unchanged(spark):
                                  "doc_id long, content string")
     res = percolate(spark, docs, reg)
     assert _matches(res) == {(1, "q")}
+
+
+def test_columnar_when_chain_path_equivalent(spark, monkeypatch):
+    """The env-gated Catalyst when-chain verifier (EBP_MAX_WHEN_BRANCHES>0,
+    for Python-less deployments) must produce exactly the default
+    evaluator's matches."""
+    queries = {
+        "t": {"term": {"field1": "fox"}},
+        "b": {"bool": {"must": [{"term": {"field1": "fox"}},
+                                 {"term": {"field2": "percolator"}}],
+                        "must_not": [{"term": {"field1": "wolf"}}]}},
+        "p": {"phrase": {"field": "field1", "terms": ["quick", "fox"]}},
+        "w": {"wildcard": {"field2": "perc*"}},
+        "n": {"nested": {"path": "kids", "query": {"term": {"ct": "z"}}}},
+    }
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    docs = spark.createDataFrame(
+        [(1, "the quick fox", "youscan percolator", [(["z", "y"],)]),
+         (2, "fox wolf", "percolator", []),
+         (3, "quick fox here", "nothing", [(["a"],)])],
+        "doc_id long, f1 string, f2 string, kids array<struct<ct: array<string>>>",
+    )
+    fields = {"field1": "f1", "field2": "f2", "kids": ("kids", "nested")}
+
+    got_default = _matches(percolate(spark, docs, reg, fields=fields))
+    monkeypatch.setenv("EBP_MAX_WHEN_BRANCHES", "1500")
+    got_columnar = _matches(percolate(spark, docs, reg, fields=fields))
+    assert got_columnar == got_default
+    assert got_default == {
+        (1, "t"), (1, "b"), (1, "p"), (1, "w"), (1, "n"),
+        (2, "t"), (2, "w"),
+        (3, "t"), (3, "p"),
+    }
