@@ -153,3 +153,40 @@ def test_sparse_doc_id_segmentation(spark, tmp_path):
     # correctness: top-k equals the join-free expectation (alpha in all docs)
     got = topk_from_index(spark, out, {"q": ["alpha"]}, k=5)
     assert got.count() == 5
+
+
+def test_local_kcut_rounding_tie_break():
+    """The ADVICE r1 scenario: a doc cut locally by a sub-1e-4 raw-score
+    margin that TIES after rounding must win on doc_id. All three segment
+    scorers rank their local cut on (rounded score, doc_id)."""
+    import numpy as np
+
+    from elasticsearch_batch_percolator_spark.index.codec import encode_postings
+    from elasticsearch_batch_percolator_spark.operators.wand import (
+        _segment_topk_batch,
+        _segment_topk_exhaustive,
+        _segment_topk_wand,
+    )
+
+    # norms chosen so raw scores (idf=1 single term) are:
+    # doc 5 -> 1.000044, doc 9 -> 1.000042, doc 2 -> 1.000035
+    # rounded to 4 dp ALL become 1.0 -> the k=2 winners by doc_id are 2, 5
+    docs = np.array([2, 5, 9], dtype=np.int64)
+    tfs = np.array([1, 1, 1], dtype=np.int64)
+    norms = np.array([1.000035, 1.000044, 1.000042])
+    blocks = encode_postings(docs, tfs, norms)
+    # dict-shaped blocks are what the scorers consume
+    tb = {"t": blocks}
+    idfs = {"t": 1.0}
+
+    got_batch = [
+        d for _, d, _ in _segment_topk_batch(tb, {"q": ["t"]}, idfs, 2, round_to=4)
+    ]
+    got_exh = [d for d, _ in _segment_topk_exhaustive(tb, idfs, 2, round_to=4)]
+    got_wand = [d for d, _ in _segment_topk_wand(tb, idfs, 2, round_to=4)]
+    assert got_batch == [2, 5]
+    assert got_exh == [2, 5]
+    assert got_wand == [2, 5]
+    # sanity: WITHOUT rounding the raw order would have been 5, 9
+    raw = [d for d, _ in _segment_topk_exhaustive(tb, idfs, 2, round_to=None)]
+    assert raw == [5, 9]
