@@ -55,6 +55,7 @@ class HighlightSpec:
     highlight_query: Plan | None = None  # None = the match query itself
     fragment_size: int = 100  # chars, the ES default
     number_of_fragments: int = 5
+    order: str = "none"  # "score" = most-hits-first fragments (HighlightBuilder.order)
 
     @classmethod
     def from_dict(cls, d: dict) -> "HighlightSpec":
@@ -76,6 +77,7 @@ class HighlightSpec:
             highlight_query=compile_query(hq) if hq else None,
             fragment_size=int(d.get("fragment_size", 100)),
             number_of_fragments=int(d.get("number_of_fragments", 5)),
+            order=str(d.get("order", "none")),
         )
 
 
@@ -126,6 +128,7 @@ def _fragments(
     post: str,
     fragment_size: int,
     max_fragments: int,
+    order: str = "none",
 ) -> list[str]:
     units = text.split(" ")
     hits = [i for i, u in enumerate(units) if u and match(u)]
@@ -159,6 +162,13 @@ def _fragments(
             windows[-1] = (windows[-1][0], hi)  # merge overlap
         else:
             windows.append((lo, hi))
+    if order == "score":
+        # the reference's HighlightBuilder.order("score"): best fragments
+        # first; engine-defined score = matched-unit count, position breaks
+        hit_set = set(hits)
+        windows.sort(
+            key=lambda w: (-sum(1 for i in range(w[0], w[1] + 1) if i in hit_set), w[0])
+        )
     return [render(lo, hi) for lo, hi in windows[:max_fragments]]
 
 
@@ -208,6 +218,7 @@ def highlight_map_col(
             "post": spec.post_tag,
             "fsize": spec.fragment_size,
             "nfrag": spec.number_of_fragments,
+            "order": spec.order,
         }
 
     an_by_field = {f: analyzers.get(f, "ws") for f in field_order}
@@ -234,7 +245,7 @@ def highlight_map_col(
                 )
                 frags = _fragments(
                     text, matcher, prog["pre"], prog["post"],
-                    prog["fsize"], prog["nfrag"],
+                    prog["fsize"], prog["nfrag"], prog["order"],
                 )
                 if frags:
                     result[f] = frags

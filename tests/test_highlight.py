@@ -136,3 +136,47 @@ def test_spec_from_dict_defaults():
     assert s.require_field_match is True  # the ES 2.x default
     assert s.fragment_size == 100 and s.number_of_fragments == 5
     assert s.highlight_query is None
+
+
+def test_fragment_order_score():
+    """order='score': the fragment with more hits comes first."""
+    units = ["w%02d" % i for i in range(60)]
+    units[5] = "hit"
+    units[40] = "hit"
+    units[42] = "hit"
+    text = " ".join(units)
+    m = _unit_matcher({"hit"}, [], "ws")
+    frags_doc = _fragments(text, m, "<b>", "</b>", 30, 5, order="none")
+    frags_score = _fragments(text, m, "<b>", "</b>", 30, 5, order="score")
+    assert frags_doc[0].count("<b>") == 1  # document order: lone hit first
+    assert frags_score[0].count("<b>") == 2  # score order: double-hit first
+    assert sorted(frags_doc) == sorted(frags_score)
+
+
+def test_per_doc_responses_shape(spark):
+    """S7 full response item: matches sorted by query_id with per-field
+    highlight maps; empty docs get matches=[]."""
+    import json
+
+    from elasticsearch_batch_percolator_spark.sources.response import (
+        per_doc_responses,
+    )
+
+    queries = {
+        "001": {"query": {"term": {"f": "fox"}},
+                "highlight": {"fields": ["f"]}},
+        "000": {"match_all": {}},
+    }
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    docs = spark.createDataFrame(
+        [(1, "the fox is here"), (2, "nothing")], "doc_id long, c string"
+    )
+    res = percolate(spark, docs, reg, fields={"f": "c"})
+    rows = {r["doc_id"]: json.loads(r["response_json"])
+            for r in per_doc_responses(res, reg).collect()}
+    assert rows[1]["n_matches"] == 2
+    assert [m["query_id"] for m in rows[1]["matches"]] == ["000", "001"]
+    assert rows[1]["matches"][1]["highlights"] == {"f": ["the <b>fox</b> is here"]}
+    assert rows[1]["matches"][0]["highlights"] in ({}, None)  # spec-less query
+    assert rows[2]["matches"] == [{"query_id": "000", "highlights": {}}] or \
+           rows[2]["matches"][0]["query_id"] == "000"
