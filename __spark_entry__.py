@@ -599,8 +599,119 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ndjson_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 NDJSON bulk parsing incl. the per-slot parse-error channel:
+    well-formed lines are synthesized from the documents table, every
+    50th line is truncated JSON and must surface as a parse_error row
+    while its siblings parse (YPercolatorService.java:214-218)."""
+    from elasticsearch_batch_percolator_spark.sources.json_source import parse_ndjson
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    lines = docs.select(
+        F.when(F.col("doc_id") % 50 == 0, F.lit('{"action": '))
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.lit("percolate").alias("action"),
+                    (F.col("doc_id") % 7).cast("long").alias("slot"),
+                    F.struct(
+                        F.col("doc_id").cast("long").alias("doc_id"),
+                        F.col("text").alias("content"),
+                    ).alias("doc"),
+                )
+            )
+        )
+        .alias("value")
+    )
+    return parse_ndjson(spark, lines).select(
+        F.col("slot").cast("long").alias("slot"),
+        "action",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "parse_error",
+    )
+
+
+def _q_fetch_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 percolate-existing-document: multi-GET as a left-semi join; ids
+    that don't exist in the corpus are silently dropped (the reference's
+    missing-doc GET items)."""
+    from elasticsearch_batch_percolator_spark.sources.json_source import fetch_existing
+
+    corpus = _docs(spark, sf_dir)
+    wanted = corpus.select("doc_id").filter(F.col("doc_id") % 11 == 3)
+    missing = spark.range(5).select((F.col("id") + 10_000_000_000).alias("doc_id"))
+    return fetch_existing(corpus, wanted.union(missing)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def _q_registry_recover_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S6 end-to-end: register data-derived queries -> durable parquet
+    sink -> recovery scan recompiles them -> percolate. The query set is
+    the df-rank-10..14 tokens (deterministic from the corpus) so DuckDB
+    can replicate the whole chain, registration included."""
+    import hashlib
+
+    from pyspark.sql.window import Window
+
+    from elasticsearch_batch_percolator_spark import __version__
+    from elasticsearch_batch_percolator_spark.sources.registry import (
+        load_registry,
+        save_registry,
+    )
+
+    dfreq = (
+        _tokens(spark, sf_dir)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ranked = dfreq.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("df"), F.asc("term")))
+    ).filter((F.col("rk") >= 10) & (F.col("rk") <= 14))
+    terms = [r["term"] for r in ranked.collect()]  # 5 rows, bounded
+    tag = hashlib.sha256(f"{sf_dir}:reg:{__version__}".encode()).hexdigest()[:12]
+    path = f"/tmp/ebp_registry_{tag}"
+    save_registry(spark, [(f"q-{t}", {"term": {"text": t}}) for t in terms], path)
+    reg = load_registry(spark, path)
+
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", F.col("text").alias("content"))
+    )
+    res = percolate(spark, docs, reg)
+    return res.matches.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "query_id"
+    )
+
+
+def _q_percolate_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 per-doc result grouping: EVERY doc in the batch gets a response
+    row, zero-match docs included (emptyPercolateResponses,
+    BatchPercolatorService.java:268-275)."""
+    reg = CompiledRegistry.from_rows(list(_PERC_QUERIES.items()))
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", F.col("text").alias("content"))
+    )
+    res = percolate(spark, docs, reg)
+    return res.per_doc().select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("matched_queries").cast("long").alias("n_matched"),
+        F.array_join("matched_queries", ",").alias("matched"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ndjson_parse": _q_ndjson_parse,
+        "fetch_existing": _q_fetch_existing,
+        "registry_recover_percolate": _q_registry_recover_percolate,
+        "percolate_grouped": _q_percolate_grouped,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -684,6 +795,41 @@ shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
         return f"len(list_filter(t, x -> list_contains({lst(words)}, x)))"
 
     out = {
+        "ndjson_parse": """
+SELECT (doc_id % 7)::BIGINT AS slot, 'percolate' AS action,
+       doc_id::BIGINT AS doc_id, false AS parse_error
+FROM documents WHERE doc_id < 300 AND doc_id % 50 <> 0
+UNION ALL
+SELECT NULL::BIGINT AS slot, 'percolate' AS action,
+       NULL::BIGINT AS doc_id, true AS parse_error
+FROM documents WHERE doc_id < 300 AND doc_id % 50 = 0
+""",
+        "fetch_existing": """
+SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars
+FROM documents WHERE doc_id % 11 = 3
+""",
+        "registry_recover_percolate": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, u.term AS term
+  FROM documents,
+       unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS u(term)
+),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term),
+ranked AS (SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rk FROM dfq),
+sel AS (SELECT term FROM ranked WHERE rk BETWEEN 10 AND 14)
+SELECT t.doc_id::BIGINT AS doc_id, 'q-' || s.term AS query_id
+FROM tok t JOIN sel s ON t.term = s.term
+WHERE t.doc_id < 500
+""",
+        "percolate_grouped": f"""
+WITH m AS (SELECT * FROM ({perc_union}) u WHERE u.doc_id < 400)
+SELECT d.doc_id::BIGINT AS doc_id,
+       count(m.query_id)::BIGINT AS n_matched,
+       coalesce(string_agg(m.query_id, ',' ORDER BY m.query_id), '') AS matched
+FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
+LEFT JOIN m ON m.doc_id = d.doc_id
+GROUP BY d.doc_id
+""",
         "dedup_exact": """
 WITH g AS (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

@@ -150,7 +150,11 @@ def main() -> None:
         topk_from_index(spark, synth_idx, queries, k=10).count()
         timings["synth_wand_batch100"] = time.perf_counter() - t0
 
-        synth_batch = synth_corpus(spark, n_synth // 2, partitions=CPUS * 4)
+        # batch MATERIALIZED before timing: input arrival (stream/parquet on
+        # a cluster) isn't the percolate operator's cost; without this the
+        # lazy synthetic corpus is regenerated inside BOTH percolate jobs
+        synth_batch = synth_corpus(spark, n_synth // 2, partitions=CPUS * 4).persist()
+        synth_batch.count()
         # per-stage attribution: driver plan build (incl. the gate-stats
         # job) vs distributed execute — regressions in either show up
         # separately in BENCH history
@@ -164,6 +168,7 @@ def main() -> None:
             stages["synth_percolate_plan_s"] + stages["synth_percolate_execute_s"]
         )
         res.unpersist()
+        synth_batch.unpersist()
         shutil.rmtree(synth_idx, ignore_errors=True)
 
     total = sum(timings.values())

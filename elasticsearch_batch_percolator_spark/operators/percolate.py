@@ -329,17 +329,37 @@ def percolate(
             [], "doc_id long, fcol tinyint, term string"
         )
 
-    involved = sorted(
-        {
-            (col_idx[resolve[f]], v)
-            for q in registry.queries.values()
-            if q.groups
-            for g in q.groups
-            for kind, f, v in g
-            if kind == "t" and f in resolve
-        }
-    )
+    # ---- join-verify lane eligibility (phase 2, decided during phase 1) --
+    # Pure term-conjunction queries (must/filter all Terms, must_not all
+    # Terms) on plain token fields can be verified ENTIRELY in Catalyst:
+    #   batch_terms ⋈ broadcast(required+forbidden term table)
+    #   → groupBy (doc, query) → req_hits == n_required AND forbid_hits == 0
+    # No Arrow token shipping, no Python — the lane that scales with cores.
+    # "auto" guards on estimated join volume (sum of batch df over the
+    # query's terms, ungated) vs the gated candidate volume; "force"/"off"
+    # override for tests.
+    jv_mode = os.environ.get("EBP_SIMPLE_JOIN_VERIFY", "auto")
+    simple_pairs = registry.simple_verify_pairs() if jv_mode != "off" else {}
+
+    involved_set = {
+        (col_idx[resolve[f]], v)
+        for q in registry.queries.values()
+        if q.groups
+        for g in q.groups
+        for kind, f, v in g
+        if kind == "t" and f in resolve
+    }
+    # forbidden terms of join-verify candidates aren't gate-group members —
+    # add them to the stats probe so the volume estimate covers them
+    involved_set |= {
+        (col_idx[resolve[f]], t)
+        for _need, forbid in simple_pairs.values()
+        for f, t in forbid
+        if f in resolve and resolve[f] in col_idx
+    }
+    involved = sorted(involved_set)
     term_df: dict[tuple[str, str], int] = {}
+    col_df: dict[tuple[int, str], int] = {}
     if involved:
         inv_df = spark.createDataFrame(involved, "fcol tinyint, term string")
         col_df = {
@@ -360,15 +380,82 @@ def percolate(
         }
 
     lit_rows, pat_rows = registry.gates(term_df)
+
+    # pick the join-verify set: eligible = every need/forbid field resolves
+    # to a PLAIN exploded token column (nested/scalar views diverge from
+    # batch_terms' flattened rows, so those stay on the python evaluator).
+    # A required term on an unconfigured field can never match — the query
+    # joins with zero rows, same outcome as the python lane.
+    jv_qids: set[str] = set()
+    jv_rows: list[tuple[str, int, str, bool]] = []
+    jv_nreq: list[tuple[str, int]] = []
+    jv_est = 0
+    for qid, (need, forbid) in simple_pairs.items():
+        ok, never = True, False
+        need_pairs: set[tuple[int, str]] = set()
+        forb_pairs: set[tuple[int, str]] = set()
+        for f, t in need:
+            if f not in resolve:
+                never = True
+                continue
+            tc = resolve[f]
+            if tc in nested_cols or tc in scalar_cols or tc not in col_idx:
+                ok = False
+                break
+            need_pairs.add((col_idx[tc], t))
+        if ok:
+            for f, t in forbid:
+                if f not in resolve:
+                    continue  # unconfigured field: term can't be present
+                tc = resolve[f]
+                if tc in nested_cols or tc in scalar_cols or tc not in col_idx:
+                    ok = False
+                    break
+                forb_pairs.add((col_idx[tc], t))
+        if not ok:
+            continue
+        jv_qids.add(qid)
+        if never:
+            continue  # stays matched-never: no rows, no group, no match
+        for fc, t in sorted(need_pairs):
+            jv_rows.append((qid, fc, t, True))
+            jv_est += col_df.get((fc, t), 0)
+        for fc, t in sorted(forb_pairs):
+            jv_rows.append((qid, fc, t, False))
+            jv_est += col_df.get((fc, t), 0)
+        jv_nreq.append((qid, len(need_pairs)))
+    if jv_qids and jv_mode != "force":
+        # Cost model. Python-lane cost ≈ Arrow-shipping every candidate
+        # doc's tokens (bounded by |batch_terms|) + per-candidate set
+        # checks (≈ gated candidate volume). Join-lane cost ≈ the UNGATED
+        # hit volume jv_est (every (doc, term ∈ query) co-occurrence flows
+        # through the count aggregate). Large batches with few queries →
+        # token shipping dominates → join wins; huge selective registries
+        # on small batches (the reference's 225k-query shape) → jv_est
+        # dwarfs the gated candidates → the rarest-term gate + python set
+        # lane wins. batch_terms is already materialized by the gate-stats
+        # job, so the count is a cache scan.
+        gated = sum(term_df.get((f, t), 0) for q, f, t in lit_rows if q in jv_qids)
+        bt_count = batch_terms.count()
+        ratio = float(os.environ.get("EBP_JV_MAX_RATIO", "1.5"))
+        if jv_est > ratio * (bt_count + gated):
+            jv_qids, jv_rows, jv_nreq = set(), [], []
+
     # map gate rows' query fields to tokens columns; drop members on
     # unmapped fields (those contribute no candidates — an empty field can
     # never satisfy a positive term). A query whose ENTIRE gate group is
-    # unmapped gets zero candidates and correctly never matches.
+    # unmapped gets zero candidates and correctly never matches. Join-verify
+    # queries skip phase 1 entirely — their lane is exact on its own, so
+    # their gate rows would only inflate the candidate dedup shuffle.
     lit_mapped = [
-        (q, col_idx[resolve[f]], t) for q, f, t in lit_rows if f in resolve
+        (q, col_idx[resolve[f]], t)
+        for q, f, t in lit_rows
+        if f in resolve and q not in jv_qids
     ]
     pat_mapped = [
-        (q, col_idx[resolve[f]], p) for q, f, p in pat_rows if f in resolve
+        (q, col_idx[resolve[f]], p)
+        for q, f, p in pat_rows
+        if f in resolve and q not in jv_qids
     ]
 
     parts_cand = []
@@ -407,6 +494,21 @@ def percolate(
             candidates = candidates.unionByName(p.select("doc_id", "query_id"))
         candidates = candidates.dropDuplicates(["doc_id", "query_id"])
 
+    if os.environ.get("EBP_PROF_CANDIDATES"):
+        # perf-attribution hook: materialize the phase-1 candidate set so a
+        # subsequent matches.count() times phase 2 (verify) alone
+        import sys as _sys
+        import time as _time
+
+        candidates = candidates.persist()
+        cached_frames.append(candidates)
+        _t0 = _time.perf_counter()
+        _n = candidates.count()
+        print(
+            f"[ebp-prof] candidates={_n} in {_time.perf_counter() - _t0:.2f}s",
+            file=_sys.stderr,
+        )
+
     # ---- phase 2: exact verify on survivors only -------------------------
     # The default verifier is the broadcast compiled-python evaluator: per
     # candidate it is ONE dict dispatch + a compiled predicate (or the
@@ -433,6 +535,9 @@ def percolate(
     else:
         columnar = {}
         pythonic = dict(verify_plans)
+    for q in jv_qids:  # join-verify lane owns these (phase-1-skipped, exact)
+        columnar.pop(q, None)
+        pythonic.pop(q, None)
     # queries decided exactly by phase 1 pass through without verification;
     # joining on this (usually small) set beats an anti-join against the
     # 10^5-row verify set
@@ -605,6 +710,40 @@ def percolate(
                     verify_doc(F.col("qids"), *[F.col(tc) for tc in tok_cols])
                 ).alias("query_id"),
             )
+        )
+
+    if jv_rows:
+        # ---- join-verify lane: Catalyst-only exact verification ----------
+        # One broadcast hash join (no shuffle of batch_terms) + one count
+        # aggregate. req_hits == n_required ⇔ every required (field, term)
+        # present (batch_terms is deduped per (doc, fcol, term), so each
+        # present term contributes exactly one row); forbid_hits == 0 ⇔ no
+        # forbidden term present. Docs with no term overlap form no group —
+        # correctly absent since n_required >= 1 here.
+        jpdf = pd.DataFrame(
+            jv_rows, columns=["query_id", "fcol", "term", "required"]
+        )
+        jpdf["fcol"] = jpdf["fcol"].astype("int8")
+        need_sdf = spark.createDataFrame(
+            jpdf, "query_id string, fcol tinyint, term string, required boolean"
+        )
+        npdf = pd.DataFrame(jv_nreq, columns=["query_id", "n_required"])
+        nreq_sdf = spark.createDataFrame(npdf, "query_id string, n_required int")
+        jv_agg = (
+            batch_terms.join(F.broadcast(need_sdf), ["fcol", "term"])
+            .groupBy("doc_id", "query_id")
+            .agg(
+                F.count(F.when(F.col("required"), 1)).alias("req_hit"),
+                F.count(F.when(~F.col("required"), 1)).alias("forbid_hit"),
+            )
+        )
+        parts.append(
+            jv_agg.join(F.broadcast(nreq_sdf), "query_id")
+            .filter(
+                (F.col("req_hit") == F.col("n_required"))
+                & (F.col("forbid_hit") == 0)
+            )
+            .select("doc_id", "query_id")
         )
 
     if not parts:

@@ -114,6 +114,18 @@ class CompiledRegistry:
         self._bc_cache = (key, bc)
         return bc
 
+    def simple_verify_pairs(self) -> dict[str, tuple]:
+        """qid -> (need, forbid) term-pair tuples for every verify-needing
+        query that is a pure term conjunction — the input of percolate's
+        Catalyst join-verify lane (same predicate the broadcast "simple"
+        python lane evaluates; the two lanes are equivalence-tested)."""
+        out: dict[str, tuple] = {}
+        for qid, plan in self.gate_verify_plans().items():
+            req = _simple_required(plan)
+            if req is not None:
+                out[qid] = req
+        return out
+
     @classmethod
     def from_rows(cls, rows: list[tuple[str, str | dict]]) -> "CompiledRegistry":
         reg = cls()

@@ -1,0 +1,84 @@
+"""Join-verify lane equivalence: the Catalyst term-conjunction verifier
+(batch_terms ⋈ broadcast need/forbid table → count aggregate) must produce
+EXACTLY the matches of the broadcast python evaluator for every simple
+registry shape — multi-field, must_not, unconfigured fields, duplicated
+terms, required∩forbidden — in both single- and multi-field modes."""
+
+import os
+import random
+
+import pytest
+
+from elasticsearch_batch_percolator_spark.corpus import synth_corpus
+from elasticsearch_batch_percolator_spark.corpus import VOCAB
+from elasticsearch_batch_percolator_spark.operators.percolate import percolate
+from elasticsearch_batch_percolator_spark.sources.registry import CompiledRegistry
+
+
+def _registry(seed: int, n: int) -> CompiledRegistry:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        must = [{"term": {"text": rng.choice(VOCAB)}} for _ in range(rng.randint(1, 3))]
+        mnot = [{"term": {"text": rng.choice(VOCAB)}} for _ in range(rng.randint(0, 2))]
+        rows.append((f"q{i}", {"bool": {"must": must, "must_not": mnot}}))
+    rows += [
+        # multi-field conjunction across two analyzed fields
+        ("mfA", {"bool": {"must": [{"term": {"text": "merge"}},
+                                   {"term": {"lang": "java"}}]}}),
+        ("mfB", {"bool": {"must": [{"term": {"text": "spark"}}],
+                          "must_not": [{"term": {"lang": "go"}}]}}),
+        # required term on an unconfigured field: can never match
+        ("unconf", {"bool": {"must": [{"term": {"nosuchfield": "x"}}]}}),
+        # forbidden term on an unconfigured field: never present, ignored
+        ("unconf_not", {"bool": {"must": [{"term": {"text": "join"}}],
+                                 "must_not": [{"term": {"ghost": "y"}}]}}),
+        # duplicated required term: containment is idempotent
+        ("dup", {"bool": {"must": [{"term": {"text": "the"}},
+                                   {"term": {"text": "the"}}]}}),
+        # same term required AND forbidden: can never match
+        ("both", {"bool": {"must": [{"term": {"text": "row"}}],
+                           "must_not": [{"term": {"text": "row"}}]}}),
+    ]
+    return CompiledRegistry.from_rows(rows)
+
+
+def _matches(spark, batch, reg, mode, fields):
+    os.environ["EBP_SIMPLE_JOIN_VERIFY"] = mode
+    try:
+        res = percolate(spark, batch, reg, fields=fields)
+        out = {(int(r["doc_id"]), r["query_id"]) for r in res.matches.collect()}
+        res.unpersist()
+        return out
+    finally:
+        os.environ.pop("EBP_SIMPLE_JOIN_VERIFY", None)
+
+
+@pytest.mark.parametrize("fields", [None, {"text": "content", "lang": "lang"}])
+def test_join_verify_equivalent_to_python_lane(spark, fields):
+    reg = _registry(99, 60)
+    batch = synth_corpus(spark, 1500, partitions=4).persist()
+    batch.count()
+    try:
+        off = _matches(spark, batch, reg, "off", fields)
+        force = _matches(spark, batch, reg, "force", fields)
+    finally:
+        batch.unpersist()
+    assert force == off
+    assert off  # non-vacuous: the corpus produces matches
+
+
+def test_join_verify_auto_guard_rejects_hot_ungated_volume(spark, monkeypatch):
+    """A tiny batch with a huge selective registry (the reference's 225k
+    shape in miniature) must NOT pick the ungated join: jv_est (sum of df
+    over all query terms) far exceeds batch_terms + gated candidates."""
+    monkeypatch.setenv("EBP_JV_MAX_RATIO", "0.0")  # force-reject in auto
+    reg = _registry(7, 40)
+    batch = synth_corpus(spark, 500, partitions=2).persist()
+    batch.count()
+    try:
+        auto = _matches(spark, batch, reg, "auto", None)
+        off = _matches(spark, batch, reg, "off", None)
+    finally:
+        batch.unpersist()
+    assert auto == off
