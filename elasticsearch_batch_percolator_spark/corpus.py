@@ -81,11 +81,13 @@ _M1, _M2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xBF58476D1CE4E5B9)
 
 
 def _mix(i: np.ndarray, j: int) -> np.ndarray:
-    """Deterministic 64-bit mix of (row index, stream id) — a splitmix64 step."""
-    x = (i.astype(np.uint64) + np.uint64(j + 1) * _M1) * _M2
-    x ^= x >> np.uint64(31)
-    x *= _M1
-    x ^= x >> np.uint64(29)
+    """Deterministic 64-bit mix of (row index, stream id) — a splitmix64 step.
+    uint64 wraparound is the point; silence numpy's overflow warning."""
+    with np.errstate(over="ignore"):
+        x = (i.astype(np.uint64) + np.uint64(j + 1) * _M1) * _M2
+        x ^= x >> np.uint64(31)
+        x *= _M1
+        x ^= x >> np.uint64(29)
     return x
 
 

@@ -53,6 +53,11 @@ from ..sources.registry import CompiledRegistry
 from .match import match_col
 
 
+# join-verify bigram streams live in an offset fcol space so one need
+# table + one aggregate covers both token and bigram containment
+_BIGRAM_FCOL_OFF = 64
+
+
 def _qid_df(spark: SparkSession, qids) -> DataFrame:
     """query_id DataFrame via pandas/Arrow — 10x faster than a Python
     tuple list at 10^5 registries (driver-side plan-build latency)."""
@@ -339,7 +344,7 @@ def percolate(
     # query's terms, ungated) vs the gated candidate volume; "force"/"off"
     # override for tests.
     jv_mode = os.environ.get("EBP_SIMPLE_JOIN_VERIFY", "auto")
-    simple_pairs = registry.simple_verify_pairs() if jv_mode != "off" else {}
+    jv_atoms = registry.jv_verify_atoms() if jv_mode != "off" else {}
 
     involved_set = {
         (col_idx[resolve[f]], v)
@@ -349,13 +354,15 @@ def percolate(
         for kind, f, v in g
         if kind == "t" and f in resolve
     }
-    # forbidden terms of join-verify candidates aren't gate-group members —
-    # add them to the stats probe so the volume estimate covers them
+    # forbidden atoms of join-verify candidates aren't gate-group members —
+    # add their words to the stats probe so the volume estimate covers them
+    # (bigram atoms are estimated via min over their two words' df)
     involved_set |= {
-        (col_idx[resolve[f]], t)
-        for _need, forbid in simple_pairs.values()
-        for f, t in forbid
+        (col_idx[resolve[f]], w)
+        for _need, forbid in jv_atoms.values()
+        for kind, f, v in forbid
         if f in resolve and resolve[f] in col_idx
+        for w in (v.split(" ") if kind == "b" else [v])
     }
     involved = sorted(involved_set)
     term_df: dict[tuple[str, str], int] = {}
@@ -386,43 +393,58 @@ def percolate(
     # batch_terms' flattened rows, so those stay on the python evaluator).
     # A required term on an unconfigured field can never match — the query
     # joins with zero rows, same outcome as the python lane.
+    # bigram atoms ("b") join against a per-column bigram stream whose fcol
+    # is offset by _BIGRAM_FCOL_OFF — one need table, one aggregate, both
+    # token and bigram containment
     jv_qids: set[str] = set()
     jv_rows: list[tuple[str, int, str, bool]] = []
     jv_nreq: list[tuple[str, int]] = []
+    jv_bigram_cols: set[str] = set()
     jv_est = 0
-    for qid, (need, forbid) in simple_pairs.items():
+
+    def _atom_df(fc: int, kind: str, v: str) -> int:
+        if kind == "b":
+            w1, w2 = v.split(" ", 1)
+            return min(col_df.get((fc, w1), 0), col_df.get((fc, w2), 0))
+        return col_df.get((fc, v), 0)
+
+    for qid, (need, forbid) in jv_atoms.items():
         ok, never = True, False
-        need_pairs: set[tuple[int, str]] = set()
-        forb_pairs: set[tuple[int, str]] = set()
-        for f, t in need:
-            if f not in resolve:
-                never = True
-                continue
-            tc = resolve[f]
-            if tc in nested_cols or tc in scalar_cols or tc not in col_idx:
-                ok = False
-                break
-            need_pairs.add((col_idx[tc], t))
-        if ok:
-            for f, t in forbid:
+        need_pairs: set[tuple[int, str, str]] = set()
+        forb_pairs: set[tuple[int, str, str]] = set()
+        for pairs, atoms in ((need_pairs, need), (forb_pairs, forbid)):
+            required = pairs is need_pairs
+            for kind, f, v in atoms:
                 if f not in resolve:
-                    continue  # unconfigured field: term can't be present
+                    if required:
+                        never = True  # required on unconfigured field
+                    continue  # forbidden on unconfigured: can't be present
                 tc = resolve[f]
                 if tc in nested_cols or tc in scalar_cols or tc not in col_idx:
                     ok = False
                     break
-                forb_pairs.add((col_idx[tc], t))
+                if kind == "b" and col_idx[tc] + _BIGRAM_FCOL_OFF > 127:
+                    ok = False  # tinyint fcol space exhausted (>64 columns)
+                    break
+                pairs.add((col_idx[tc], kind, v))
+            if not ok:
+                break
         if not ok:
             continue
         jv_qids.add(qid)
         if never:
             continue  # stays matched-never: no rows, no group, no match
-        for fc, t in sorted(need_pairs):
-            jv_rows.append((qid, fc, t, True))
-            jv_est += col_df.get((fc, t), 0)
-        for fc, t in sorted(forb_pairs):
-            jv_rows.append((qid, fc, t, False))
-            jv_est += col_df.get((fc, t), 0)
+        for fc, kind, v in sorted(need_pairs | forb_pairs):
+            required = (fc, kind, v) in need_pairs
+            fc_eff = fc + _BIGRAM_FCOL_OFF if kind == "b" else fc
+            if kind == "b":
+                jv_bigram_cols.add(used_tok_cols[fc])
+            if required:
+                jv_rows.append((qid, fc_eff, v, True))
+                jv_est += _atom_df(fc, kind, v)
+            if (fc, kind, v) in forb_pairs:
+                jv_rows.append((qid, fc_eff, v, False))
+                jv_est += _atom_df(fc, kind, v)
         jv_nreq.append((qid, len(need_pairs)))
     if jv_qids and jv_mode != "force":
         # Cost model. Python-lane cost ≈ Arrow-shipping every candidate
@@ -438,8 +460,18 @@ def percolate(
         gated = sum(term_df.get((f, t), 0) for q, f, t in lit_rows if q in jv_qids)
         bt_count = batch_terms.count()
         ratio = float(os.environ.get("EBP_JV_MAX_RATIO", "1.5"))
+        if os.environ.get("EBP_PROF_CANDIDATES"):
+            import sys as _sys
+
+            print(
+                f"[ebp-prof] jv: {len(jv_qids)} queries, est={jv_est}, "
+                f"bt={bt_count}, gated={gated}, "
+                f"on={jv_est <= ratio * (bt_count + gated)}",
+                file=_sys.stderr,
+            )
         if jv_est > ratio * (bt_count + gated):
             jv_qids, jv_rows, jv_nreq = set(), [], []
+            jv_bigram_cols = set()
 
     # map gate rows' query fields to tokens columns; drop members on
     # unmapped fields (those contribute no candidates — an empty field can
@@ -729,13 +761,37 @@ def percolate(
         )
         npdf = pd.DataFrame(jv_nreq, columns=["query_id", "n_required"])
         nreq_sdf = spark.createDataFrame(npdf, "query_id string, n_required int")
-        jv_agg = (
-            batch_terms.join(F.broadcast(need_sdf), ["fcol", "term"])
-            .groupBy("doc_id", "query_id")
-            .agg(
-                F.count(F.when(F.col("required"), 1)).alias("req_hit"),
-                F.count(F.when(~F.col("required"), 1)).alias("forbid_hit"),
+        jv_hits = batch_terms.join(F.broadcast(need_sdf), ["fcol", "term"])
+        if jv_bigram_cols:
+            # bigram streams: adjacent token pairs of each referenced
+            # column under the offset fcol space. Join BEFORE dedup — the
+            # broadcast need join filters the explode down to referenced
+            # bigrams, so the dedup shuffles only actual hits.
+            bstreams = []
+            for tc in sorted(jv_bigram_cols):
+                fcb = col_idx[tc] + _BIGRAM_FCOL_OFF
+                bg = (
+                    f"zip_with(slice({tc}, 1, greatest(size({tc})-1, 0)), "
+                    f"slice({tc}, 2, greatest(size({tc})-1, 0)), "
+                    f"(x, y) -> concat(x, ' ', y))"
+                )
+                bstreams.append(
+                    batch.select(
+                        "doc_id",
+                        F.lit(fcb).cast("tinyint").alias("fcol"),
+                        F.explode(F.expr(bg)).alias("term"),
+                    )
+                )
+            bs = bstreams[0]
+            for p in bstreams[1:]:
+                bs = bs.unionByName(p)
+            bhits = bs.join(F.broadcast(need_sdf), ["fcol", "term"]).dropDuplicates(
+                ["doc_id", "query_id", "fcol", "term", "required"]
             )
+            jv_hits = jv_hits.select(bhits.columns).unionByName(bhits)
+        jv_agg = jv_hits.groupBy("doc_id", "query_id").agg(
+            F.count(F.when(F.col("required"), 1)).alias("req_hit"),
+            F.count(F.when(~F.col("required"), 1)).alias("forbid_hit"),
         )
         parts.append(
             jv_agg.join(F.broadcast(nreq_sdf), "query_id")

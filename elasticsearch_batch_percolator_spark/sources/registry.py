@@ -47,6 +47,7 @@ from ..plans.query_plan import (
     Bool,
     MatchAll,
     MatchNone,
+    Phrase,
     Plan,
     Range,
     Term,
@@ -114,14 +115,18 @@ class CompiledRegistry:
         self._bc_cache = (key, bc)
         return bc
 
-    def simple_verify_pairs(self) -> dict[str, tuple]:
-        """qid -> (need, forbid) term-pair tuples for every verify-needing
-        query that is a pure term conjunction — the input of percolate's
-        Catalyst join-verify lane (same predicate the broadcast "simple"
-        python lane evaluates; the two lanes are equivalence-tested)."""
+    def jv_verify_atoms(self) -> dict[str, tuple]:
+        """qid -> (need, forbid) atom tuples for every verify-needing query
+        the Catalyst join-verify lane can evaluate exactly. Atoms are
+        ("t", field, term) — term containment — or ("b", field, "w1 w2") —
+        2-term slop-0 phrase, which is EXACTLY bigram containment. Eligible
+        shapes: a bare 2-term phrase, or Bool whose must/filter/must_not
+        clauses are all Terms / 2-term-slop-0 Phrases (shoulds are
+        score-only when must/filter present — evaluator semantics). The
+        lane is equivalence-tested against the python evaluator."""
         out: dict[str, tuple] = {}
         for qid, plan in self.gate_verify_plans().items():
-            req = _simple_required(plan)
+            req = _jv_requirements(plan)
             if req is not None:
                 out[qid] = req
         return out
@@ -295,6 +300,34 @@ class CompiledRegistry:
                     else:
                         pat_rows.append((q.query_id, f, wildcard_to_like(v)))
         return lit_rows, pat_rows
+
+
+def _jv_atom(c: Plan) -> tuple | None:
+    """A clause the join-verify lane evaluates via containment in a single
+    (doc, fcol, token-or-bigram) stream; None when not expressible."""
+    if isinstance(c, Term):
+        return ("t", c.field, c.value)
+    if isinstance(c, Phrase) and len(c.terms) == 2 and c.slop == 0:
+        return ("b", c.field, f"{c.terms[0]} {c.terms[1]}")
+    return None
+
+
+def _jv_requirements(plan: Plan) -> tuple | None:
+    """(need, forbid) atom tuples when ``plan`` is exactly "doc satisfies
+    every need atom and no forbid atom"; None otherwise."""
+    a = _jv_atom(plan)
+    if a is not None:
+        return ((a,), ())
+    if isinstance(plan, Bool):
+        clauses = plan.must + plan.filter
+        if clauses:
+            need = [_jv_atom(c) for c in clauses]
+            forbid = [_jv_atom(c) for c in plan.must_not]
+            if all(x is not None for x in need) and all(
+                x is not None for x in forbid
+            ):
+                return (tuple(need), tuple(forbid))
+    return None
 
 
 def _simple_required(plan: Plan) -> tuple | None:

@@ -19,8 +19,18 @@ def _registry(seed: int, n: int) -> CompiledRegistry:
     rng = random.Random(seed)
     rows = []
     for i in range(n):
-        must = [{"term": {"text": rng.choice(VOCAB)}} for _ in range(rng.randint(1, 3))]
-        mnot = [{"term": {"text": rng.choice(VOCAB)}} for _ in range(rng.randint(0, 2))]
+        def clause():
+            if rng.random() < 0.3:  # 2-term slop-0 phrase: exact via bigram
+                return {"phrase": {"field": "text",
+                                   "terms": [rng.choice(VOCAB), rng.choice(VOCAB)]}}
+            return {"term": {"text": rng.choice(VOCAB)}}
+        if rng.random() < 0.15:
+            rows.append((f"q{i}", {"phrase": {"field": "text",
+                                              "terms": [rng.choice(VOCAB),
+                                                        rng.choice(VOCAB)]}}))
+            continue
+        must = [clause() for _ in range(rng.randint(1, 3))]
+        mnot = [clause() for _ in range(rng.randint(0, 2))]
         rows.append((f"q{i}", {"bool": {"must": must, "must_not": mnot}}))
     rows += [
         # multi-field conjunction across two analyzed fields
@@ -39,6 +49,14 @@ def _registry(seed: int, n: int) -> CompiledRegistry:
         # same term required AND forbidden: can never match
         ("both", {"bool": {"must": [{"term": {"text": "row"}}],
                            "must_not": [{"term": {"text": "row"}}]}}),
+        # NOT jv-eligible (3 terms / slop>0): must still verify correctly
+        # through the python lane alongside jv siblings
+        ("p3", {"phrase": {"field": "text", "terms": ["the", "def", "import"]}}),
+        ("pslop", {"phrase": {"field": "text", "terms": ["the", "class"], "slop": 1}}),
+        # forbidden 2-term phrase: bigram containment must exclude
+        ("pnot", {"bool": {"must": [{"term": {"text": "the"}}],
+                           "must_not": [{"phrase": {"field": "text",
+                                                    "terms": ["the", "def"]}}]}}),
     ]
     return CompiledRegistry.from_rows(rows)
 
