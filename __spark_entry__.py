@@ -706,8 +706,35 @@ def _q_percolate_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming windowed percolation counts run in batch mode
+    (same plan; watermark is a streaming no-op): matched docs per event-time
+    window per query. ts is synthesized as doc_id*30s so DuckDB can bucket
+    identically."""
+    from elasticsearch_batch_percolator_spark.streaming.windowed import (
+        windowed_match_counts,
+    )
+
+    sub = {k: v for k, v in _PERC_QUERIES.items() if k != "q-wild"}
+    reg = CompiledRegistry.from_rows(list(sub.items()))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("text").alias("content"),
+        F.timestamp_seconds(F.col("doc_id") * 30).alias("ts"),
+    )
+    out = windowed_match_counts(
+        spark, docs, reg, window_duration="10 minutes", watermark=None
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "query_id",
+        F.col("n_docs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "windowed_match_counts": _q_windowed_counts,
         "ndjson_parse": _q_ndjson_parse,
         "fetch_existing": _q_fetch_existing,
         "registry_recover_percolate": _q_registry_recover_percolate,
@@ -794,7 +821,21 @@ shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
     def hits(words):
         return f"len(list_filter(t, x -> list_contains({lst(words)}, x)))"
 
+    win_union = " UNION ALL ".join(
+        [
+            f"SELECT doc_id, 'q-term' AS query_id FROM documents WHERE {contains.format(t='row')}",
+            f"SELECT doc_id, 'q-bool' AS query_id FROM documents WHERE {contains.format(t='spark')} AND {contains.format(t='window')}",
+            f"SELECT doc_id, 'q-phrase' AS query_id FROM documents WHERE {phrase.format(p='the fast')}",
+            f"SELECT doc_id, 'q-not' AS query_id FROM documents WHERE {contains.format(t='vector')} AND NOT {contains.format(t='join')}",
+        ]
+    )
     out = {
+        "windowed_match_counts": f"""
+SELECT ((doc_id * 30) // 600 * 600)::BIGINT AS window_start_epoch,
+       query_id, count(*)::BIGINT AS n_docs
+FROM ({win_union})
+GROUP BY 1, 2
+""",
         "ndjson_parse": """
 SELECT (doc_id % 7)::BIGINT AS slot, 'percolate' AS action,
        doc_id::BIGINT AS doc_id, false AS parse_error

@@ -1,0 +1,133 @@
+"""Windowed watermarked percolation counts: batch-mode equivalence vs the
+full percolation engine, and a real Structured Streaming run with
+watermark-driven window close + late-data drop."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_batch_percolator_spark.operators.percolate import percolate
+from elasticsearch_batch_percolator_spark.sources.registry import CompiledRegistry
+from elasticsearch_batch_percolator_spark.streaming.windowed import (
+    windowed_match_counts,
+)
+
+QUERIES = {
+    "q-term": {"term": {"content": "fox"}},
+    "q-bool": {"bool": {"must": [{"term": {"content": "the"}},
+                                  {"term": {"content": "fox"}}]}},
+    "q-phrase": {"phrase": {"field": "content", "terms": ["the", "fox"]}},
+    "q-not": {"bool": {"must": [{"term": {"content": "wolf"}}],
+                       "must_not": [{"term": {"content": "fox"}}]}},
+    "q-all": {"match_all": {}},
+}
+
+DOCS = [
+    (0, "the fox is here"),
+    (1, "fox the run"),          # q-term/q-bool yes, q-phrase no
+    (2, "a wolf at night"),      # q-not yes
+    (3, "wolf meets the fox"),   # q-not no (fox present)
+    (4, "nothing relevant"),
+]
+
+
+def _docs_df(spark, minute_of):
+    rows = [
+        (i, c, f"2026-01-01 00:{minute_of(i):02d}:00") for i, c in DOCS
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, content string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+def test_windowed_counts_match_percolate_ground_truth(spark):
+    reg = CompiledRegistry.from_rows(list(QUERIES.items()))
+    docs = _docs_df(spark, lambda i: i * 7)  # windows: 0-10, 10-20, 20-30
+    out = windowed_match_counts(
+        spark, docs, reg, window_duration="10 minutes", watermark=None
+    )
+    got = {
+        (r["window_start"].minute, r["query_id"]): r["n_docs"]
+        for r in out.collect()
+    }
+
+    res = percolate(spark, docs.drop("ts"), reg)
+    truth = {}
+    for r in res.matches.collect():
+        minute = (r["doc_id"] * 7 // 10) * 10
+        key = (minute, r["query_id"])
+        truth[key] = truth.get(key, 0) + 1
+    res.unpersist()
+    assert got == truth
+    assert got  # non-vacuous
+
+
+def test_windowed_unsupported_raises(spark):
+    reg = CompiledRegistry.from_rows([("w", {"wildcard": {"content": "fo*"}})])
+    docs = _docs_df(spark, lambda i: 0)
+    with pytest.raises(ValueError, match="unsupported"):
+        windowed_match_counts(spark, docs, reg)
+    out = windowed_match_counts(spark, docs, reg, skip_unsupported=True)
+    assert out.count() == 0
+
+
+def test_windowed_stream_watermark_close_and_late_drop(spark, tmp_path):
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    reg = CompiledRegistry.from_rows([("q-fox", {"term": {"content": "fox"}})])
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, content string, ts_s string"
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    write_batch("b0", [(1, "the fox", "2026-01-01 00:01:00"),
+                       (2, "a fox too", "2026-01-01 00:02:00")])
+
+    stream = spark.readStream.schema(
+        "doc_id long, content string, ts timestamp"
+    ).parquet(str(src / "*"))
+    counts = windowed_match_counts(
+        spark, stream, reg, window_duration="10 minutes", watermark="5 minutes"
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance event time far past the first window + watermark -> the
+        # 00:00-00:10 window closes and emits after this batch
+        write_batch("b1", [(3, "future fox", "2026-01-01 01:00:00")])
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            try:
+                rows = spark.read.parquet(str(out)).collect()
+            except Exception:
+                rows = []
+            if rows:
+                break
+            time.sleep(0.5)
+        # a LATE fox doc into the closed window arrives AFTER the watermark
+        # advanced (watermark is updated from the PREVIOUS batch's max
+        # event time) — append mode must drop it
+        write_batch("b2", [(4, "late fox", "2026-01-01 00:03:00")])
+        q.processAllAvailable()
+        q.processAllAvailable()
+        rows = spark.read.parquet(str(out)).collect()
+    finally:
+        q.stop()
+
+    emitted = {(r["window_start"].hour, r["window_start"].minute): r["n_docs"]
+               for r in rows}
+    # first window emitted with the 2 on-time docs only (late doc dropped);
+    # the 01:00 window is still open (no later event), so not emitted yet
+    assert emitted == {(0, 0): 2}
