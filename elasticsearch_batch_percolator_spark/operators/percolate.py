@@ -58,6 +58,110 @@ from .match import match_col
 _BIGRAM_FCOL_OFF = 64
 
 
+def _jv_structs(
+    registry: CompiledRegistry,
+    resolve: dict,
+    col_idx: dict,
+    nested_cols: set,
+    scalar_cols: set,
+    used_tok_cols: list,
+) -> tuple[dict, set, set]:
+    """Layout-dependent join-verify structures, CACHED on the registry per
+    (version, field layout): recomputing atom eligibility for 10^5 queries
+    costs seconds per batch, but it only changes when the registry mutates
+    or the batch field mapping differs.
+
+    Returns (specs, probe_terms, bigram_probe):
+      specs[qid] = (rows, n_required, atoms, bigram_cols, never)
+      probe_terms = {(fc, word)} forbidden/bigram words for the df stats probe
+      bigram_probe = {(fc, bigram)} bigram atoms needing exact df
+    """
+    layout = (
+        tuple(sorted(resolve.items())),
+        tuple(used_tok_cols),
+        tuple(sorted(nested_cols)),
+        tuple(sorted(scalar_cols)),
+    )
+    key = (registry.version, layout)
+    cached = getattr(registry, "_jv_struct_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+
+    def plain_fc(f: str):
+        tc = resolve.get(f)
+        if tc is None or tc in nested_cols or tc in scalar_cols:
+            return None
+        return col_idx.get(tc)
+
+    specs: dict[str, tuple] = {}
+    probe_terms: set[tuple[int, str]] = set()
+    bigram_probe: set[tuple[int, str]] = set()
+    for qid, (need, forbid) in registry.jv_verify_atoms().items():
+        ok, never = True, False
+        need_pairs: set[tuple[int, str, str]] = set()
+        forb_pairs: set[tuple[int, str, str]] = set()
+        for pairs, atoms in ((need_pairs, need), (forb_pairs, forbid)):
+            required = pairs is need_pairs
+            for kind, f, v in atoms:
+                fc = plain_fc(f)
+                if fc is None:
+                    if f in resolve:
+                        ok = False  # nested/scalar view: python lane
+                        break
+                    if required:
+                        never = True  # required on unconfigured field
+                    continue  # forbidden on unconfigured: can't be present
+                if kind == "b" and fc + _BIGRAM_FCOL_OFF > 127:
+                    ok = False  # tinyint fcol space exhausted (>64 columns)
+                    break
+                pairs.add((fc, kind, v))
+            if not ok:
+                break
+        if not ok:
+            continue
+        if never:
+            specs[qid] = ((), 0, (), (), True)
+            continue
+        rows_q: list[tuple[str, int, str, bool]] = []
+        atoms_q: list[tuple[int, str, str]] = []
+        bcols_q: set[str] = set()
+        for fc, kind, v in sorted(need_pairs | forb_pairs):
+            fc_eff = fc + _BIGRAM_FCOL_OFF if kind == "b" else fc
+            if kind == "b":
+                bcols_q.add(used_tok_cols[fc])
+                bigram_probe.add((fc, v))
+                probe_terms.update((fc, w) for w in v.split(" "))
+            if (fc, kind, v) in need_pairs:
+                rows_q.append((qid, fc_eff, v, True))
+                atoms_q.append((fc, kind, v))
+            if (fc, kind, v) in forb_pairs:
+                rows_q.append((qid, fc_eff, v, False))
+                atoms_q.append((fc, kind, v))
+                if kind == "t":
+                    probe_terms.add((fc, v))
+        specs[qid] = (tuple(rows_q), len(need_pairs), tuple(atoms_q),
+                      tuple(sorted(bcols_q)), False)
+    out = (specs, probe_terms, bigram_probe)
+    registry._jv_struct_cache = (key, out)
+    return out
+
+
+def _bigram_stream(batch: DataFrame, tc: str, fcb: int) -> DataFrame:
+    """(doc_id, fcol=fcb, term='w1 w2') rows — adjacent token pairs of
+    column ``tc``. Null/short arrays yield no rows (slice/zip_with/explode
+    null semantics)."""
+    bg = (
+        f"zip_with(slice({tc}, 1, greatest(size({tc})-1, 0)), "
+        f"slice({tc}, 2, greatest(size({tc})-1, 0)), "
+        f"(x, y) -> concat(x, ' ', y))"
+    )
+    return batch.select(
+        "doc_id",
+        F.lit(fcb).cast("tinyint").alias("fcol"),
+        F.explode(F.expr(bg)).alias("term"),
+    )
+
+
 def _qid_df(spark: SparkSession, qids) -> DataFrame:
     """query_id DataFrame via pandas/Arrow — 10x faster than a Python
     tuple list at 10^5 registries (driver-side plan-build latency)."""
@@ -344,7 +448,12 @@ def percolate(
     # query's terms, ungated) vs the gated candidate volume; "force"/"off"
     # override for tests.
     jv_mode = os.environ.get("EBP_SIMPLE_JOIN_VERIFY", "auto")
-    jv_atoms = registry.jv_verify_atoms() if jv_mode != "off" else {}
+    if jv_mode != "off":
+        jv_specs, jv_probe_terms, jv_bigram_probe = _jv_structs(
+            registry, resolve, col_idx, nested_cols, scalar_cols, used_tok_cols
+        )
+    else:
+        jv_specs, jv_probe_terms, jv_bigram_probe = {}, set(), set()
 
     involved_set = {
         (col_idx[resolve[f]], v)
@@ -356,14 +465,7 @@ def percolate(
     }
     # forbidden atoms of join-verify candidates aren't gate-group members —
     # add their words to the stats probe so the volume estimate covers them
-    # (bigram atoms are estimated via min over their two words' df)
-    involved_set |= {
-        (col_idx[resolve[f]], w)
-        for _need, forbid in jv_atoms.values()
-        for kind, f, v in forbid
-        if f in resolve and resolve[f] in col_idx
-        for w in (v.split(" ") if kind == "b" else [v])
-    }
+    involved_set |= jv_probe_terms
     involved = sorted(involved_set)
     term_df: dict[tuple[str, str], int] = {}
     col_df: dict[tuple[int, str], int] = {}
@@ -400,78 +502,102 @@ def percolate(
     jv_rows: list[tuple[str, int, str, bool]] = []
     jv_nreq: list[tuple[str, int]] = []
     jv_bigram_cols: set[str] = set()
-    jv_est = 0
+
+    # exact bigram selectivities: min(unigram df) is a LOOSE upper bound —
+    # the two words may rarely be adjacent. The exact-df probe (one extra
+    # explode → broadcast join → countDistinct job) only matters for the
+    # per-query lane choice (level 2 below), which is OFF by default:
+    # measured at the 225k-queries × 20k-docs shape, routing the 45k
+    # phrase queries through the join lane cost ~10s MORE per batch than
+    # their python verification saved (the probe + extra stages outweigh
+    # 178k candidate checks). Set EBP_JV_PER_QUERY_RATIO > 0 to enable.
+    jv_beta = float(os.environ.get("EBP_JV_PER_QUERY_RATIO", "0"))
+    if jv_bigram_probe and jv_beta > 0:
+        bpdf = pd.DataFrame(
+            sorted((fc + _BIGRAM_FCOL_OFF, v) for fc, v in jv_bigram_probe),
+            columns=["fcol", "term"],
+        )
+        bpdf["fcol"] = bpdf["fcol"].astype("int8")
+        bp_df = spark.createDataFrame(bpdf, "fcol tinyint, term string")
+        bstreams = [
+            _bigram_stream(batch, tc, col_idx[tc] + _BIGRAM_FCOL_OFF)
+            for tc in sorted({used_tok_cols[fc] for fc, _ in jv_bigram_probe})
+        ]
+        bs = bstreams[0]
+        for p in bstreams[1:]:
+            bs = bs.unionByName(p)
+        probed = {
+            (int(r["fcol"]), r["term"]): int(r["df"])
+            for r in bs.join(F.broadcast(bp_df), ["fcol", "term"])
+            .groupBy("fcol", "term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .collect()
+        }
+        for fc, v in jv_bigram_probe:  # absent from the batch -> df 0
+            col_df[(fc + _BIGRAM_FCOL_OFF, v)] = probed.get(
+                (fc + _BIGRAM_FCOL_OFF, v), 0
+            )
 
     def _atom_df(fc: int, kind: str, v: str) -> int:
         if kind == "b":
-            w1, w2 = v.split(" ", 1)
+            exact = col_df.get((fc + _BIGRAM_FCOL_OFF, v))
+            if exact is not None:
+                return exact
+            w1, w2 = v.split(" ", 1)  # probe skipped: min-unigram bound
             return min(col_df.get((fc, w1), 0), col_df.get((fc, w2), 0))
         return col_df.get((fc, v), 0)
 
-    for qid, (need, forbid) in jv_atoms.items():
-        ok, never = True, False
-        need_pairs: set[tuple[int, str, str]] = set()
-        forb_pairs: set[tuple[int, str, str]] = set()
-        for pairs, atoms in ((need_pairs, need), (forb_pairs, forbid)):
-            required = pairs is need_pairs
-            for kind, f, v in atoms:
-                if f not in resolve:
-                    if required:
-                        never = True  # required on unconfigured field
-                    continue  # forbidden on unconfigured: can't be present
-                tc = resolve[f]
-                if tc in nested_cols or tc in scalar_cols or tc not in col_idx:
-                    ok = False
-                    break
-                if kind == "b" and col_idx[tc] + _BIGRAM_FCOL_OFF > 127:
-                    ok = False  # tinyint fcol space exhausted (>64 columns)
-                    break
-                pairs.add((col_idx[tc], kind, v))
-            if not ok:
-                break
-        if not ok:
-            continue
-        jv_qids.add(qid)
-        if never:
-            continue  # stays matched-never: no rows, no group, no match
-        for fc, kind, v in sorted(need_pairs | forb_pairs):
-            required = (fc, kind, v) in need_pairs
-            fc_eff = fc + _BIGRAM_FCOL_OFF if kind == "b" else fc
-            if kind == "b":
-                jv_bigram_cols.add(used_tok_cols[fc])
-            if required:
-                jv_rows.append((qid, fc_eff, v, True))
-                jv_est += _atom_df(fc, kind, v)
-            if (fc, kind, v) in forb_pairs:
-                jv_rows.append((qid, fc_eff, v, False))
-                jv_est += _atom_df(fc, kind, v)
-        jv_nreq.append((qid, len(need_pairs)))
-    if jv_qids and jv_mode != "force":
-        # Cost model. Python-lane cost ≈ Arrow-shipping every candidate
-        # doc's tokens (bounded by |batch_terms|) + per-candidate set
-        # checks (≈ gated candidate volume). Join-lane cost ≈ the UNGATED
-        # hit volume jv_est (every (doc, term ∈ query) co-occurrence flows
-        # through the count aggregate). Large batches with few queries →
-        # token shipping dominates → join wins; huge selective registries
-        # on small batches (the reference's 225k-query shape) → jv_est
-        # dwarfs the gated candidates → the rarest-term gate + python set
-        # lane wins. batch_terms is already materialized by the gate-stats
-        # job, so the count is a cache scan.
-        gated = sum(term_df.get((f, t), 0) for q, f, t in lit_rows if q in jv_qids)
-        bt_count = batch_terms.count()
-        ratio = float(os.environ.get("EBP_JV_MAX_RATIO", "1.5"))
-        if os.environ.get("EBP_PROF_CANDIDATES"):
-            import sys as _sys
+    if jv_specs:
+        # Two-level cost model. Python-lane cost ≈ Arrow-shipping every
+        # candidate doc's tokens (bounded by |batch_terms|, a FIXED cost
+        # paid once if ANY query stays pythonic) + per-candidate set checks
+        # (≈ gated candidate volume). Join-lane cost ≈ the ungated hit
+        # volume est_q per query.
+        #   Level 1 — if the TOTAL est is comparable to the python lane's
+        #   fixed + variable cost, take everything (no python lane at all).
+        #   Level 2 — otherwise take each query whose own hit volume beats
+        #   its gated candidate volume (phrases with rare bigrams, absent
+        #   terms, ...); the rest keep the rarest-term gate + python lane.
+        est_q = {
+            q: sum(_atom_df(*a) for a in s[2]) for q, s in jv_specs.items()
+        }
+        gate_df_q: dict[str, int] = {}
+        for q, f, t in lit_rows:
+            if q in jv_specs:
+                gate_df_q[q] = gate_df_q.get(q, 0) + term_df.get((f, t), 0)
+        total_est = sum(est_q.values())
+        if jv_mode == "force":
+            take = set(jv_specs)
+        else:
+            bt_count = batch_terms.count()
+            gated_all = sum(gate_df_q.get(q, 0) for q in jv_specs)
+            ratio = float(os.environ.get("EBP_JV_MAX_RATIO", "1.5"))
+            if total_est <= ratio * (bt_count + gated_all):
+                take = set(jv_specs)
+            elif jv_beta > 0:
+                take = {
+                    q
+                    for q in jv_specs
+                    if est_q[q] <= jv_beta * gate_df_q.get(q, 0)
+                }
+            else:
+                take = set()
+            if os.environ.get("EBP_PROF_CANDIDATES"):
+                import sys as _sys
 
-            print(
-                f"[ebp-prof] jv: {len(jv_qids)} queries, est={jv_est}, "
-                f"bt={bt_count}, gated={gated}, "
-                f"on={jv_est <= ratio * (bt_count + gated)}",
-                file=_sys.stderr,
-            )
-        if jv_est > ratio * (bt_count + gated):
-            jv_qids, jv_rows, jv_nreq = set(), [], []
-            jv_bigram_cols = set()
+                print(
+                    f"[ebp-prof] jv: {len(take)}/{len(jv_specs)} queries, "
+                    f"est={total_est}, bt={bt_count}, gated={gated_all}",
+                    file=_sys.stderr,
+                )
+        for qid in take:
+            rows_q, nreq, _atoms, bcols_q, never = jv_specs[qid]
+            jv_qids.add(qid)
+            if never:
+                continue  # matched-never: no rows, no group, no match
+            jv_rows.extend(rows_q)
+            jv_nreq.append((qid, nreq))
+            jv_bigram_cols.update(bcols_q)
 
     # map gate rows' query fields to tokens columns; drop members on
     # unmapped fields (those contribute no candidates — an empty field can
@@ -767,21 +893,10 @@ def percolate(
             # column under the offset fcol space. Join BEFORE dedup — the
             # broadcast need join filters the explode down to referenced
             # bigrams, so the dedup shuffles only actual hits.
-            bstreams = []
-            for tc in sorted(jv_bigram_cols):
-                fcb = col_idx[tc] + _BIGRAM_FCOL_OFF
-                bg = (
-                    f"zip_with(slice({tc}, 1, greatest(size({tc})-1, 0)), "
-                    f"slice({tc}, 2, greatest(size({tc})-1, 0)), "
-                    f"(x, y) -> concat(x, ' ', y))"
-                )
-                bstreams.append(
-                    batch.select(
-                        "doc_id",
-                        F.lit(fcb).cast("tinyint").alias("fcol"),
-                        F.explode(F.expr(bg)).alias("term"),
-                    )
-                )
+            bstreams = [
+                _bigram_stream(batch, tc, col_idx[tc] + _BIGRAM_FCOL_OFF)
+                for tc in sorted(jv_bigram_cols)
+            ]
             bs = bstreams[0]
             for p in bstreams[1:]:
                 bs = bs.unionByName(p)
