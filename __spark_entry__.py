@@ -599,6 +599,68 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_batch_body_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 {"docs":[...]} batch bodies: groups of 5 documents are packed
+    into one JSON body each (BatchPercolatorService.parseRequest shape),
+    then parsed back out — the parse must reproduce every (doc_id, text)."""
+    from elasticsearch_batch_percolator_spark.sources.json_source import (
+        parse_batch_body,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 250)
+    bodies = (
+        docs.groupBy((F.col("doc_id") / 5).cast("long").alias("g"))
+        .agg(
+            F.to_json(
+                F.struct(
+                    F.collect_list(
+                        F.struct(
+                            F.col("doc_id").cast("long").alias("doc_id"),
+                            F.col("text").alias("content"),
+                        )
+                    ).alias("docs")
+                )
+            ).alias("body")
+        )
+    )
+    return parse_batch_body(bodies).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("content").cast("long").alias("content_len"),
+    )
+
+
+def _q_single_body_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 single-doc body with request options: every 11th body omits
+    ``size`` (to_json drops null fields) and must get the unbounded
+    default; track_scores defaults false when omitted."""
+    from elasticsearch_batch_percolator_spark.sources.json_source import (
+        parse_single_body,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 250)
+    bodies = docs.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("text").alias("content"),
+                ).alias("doc"),
+                F.when(F.col("doc_id") % 11 != 0, (F.col("doc_id") % 7))
+                .cast("int")
+                .alias("size"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit(True)).alias(
+                    "track_scores"
+                ),
+            )
+        ).alias("body")
+    )
+    return parse_single_body(bodies).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("size").cast("long").alias("size"),
+        "track_scores",
+    )
+
+
 def _q_ndjson_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 NDJSON bulk parsing incl. the per-slot parse-error channel:
     well-formed lines are synthesized from the documents table, every
@@ -735,6 +797,8 @@ def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_match_counts": _q_windowed_counts,
+        "batch_body_parse": _q_batch_body_parse,
+        "single_body_parse": _q_single_body_parse,
         "ndjson_parse": _q_ndjson_parse,
         "fetch_existing": _q_fetch_existing,
         "registry_recover_percolate": _q_registry_recover_percolate,
@@ -835,6 +899,16 @@ SELECT ((doc_id * 30) // 600 * 600)::BIGINT AS window_start_epoch,
        query_id, count(*)::BIGINT AS n_docs
 FROM ({win_union})
 GROUP BY 1, 2
+""",
+        "batch_body_parse": """
+SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS content_len
+FROM documents WHERE doc_id < 250
+""",
+        "single_body_parse": """
+SELECT doc_id::BIGINT AS doc_id,
+       (CASE WHEN doc_id % 11 = 0 THEN 2147483647 ELSE doc_id % 7 END)::BIGINT AS size,
+       (doc_id % 2 = 0) AS track_scores
+FROM documents WHERE doc_id < 250
 """,
         "ndjson_parse": """
 SELECT (doc_id % 7)::BIGINT AS slot, 'percolate' AS action,
