@@ -599,6 +599,66 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the gate: synth binary payloads from the
+    documents table, Arrow mapInPandas feature extraction (deterministic
+    byte-histogram stand-in for the decoder), exploded to (doc, bin, frac)
+    so DuckDB can replicate the histogram exactly (ascii text ⇒ utf-8
+    bytes == code points)."""
+    from elasticsearch_batch_percolator_spark.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    feats = extract_features(synth_media(docs), dim=16, fake_decode=True)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.posexplode("feature").alias("bin", "frac"),
+    ).select(
+        "doc_id", "media_type", "n_bytes",
+        F.col("bin").cast("long").alias("bin"),
+        F.round("frac", 6).alias("frac"),
+    )
+
+
+def _q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed percolation counts over the events fixture's REAL event-time
+    column: registered term queries on event_type, 1-hour tumbling windows
+    (batch mode of the streaming operator)."""
+    from elasticsearch_batch_percolator_spark.streaming.windowed import (
+        windowed_match_counts,
+    )
+
+    reg = CompiledRegistry.from_rows(
+        [
+            ("q-error", {"term": {"content": "error"}}),
+            ("q-click", {"term": {"content": "click"}}),
+            ("q-all", {"match_all": {}}),
+        ]
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("doc_id"),
+        F.col("event_type").alias("content"),
+        "ts",
+    )
+    out = windowed_match_counts(
+        spark, events, reg, window_duration="1 hour", watermark=None
+    )
+    # events.ts is TIMESTAMP_NTZ: epoch via a tz-less timestamp cast
+    # (session tz is UTC), matching DuckDB's naive-as-UTC epoch()
+    return out.select(
+        F.col("window_start")
+        .cast("timestamp")
+        .cast("long")
+        .alias("window_start_epoch"),
+        "query_id",
+        F.col("n_docs"),
+    )
+
+
 def _q_batch_body_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 {"docs":[...]} batch bodies: groups of 5 documents are packed
     into one JSON body each (BatchPercolatorService.parseRequest shape),
@@ -797,6 +857,8 @@ def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_match_counts": _q_windowed_counts,
+        "multimodal_features": _q_multimodal_features,
+        "events_windowed_counts": _q_events_windowed_counts,
         "batch_body_parse": _q_batch_body_parse,
         "single_body_parse": _q_single_body_parse,
         "ndjson_parse": _q_ndjson_parse,
@@ -899,6 +961,41 @@ SELECT ((doc_id * 30) // 600 * 600)::BIGINT AS window_start_epoch,
        query_id, count(*)::BIGINT AS n_docs
 FROM ({win_union})
 GROUP BY 1, 2
+""",
+        "multimodal_features": """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i
+  FROM documents WHERE doc_id < 300
+),
+b AS (SELECT doc_id, least(unicode(substring(text, i, 1)) // 16, 15) AS bin FROM pos),
+cnt AS (SELECT doc_id, bin, count(*)::DOUBLE AS n FROM b GROUP BY doc_id, bin),
+tot AS (SELECT doc_id, count(*)::DOUBLE AS t FROM b GROUP BY doc_id),
+grid AS (
+  SELECT d.doc_id, g.bin
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 300) d,
+       (SELECT unnest(range(0, 16)) AS bin) g
+)
+SELECT g.doc_id::BIGINT AS doc_id,
+       CASE WHEN g.doc_id % 3 = 0 THEN 'image'
+            WHEN g.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       (SELECT length(text) FROM documents dd WHERE dd.doc_id = g.doc_id)::BIGINT AS n_bytes,
+       g.bin::BIGINT AS bin,
+       round(coalesce(c.n, 0) / t.t, 6) AS frac
+FROM grid g
+JOIN tot t ON t.doc_id = g.doc_id
+LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bin = g.bin
+""",
+        "events_windowed_counts": """
+WITH m AS (
+  SELECT event_id, ts, 'q-error' AS query_id FROM events WHERE lower(event_type) = 'error'
+  UNION ALL
+  SELECT event_id, ts, 'q-click' AS query_id FROM events WHERE lower(event_type) = 'click'
+  UNION ALL
+  SELECT event_id, ts, 'q-all' AS query_id FROM events
+)
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_epoch,
+       query_id, count(*)::BIGINT AS n_docs
+FROM m GROUP BY 1, 2
 """,
         "batch_body_parse": """
 SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS content_len
