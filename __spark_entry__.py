@@ -599,6 +599,17 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1b per-row content invariant (input_hint): sha256 of the content
+    column, JVM-side F.sha2, cross-checked against DuckDB's sha256."""
+    from elasticsearch_batch_percolator_spark.corpus import with_sha256
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return with_sha256(docs, col="text").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "content_sha256"
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the gate: synth binary payloads from the
     documents table, Arrow mapInPandas feature extraction (deterministic
@@ -857,6 +868,7 @@ def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_match_counts": _q_windowed_counts,
+        "corpus_sha": _q_corpus_sha,
         "multimodal_features": _q_multimodal_features,
         "events_windowed_counts": _q_events_windowed_counts,
         "batch_body_parse": _q_batch_body_parse,
@@ -961,6 +973,10 @@ SELECT ((doc_id * 30) // 600 * 600)::BIGINT AS window_start_epoch,
        query_id, count(*)::BIGINT AS n_docs
 FROM ({win_union})
 GROUP BY 1, 2
+""",
+        "corpus_sha": """
+SELECT doc_id::BIGINT AS doc_id, sha256(text) AS content_sha256
+FROM documents WHERE doc_id < 400
 """,
         "multimodal_features": """
 WITH pos AS (
