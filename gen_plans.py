@@ -36,6 +36,18 @@ docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", F.col("tex
 p3 = grab(percolate(spark, docs, reg).matches)
 sections.append(("Percolation phase 1: broadcast rarest-group gate table joined to the persisted batch (doc, field, term) rows; phase 2 = one Arrow UDF over doc-grouped candidates (broadcast compiled plans) — candidate volume is sum_q df(gate_q), never batch x queries", p3))
 
+# 4. join-verify lane: term + 2-term-phrase conjunction fully in Catalyst
+os.environ["EBP_SIMPLE_JOIN_VERIFY"] = "force"
+reg_jv = CompiledRegistry.from_rows([
+    ("jv1", {"bool": {"must": [{"term": {"content": "spark"}},
+                                {"phrase": {"field": "content", "terms": ["the", "fast"]}}],
+             "must_not": [{"term": {"content": "wolf"}}]}}),
+])
+p4 = grab(percolate(spark, docs, reg_jv).matches)
+os.environ.pop("EBP_SIMPLE_JOIN_VERIFY")
+sections.append(("Join-verify lane (forced): the whole conjunction — required term, required bigram (2-term phrase), forbidden term — is ONE broadcast hash join of the (doc, fcol, term) + bigram streams against the need/forbid table, a partial-aggregating HashAggregate on (doc_id, query_id), and a count filter. No Python, no Arrow; every operator inside WholeStageCodegen", p4))
+
+
 def trim(s, n=80):
     lines = [l.rstrip() for l in s.splitlines()]
     return "\n".join(lines[:n])
