@@ -61,8 +61,8 @@ spark = get_spark('p225k', cores=32)
 # (BatchPercolatorQueriesRegistry.java:244-266), so per-batch times
 # measure percolation, not registration amortization
 t0 = time.perf_counter()
-reg.broadcast_verify_plans(spark)
-print(f"verify-plan broadcast built in {time.perf_counter() - t0:.1f}s (registration-time)")
+reg.warmup(spark)  # verify-plan broadcast + join-verify structures
+print(f"registration warmup (broadcast + jv structs) in {time.perf_counter() - t0:.1f}s")
 batch = synth_corpus(spark, N_DOCS, partitions=128, vocab_size=10000).cache()
 batch.count()
 for rep in range(2):

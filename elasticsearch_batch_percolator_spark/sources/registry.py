@@ -115,6 +115,21 @@ class CompiledRegistry:
         self._bc_cache = (key, bc)
         return bc
 
+    def warmup(self, spark: SparkSession, fields: dict | None = None) -> None:
+        """Registration-time warmup (the reference pays its query parse at
+        registration, BatchPercolatorQueriesRegistry.java:244-266): build +
+        ship the verify-plan broadcast and precompute the join-verify
+        structures for the anticipated batch field layout, so the FIRST
+        percolation batch pays neither. ``fields`` mirrors percolate()'s
+        parameter; None = the single-field default layout."""
+        from ..operators.percolate import _jv_structs
+
+        self.broadcast_verify_plans(spark)
+        if fields is None:
+            qfields = sorted(self.query_fields())
+            resolve = {qf: "tokens" for qf in qfields}
+            _jv_structs(self, resolve, {"tokens": 0}, set(), set(), ["tokens"])
+
     def jv_verify_atoms(self) -> dict[str, tuple]:
         """qid -> (need, forbid) atom tuples for every verify-needing query
         the Catalyst join-verify lane can evaluate exactly. Atoms are

@@ -72,6 +72,28 @@ def _matches(spark, batch, reg, mode, fields):
         os.environ.pop("EBP_SIMPLE_JOIN_VERIFY", None)
 
 
+def test_warmup_prebuilds_structs_and_matches_unchanged(spark):
+    """Registration-time warmup precomputes the jv structures for the
+    default single-field layout; the first percolate must HIT that cache
+    (same key) and produce identical matches."""
+    reg = _registry(5, 30)
+    reg.warmup(spark)
+    prebuilt = reg._jv_struct_cache[1]
+    batch = synth_corpus(spark, 800, partitions=2).persist()
+    batch.count()
+    try:
+        res = percolate(spark, batch, reg)
+        got = {(int(r["doc_id"]), r["query_id"]) for r in res.matches.collect()}
+        res.unpersist()
+        assert reg._jv_struct_cache[1] is prebuilt  # cache hit, no rebuild
+        res2 = percolate(spark, batch, reg)
+        got2 = {(int(r["doc_id"]), r["query_id"]) for r in res2.matches.collect()}
+        res2.unpersist()
+    finally:
+        batch.unpersist()
+    assert got == got2 and got
+
+
 @pytest.mark.parametrize("fields", [None, {"text": "content", "lang": "lang"}])
 def test_join_verify_equivalent_to_python_lane(spark, fields):
     reg = _registry(99, 60)
