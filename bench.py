@@ -172,12 +172,24 @@ def main() -> None:
         shutil.rmtree(synth_idx, ignore_errors=True)
 
     total = sum(timings.values())
+
+    # single-thread CPU calibration: this box's per-core speed swings 2x+
+    # between benchmark windows (VM host contention — measured 1.2s vs
+    # 2.55s for this exact loop on the same day). Recording it lets
+    # cross-round comparisons normalize away host state.
+    t0 = time.perf_counter()
+    x = 0
+    for _ in range(20_000_000):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    cpu_probe_s = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
                 "metric": "index_build+bm25_wand+percolate",
                 "value": round(total, 3),
                 "unit": "sec",
+                "cpu_probe_s": cpu_probe_s,
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": SF_DIR,
                 "cpus": CPUS,
