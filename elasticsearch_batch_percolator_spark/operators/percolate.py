@@ -878,15 +878,31 @@ def percolate(
         # present term contributes exactly one row); forbid_hits == 0 ⇔ no
         # forbidden term present. Docs with no term overlap form no group —
         # correctly absent since n_required >= 1 here.
+        # query ids ship through the hit shuffle DICTIONARY-ENCODED (int
+        # qidx, not the string id) — the aggregate's exchange is the lane's
+        # dominant byte volume at scale; names are restored by a broadcast
+        # join after the count filter
+        qidx = {q: i for i, q in enumerate(sorted({r[0] for r in jv_rows}))}
         jpdf = pd.DataFrame(
-            jv_rows, columns=["query_id", "fcol", "term", "required"]
+            [(qidx[q], fc, t, req) for q, fc, t, req in jv_rows],
+            columns=["qidx", "fcol", "term", "required"],
         )
+        jpdf["qidx"] = jpdf["qidx"].astype("int32")
         jpdf["fcol"] = jpdf["fcol"].astype("int8")
         need_sdf = spark.createDataFrame(
-            jpdf, "query_id string, fcol tinyint, term string, required boolean"
+            jpdf, "qidx int, fcol tinyint, term string, required boolean"
         )
-        npdf = pd.DataFrame(jv_nreq, columns=["query_id", "n_required"])
-        nreq_sdf = spark.createDataFrame(npdf, "query_id string, n_required int")
+        npdf = pd.DataFrame(
+            [(qidx[q], n) for q, n in jv_nreq], columns=["qidx", "n_required"]
+        )
+        npdf["qidx"] = npdf["qidx"].astype("int32")
+        nreq_sdf = spark.createDataFrame(npdf, "qidx int, n_required int")
+        qmap_pdf = pd.DataFrame(
+            sorted((i, q) for q, i in qidx.items()), columns=["qidx", "query_id"]
+        )
+        qmap_pdf["qidx"] = qmap_pdf["qidx"].astype("int32")
+        qmap_sdf = spark.createDataFrame(qmap_pdf, "qidx int, query_id string")
+
         jv_hits = batch_terms.join(F.broadcast(need_sdf), ["fcol", "term"])
         if jv_bigram_cols:
             # bigram streams: adjacent token pairs of each referenced
@@ -901,19 +917,20 @@ def percolate(
             for p in bstreams[1:]:
                 bs = bs.unionByName(p)
             bhits = bs.join(F.broadcast(need_sdf), ["fcol", "term"]).dropDuplicates(
-                ["doc_id", "query_id", "fcol", "term", "required"]
+                ["doc_id", "qidx", "fcol", "term", "required"]
             )
             jv_hits = jv_hits.select(bhits.columns).unionByName(bhits)
-        jv_agg = jv_hits.groupBy("doc_id", "query_id").agg(
+        jv_agg = jv_hits.groupBy("doc_id", "qidx").agg(
             F.count(F.when(F.col("required"), 1)).alias("req_hit"),
             F.count(F.when(~F.col("required"), 1)).alias("forbid_hit"),
         )
         parts.append(
-            jv_agg.join(F.broadcast(nreq_sdf), "query_id")
+            jv_agg.join(F.broadcast(nreq_sdf), "qidx")
             .filter(
                 (F.col("req_hit") == F.col("n_required"))
                 & (F.col("forbid_hit") == 0)
             )
+            .join(F.broadcast(qmap_sdf), "qidx")
             .select("doc_id", "query_id")
         )
 
