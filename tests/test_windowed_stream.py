@@ -63,6 +63,71 @@ def test_windowed_counts_match_percolate_ground_truth(spark):
     assert got  # non-vacuous
 
 
+def test_windowed_counts_randomized_vs_python_model(spark):
+    """Randomized registries (terms / conjunctions / 2-term phrases /
+    must_not / match_all) over random short docs with random minute
+    timestamps, checked against a direct python evaluation."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = list("abcdefgh")
+    docs = []
+    for i in range(300):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
+        docs.append((i, " ".join(toks), rng.randint(0, 59)))
+    qs = {}
+    for j in range(40):
+        kind = j % 5
+        if kind == 0:
+            qs[f"q{j}"] = {"term": {"content": rng.choice(vocab)}}
+        elif kind == 1:
+            qs[f"q{j}"] = {"bool": {"must": [
+                {"term": {"content": rng.choice(vocab)}},
+                {"term": {"content": rng.choice(vocab)}}]}}
+        elif kind == 2:
+            qs[f"q{j}"] = {"phrase": {"field": "content",
+                                      "terms": [rng.choice(vocab), rng.choice(vocab)]}}
+        elif kind == 3:
+            qs[f"q{j}"] = {"bool": {"must": [{"term": {"content": rng.choice(vocab)}}],
+                                    "must_not": [{"term": {"content": rng.choice(vocab)}}]}}
+        else:
+            qs[f"q{j}"] = {"match_all": {}}
+    reg = CompiledRegistry.from_rows(list(qs.items()))
+
+    df = spark.createDataFrame(
+        [(i, c, f"2026-02-01 00:{m:02d}:30") for i, c, m in docs],
+        "doc_id long, content string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = windowed_match_counts(
+        spark, df, reg, window_duration="10 minutes", watermark=None
+    )
+    got = {(r["window_start"].minute, r["query_id"]): r["n_docs"]
+           for r in out.collect()}
+
+    def matches(qd, toks):
+        if "match_all" in qd:
+            return True
+        if "term" in qd:
+            return list(qd["term"].values())[0] in toks
+        if "phrase" in qd:
+            t = qd["phrase"]["terms"]
+            return any(toks[i:i + 2] == t for i in range(len(toks) - 1))
+        b = qd["bool"]
+        return all(matches(c, toks) for c in b.get("must", [])) and not any(
+            matches(c, toks) for c in b.get("must_not", [])
+        )
+
+    truth: dict = {}
+    for i, c, m in docs:
+        toks = c.split()
+        for qid, qd in qs.items():
+            if matches(qd, toks):
+                key = (m // 10 * 10, qid)
+                truth[key] = truth.get(key, 0) + 1
+    assert got == truth
+    assert got
+
+
 def test_windowed_unsupported_raises(spark):
     reg = CompiledRegistry.from_rows([("w", {"wildcard": {"content": "fo*"}})])
     docs = _docs_df(spark, lambda i: 0)
