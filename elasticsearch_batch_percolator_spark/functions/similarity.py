@@ -88,20 +88,39 @@ def ivf_assign(
 def default_centroids(
     vectors: DataFrame, n: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic INIT centroids: n vectors spread by id-stride across
+    """Deterministic INIT centroids: n vectors spread by id-quantile across
     the corpus (not the first n — adjacent ids are often correlated).
-    These seed ``kmeans_fit``; do not use untrained for real ANN."""
-    ids = [r[0] for r in vectors.select(id_col).orderBy(id_col).collect()]
-    if not ids:
-        return []
-    n = min(n, len(ids))
-    stride = len(ids) / n
-    picked = [ids[int(i * stride)] for i in range(n)]
-    rows = {
-        r[id_col]: r[vec_col]
-        for r in vectors.filter(F.col(id_col).isin(picked)).collect()
-    }
-    return [(i, [float(x) for x in rows[pid]]) for i, pid in enumerate(picked)]
+    These seed ``kmeans_fit``; do not use untrained for real ANN.
+
+    Scale path: the seed ids come from ``approxQuantile`` over the id
+    column (mid-bucket probabilities), then ONE k-row aggregate picks the
+    smallest concrete id per quantile bucket — nothing unbounded ever
+    reaches the driver (a 10^9-vector corpus collects exactly ≤ n rows).
+    ``id_col`` must be numeric (the module's vec_id convention)."""
+    probs = [i / n for i in range(n)]
+    cuts = vectors.stat.approxQuantile(id_col, probs, 0.001)
+    if not cuts:
+        return []  # empty input (approxQuantile of zero rows)
+    cuts = sorted(set(cuts))
+    # bucket(id) = number of cut points <= id; min id per bucket = the
+    # first concrete vector at/after each quantile
+    bucket = sum(
+        (F.when(F.col(id_col) >= F.lit(c), 1).otherwise(0) for c in cuts),
+        start=F.lit(0),
+    )
+    rows = (
+        vectors.select(
+            bucket.alias("_b"), F.struct(F.col(id_col), F.col(vec_col)).alias("_s")
+        )
+        .groupBy("_b")
+        .agg(F.min("_s").alias("_s"))
+        .select("_s.*")
+        .orderBy(id_col)
+        .collect()
+    )
+    return [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows[:n])
+    ]
 
 
 def kmeans_fit(

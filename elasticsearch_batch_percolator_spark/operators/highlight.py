@@ -32,7 +32,7 @@ import re
 from dataclasses import dataclass, field as dc_field
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -211,7 +211,8 @@ def highlight_map_col(
                 flits = {t for _, t in lits}
                 fpats = [p for _, p in wilds]
             if flits or fpats:
-                per_field[f] = (flits, fpats)
+                # regexes compile ONCE here (driver), not per row per field
+                per_field[f] = (flits, [wildcard_regex(p) for p in fpats])
         programs[qid] = {
             "fields": per_field,
             "pre": spec.pre_tag,
@@ -223,12 +224,20 @@ def highlight_map_col(
 
     an_by_field = {f: analyzers.get(f, "ws") for f in field_order}
 
+    # programs ship ONCE per executor via a Spark broadcast (a 225k-query
+    # registry's programs dict pickled into every task would dominate);
+    # per-(query, field) unit matchers memoize worker-side
+    session = SparkSession.getActiveSession()
+    bc_programs = session.sparkContext.broadcast(programs)
+
     @F.pandas_udf(HIGHLIGHT_MAP_TYPE)
     def hl(qids: pd.Series, *contents: pd.Series) -> pd.Series:
+        progs = bc_programs.value
+        matchers: dict[tuple[str, str], object] = {}
         out = []
         for row in zip(qids, *contents):
             qid = row[0]
-            prog = programs.get(qid)
+            prog = progs.get(qid)
             if not prog:
                 out.append({})
                 continue
@@ -239,10 +248,11 @@ def highlight_map_col(
                 text = row[1 + fi]
                 if not text:
                     continue
-                lits, pats = prog["fields"][f]
-                matcher = _unit_matcher(
-                    lits, [wildcard_regex(p) for p in pats], an_by_field[f]
-                )
+                matcher = matchers.get((qid, f))
+                if matcher is None:
+                    lits, pats = prog["fields"][f]
+                    matcher = _unit_matcher(lits, pats, an_by_field[f])
+                    matchers[(qid, f)] = matcher
                 frags = _fragments(
                     text, matcher, prog["pre"], prog["post"],
                     prog["fsize"], prog["nfrag"], prog["order"],
@@ -269,17 +279,19 @@ def highlight_col(
     terms_by_q = {
         qid: (
             {t for _, t in positive_terms(q.plan)},
-            {p for _, p in _wildcards_of(q.plan)},
+            [wildcard_regex(p) for _, p in _wildcards_of(q.plan)],
         )
         for qid, q in registry.queries.items()
     }
+    session = SparkSession.getActiveSession()
+    bc_terms = session.sparkContext.broadcast(terms_by_q)
 
     @F.pandas_udf(T.StringType())
     def hl(qids: pd.Series, contents: pd.Series) -> pd.Series:
+        by_q = bc_terms.value
         out = []
         for qid, content in zip(qids, contents):
-            literals, wilds = terms_by_q.get(qid, (set(), set()))
-            rxs = [wildcard_regex(w) for w in wilds]
+            literals, rxs = by_q.get(qid, (set(), []))
             toks = (content or "").split(" ")
             parts = []
             for tok in toks:

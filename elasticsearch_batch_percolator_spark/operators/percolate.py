@@ -43,6 +43,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field as dc_field
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -393,7 +394,14 @@ def percolate(
     )
     # the field tag on token rows is a TINYINT index into used_tok_cols —
     # one byte through the dedup/join shuffles, not a repeated column-name
-    # string (single-field batches pay ~nothing for multi-field generality)
+    # string (single-field batches pay ~nothing for multi-field generality).
+    # Beyond 127 queried token columns the index would wrap and silently
+    # cross-match fields — refuse loudly (mirrors the bigram-offset guard)
+    if len(used_tok_cols) > 127:
+        raise ValueError(
+            f"{len(used_tok_cols)} queried token columns exceed the tinyint "
+            "fcol space (127); split the batch by field group"
+        )
     col_idx = {tc: i for i, tc in enumerate(used_tok_cols)}
     def _term_rows(tc: str):
         fcol = F.lit(col_idx[tc]).cast("tinyint").alias("fcol")
@@ -800,14 +808,22 @@ def percolate(
                         views.append(s)  # raw scalar for Range predicates
                         continue
                     if ci in nested_idx:
+                        # array-typed child fields become lists; scalar
+                        # children (numeric weights etc.) pass through for
+                        # Range predicates — list() on a scalar would raise
+                        # OUTSIDE the per-query try below and abort the
+                        # whole batch (E10 isolation violation)
                         kids = []
                         for kid in (s if s is not None else []):
-                            kids.append(
-                                {
-                                    k: (list(v) if v is not None else [])
-                                    for k, v in dict(kid).items()
-                                }
-                            )
+                            view = {}
+                            for k, v in dict(kid).items():
+                                if v is None:
+                                    view[k] = []
+                                elif isinstance(v, (list, tuple, np.ndarray)):
+                                    view[k] = list(v)
+                                else:
+                                    view[k] = v
+                            kids.append(view)
                         views.append(kids)
                     else:
                         tl = s.tolist() if s is not None else []

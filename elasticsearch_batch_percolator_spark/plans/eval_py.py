@@ -17,13 +17,21 @@ Span semantics (engine-defined; the reference inherits Lucene's):
   (cover_end - cover_start + 1) - sum(len(span_i)) must be <= slop.
 - span_or: union of clause spans.
 - span_not(inc, exc): spans of inc not overlapping any span of exc.
-- phrase(terms, slop): slop=0 → consecutive positions; slop>0 → ordered
-  positions p_1 < ... < p_k with (p_k - p_1) - (k - 1) <= slop.
+- phrase(terms, slop): slop=0 → consecutive positions; slop>0 → LUCENE
+  sloppy-phrase (edit-distance) semantics, matching the reference's
+  inherited ``PhraseQuery`` behavior (flows through
+  LimitingFilterFactory.java:177-192): the phrase matches iff one document
+  position p_i can be assigned to each phrase occurrence i (query offset
+  o_i, repeated terms take DISTINCT positions) such that
+  ``max_i(p_i - o_i) - min_i(p_i - o_i) <= slop``. Terms may match out of
+  order at slop >= 2 — a transposition costs 2 moves, so ``"b a"~2``
+  matches the document ``a b`` exactly as in Lucene.
 """
 
 from __future__ import annotations
 
 import re
+from bisect import bisect_left
 from functools import lru_cache
 
 from .query_plan import (
@@ -61,6 +69,47 @@ def wildcard_regex(pattern: str) -> re.Pattern:
 def _tokens(doc: dict, field: str) -> list[str]:
     v = doc.get(field)
     return v if isinstance(v, (list, tuple)) else []
+
+
+def sloppy_phrase_match(toks: list[str], terms: tuple, slop: int) -> bool:
+    """Lucene SloppyPhraseScorer match decision (see module docstring).
+
+    Sliding adjusted-position window: every candidate window left edge L is
+    some occurrence's adjusted position; feasibility inside [L, L + slop]
+    reduces per term to matching its query occurrences (intervals
+    [L + o_i, L + slop + o_i], identical length, sorted) against its sorted
+    document positions — the greedy smallest-available-position assignment
+    is exact for same-length intervals. O(|positions| · k · log n), no
+    combinatorial blowup on repeated common terms.
+    """
+    occ: dict[str, list[int]] = {}
+    for o, t in enumerate(terms):
+        occ.setdefault(t, []).append(o)
+    pos_by_term: dict[str, list[int]] = {}
+    for t in occ:
+        plist = [i for i, x in enumerate(toks) if x == t]
+        if len(plist) < len(occ[t]):
+            return False  # not enough distinct positions for the repeats
+        pos_by_term[t] = plist
+    lefts = sorted(
+        {p - o for t, offs in occ.items() for o in offs for p in pos_by_term[t]}
+    )
+    for L in lefts:
+        ok = True
+        for t, offs in occ.items():
+            plist = pos_by_term[t]
+            lo = 0  # chosen positions ascend with o: resume, never reuse
+            for o in offs:  # offs ascend -> interval endpoints ascend
+                idx = bisect_left(plist, L + o, lo)
+                if idx >= len(plist) or plist[idx] > L + slop + o:
+                    ok = False
+                    break
+                lo = idx + 1
+            if not ok:
+                break
+        if ok:
+            return True
+    return False
 
 
 def _producer_pred(p: Plan):

@@ -176,16 +176,21 @@ def percolate_stream(
     state = {"reg": registry, "stamp": None}
 
     def _table_stamp() -> tuple | None:
-        import os as _os
-
+        # Hadoop FileSystem listing (not os.scandir): the durable queries
+        # table realistically lives on HDFS/S3, where a local scandir would
+        # raise and silently disable reload. Works for file:// too.
         try:
-            entries = sorted(
-                (e.name, e.stat().st_mtime_ns)
-                for e in _os.scandir(registry_path)
-                if not e.name.startswith("_") and not e.name.startswith(".")
-            )
-            return tuple(entries)
-        except OSError:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(registry_path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            entries = []
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if name.startswith("_") or name.startswith("."):
+                    continue
+                entries.append((name, st.getModificationTime(), st.getLen()))
+            return tuple(sorted(entries))
+        except Exception:
             return None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

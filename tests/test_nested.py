@@ -107,3 +107,55 @@ def test_percolate_nested_field(spark):
         (1, "q-both"), (1, "q-span"),
         (1, "q-flat"), (2, "q-flat"), (3, "q-flat"),
     }
+
+
+def test_percolate_nested_scalar_child_isolation(spark):
+    """A non-array child field (numeric weight) in the nested struct must
+    not abort the verify batch: scalar children pass through the nested
+    view (only array children become lists), so unrelated queries on the
+    same docs keep matching (E10 per-query isolation)."""
+    queries = {
+        "q-span": {  # positional inner -> python verify path builds views
+            "nested": {
+                "path": "children",
+                "query": {"span_near": {"clauses": [{"span_term": {"ctoks": "a"}},
+                                                     {"span_term": {"ctoks": "b"}}],
+                                        "slop": 0, "in_order": True}},
+            }
+        },
+        "q-flat": {"term": {"flat": "z"}},
+    }
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    docs = spark.createDataFrame(
+        [
+            (1, [(["a", "b"], 7), (["c"], 9)], "z z"),
+            (2, [(["a"], 1), (["b"], 2)], "z"),
+        ],
+        "doc_id long, children array<struct<ctoks: array<string>, weight: long>>, "
+        "flat string",
+    )
+    res = percolate(
+        spark, docs, reg,
+        fields={"children": ("children", "nested"), "flat": "flat"},
+    )
+    got = {(int(r["doc_id"]), r["query_id"]) for r in res.matches.collect()}
+    assert got == {(1, "q-span"), (1, "q-flat"), (2, "q-flat")}
+
+
+def test_percolate_fcol_space_guard(spark):
+    """>127 queried token columns cannot be tagged in the tinyint fcol
+    space — percolate refuses loudly instead of wrapping silently."""
+    import pytest
+
+    n = 130
+    queries = {f"q{i}": {"term": {f"f{i}": "x"}} for i in range(n)}
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, c0 string")
+    docs = docs.select(
+        "doc_id", *[F.col("c0").alias(f"t{i}") for i in range(n)]
+    )
+    with pytest.raises(ValueError, match="tinyint fcol space"):
+        percolate(
+            spark, docs, reg,
+            fields={f"f{i}": (f"t{i}", "ws") for i in range(n)},
+        )
