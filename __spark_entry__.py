@@ -156,6 +156,22 @@ def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_sloppy_lucene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 sloppy PhraseQuery with LUCENE edit-distance semantics: the
+    reversed phrase "fast the"~2 matches transposed occurrences of
+    "the fast" (transposition costs 2 moves) and in-order gaps up to 3
+    positions — the reference's inherited Lucene behavior
+    (LimitingFilterFactory.java:177-192)."""
+    plan = compile_query(
+        {"phrase": {"field": "text", "terms": ["fast", "the"], "slop": 2}}
+    )
+    return (
+        _tokens(spark, sf_dir)
+        .filter(match_col(plan, {"text": F.col("tokens")}))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
 # every term below has non-zero df in all fixtures (sf0.001/0.01/0.1) so no
 # entry passes vacuously — including the must_not exclusion term
 _PERC_QUERIES = {
@@ -906,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "wildcard_match": _q_wildcard_match,
         "phrase_match": _q_phrase_match,
+        "phrase_sloppy_lucene": _q_phrase_sloppy_lucene,
         "percolate_batch": _q_percolate_batch,
         "percolate_counts": _q_percolate_counts,
         "bm25_topk_wand": _q_bm25_topk_wand,
@@ -1180,6 +1197,14 @@ FROM m
         ),
         "wildcard_match": f"SELECT doc_id FROM documents WHERE {has_like.format(p='sp%')}",
         "phrase_match": f"SELECT doc_id FROM documents WHERE {phrase.format(p='the fast')}",
+        # Lucene slop: terms "fast"(offset 0) "the"(offset 1), match iff
+        # |p_fast - (p_the - 1)| <= 2  <=>  p_the - p_fast in [-1, 3]
+        "phrase_sloppy_lucene": """
+WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+SELECT doc_id FROM tk WHERE len(list_filter(range(1, len(toks)+1),
+  i -> toks[i] = 'fast' AND len(list_filter(range(1, len(toks)+1),
+       j -> toks[j] = 'the' AND j - i BETWEEN -1 AND 3)) > 0)) > 0
+""",
         "percolate_batch": perc_union,
         "percolate_counts": (
             f"SELECT query_id, count(*)::BIGINT AS n_matches FROM ({perc_union}) GROUP BY query_id"

@@ -199,21 +199,7 @@ def eval_plan(plan: Plan, doc: dict) -> bool:
             return any(
                 tuple(toks[i : i + k]) == plan.terms for i in range(len(toks) - k + 1)
             )
-        positions = [
-            [i for i, t in enumerate(toks) if t == term] for term in plan.terms
-        ]
-        if any(not p for p in positions):
-            return False
-
-        def rec(j: int, prev: int, first: int) -> bool:
-            if j == k:
-                return True
-            for p in positions[j]:
-                if p > prev and (p - first) - (k - 1) <= plan.slop and rec(j + 1, p, first):
-                    return True
-            return False
-
-        return any(rec(1, p0, p0) for p0 in positions[0])
+        return sloppy_phrase_match(toks, plan.terms, plan.slop)
     if isinstance(plan, WildcardPhrase):
         toks = _tokens(doc, plan.field)
         preds = [_producer_pred(p) for p in plan.producers]
