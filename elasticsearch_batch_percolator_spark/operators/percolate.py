@@ -54,9 +54,13 @@ from ..sources.registry import CompiledRegistry
 from .match import match_col
 
 
-# join-verify bigram streams live in an offset fcol space so one need
-# table + one aggregate covers both token and bigram containment
-_BIGRAM_FCOL_OFF = 64
+# join-verify n-gram streams live in an offset fcol space so ONE need
+# table + ONE aggregate covers token and every n-gram containment:
+# fcol_eff = fcol + 64 * (n - 1), a SMALLINT in the need/hit streams
+# (the token-only batch_terms stream stays tinyint). Token columns with
+# index >= 64 are n-gram-ineligible (python lane), mirroring the tinyint
+# guard on the base space.
+_GRAM_FCOL_OFF = 64
 
 
 def _jv_structs(
@@ -72,10 +76,10 @@ def _jv_structs(
     costs seconds per batch, but it only changes when the registry mutates
     or the batch field mapping differs.
 
-    Returns (specs, probe_terms, bigram_probe):
-      specs[qid] = (rows, n_required, atoms, bigram_cols, never)
-      probe_terms = {(fc, word)} forbidden/bigram words for the df stats probe
-      bigram_probe = {(fc, bigram)} bigram atoms needing exact df
+    Returns (specs, probe_terms, gram_probe):
+      specs[qid] = (rows, n_required, atoms, gram_cols, never)
+      probe_terms = {(fc, word)} forbidden/n-gram words for the df stats probe
+      gram_probe = {(fc, n, gram)} n-gram atoms needing exact df
     """
     layout = (
         tuple(sorted(resolve.items())),
@@ -96,7 +100,7 @@ def _jv_structs(
 
     specs: dict[str, tuple] = {}
     probe_terms: set[tuple[int, str]] = set()
-    bigram_probe: set[tuple[int, str]] = set()
+    gram_probe: set[tuple[int, int, str]] = set()
     for qid, (need, forbid) in registry.jv_verify_atoms().items():
         ok, never = True, False
         need_pairs: set[tuple[int, str, str]] = set()
@@ -112,8 +116,8 @@ def _jv_structs(
                     if required:
                         never = True  # required on unconfigured field
                     continue  # forbidden on unconfigured: can't be present
-                if kind == "b" and fc + _BIGRAM_FCOL_OFF > 127:
-                    ok = False  # tinyint fcol space exhausted (>64 columns)
+                if kind != "t" and fc >= _GRAM_FCOL_OFF:
+                    ok = False  # n-gram offset space exhausted (>64 columns)
                     break
                 pairs.add((fc, kind, v))
             if not ok:
@@ -125,12 +129,13 @@ def _jv_structs(
             continue
         rows_q: list[tuple[str, int, str, bool]] = []
         atoms_q: list[tuple[int, str, str]] = []
-        bcols_q: set[str] = set()
+        gcols_q: set[tuple[str, int]] = set()
         for fc, kind, v in sorted(need_pairs | forb_pairs):
-            fc_eff = fc + _BIGRAM_FCOL_OFF if kind == "b" else fc
-            if kind == "b":
-                bcols_q.add(used_tok_cols[fc])
-                bigram_probe.add((fc, v))
+            n = 1 if kind == "t" else int(kind[1:])
+            fc_eff = fc + _GRAM_FCOL_OFF * (n - 1)
+            if kind != "t":
+                gcols_q.add((used_tok_cols[fc], n))
+                gram_probe.add((fc, n, v))
                 probe_terms.update((fc, w) for w in v.split(" "))
             if (fc, kind, v) in need_pairs:
                 rows_q.append((qid, fc_eff, v, True))
@@ -141,25 +146,26 @@ def _jv_structs(
                 if kind == "t":
                     probe_terms.add((fc, v))
         specs[qid] = (tuple(rows_q), len(need_pairs), tuple(atoms_q),
-                      tuple(sorted(bcols_q)), False)
-    out = (specs, probe_terms, bigram_probe)
+                      tuple(sorted(gcols_q)), False)
+    out = (specs, probe_terms, gram_probe)
     registry._jv_struct_cache = (key, out)
     return out
 
 
-def _bigram_stream(batch: DataFrame, tc: str, fcb: int) -> DataFrame:
-    """(doc_id, fcol=fcb, term='w1 w2') rows — adjacent token pairs of
-    column ``tc``. Null/short arrays yield no rows (slice/zip_with/explode
-    null semantics)."""
-    bg = (
-        f"zip_with(slice({tc}, 1, greatest(size({tc})-1, 0)), "
-        f"slice({tc}, 2, greatest(size({tc})-1, 0)), "
-        f"(x, y) -> concat(x, ' ', y))"
+def _ngram_stream(batch: DataFrame, tc: str, fcb: int, n: int) -> DataFrame:
+    """(doc_id, fcol=fcb, term='w1 .. wn') rows — contiguous n-grams of
+    column ``tc`` (space-joined, the jv atom encoding). Null/short arrays
+    yield no rows (the CASE guards sequence()'s descending-range trap)."""
+    ng = (
+        f"case when size({tc}) >= {n} then "
+        f"transform(sequence(1, size({tc}) - {n - 1}), "
+        f"i -> array_join(slice({tc}, i, {n}), ' ')) "
+        f"else array() end"
     )
     return batch.select(
         "doc_id",
-        F.lit(fcb).cast("tinyint").alias("fcol"),
-        F.explode(F.expr(bg)).alias("term"),
+        F.lit(fcb).cast("smallint").alias("fcol"),
+        F.explode(F.expr(ng)).alias("term"),
     )
 
 
@@ -457,11 +463,11 @@ def percolate(
     # override for tests.
     jv_mode = os.environ.get("EBP_SIMPLE_JOIN_VERIFY", "auto")
     if jv_mode != "off":
-        jv_specs, jv_probe_terms, jv_bigram_probe = _jv_structs(
+        jv_specs, jv_probe_terms, jv_gram_probe = _jv_structs(
             registry, resolve, col_idx, nested_cols, scalar_cols, used_tok_cols
         )
     else:
-        jv_specs, jv_probe_terms, jv_bigram_probe = {}, set(), set()
+        jv_specs, jv_probe_terms, jv_gram_probe = {}, set(), set()
 
     involved_set = {
         (col_idx[resolve[f]], v)
@@ -503,16 +509,16 @@ def percolate(
     # batch_terms' flattened rows, so those stay on the python evaluator).
     # A required term on an unconfigured field can never match — the query
     # joins with zero rows, same outcome as the python lane.
-    # bigram atoms ("b") join against a per-column bigram stream whose fcol
-    # is offset by _BIGRAM_FCOL_OFF — one need table, one aggregate, both
-    # token and bigram containment
+    # n-gram atoms ("g<n>") join against a per-(column, n) n-gram stream
+    # whose fcol is offset by _GRAM_FCOL_OFF * (n-1) — one need table, one
+    # aggregate, token and every n-gram containment together
     jv_qids: set[str] = set()
     jv_rows: list[tuple[str, int, str, bool]] = []
     jv_nreq: list[tuple[str, int]] = []
-    jv_bigram_cols: set[str] = set()
+    jv_gram_cols: set[tuple[str, int]] = set()
 
-    # exact bigram selectivities: min(unigram df) is a LOOSE upper bound —
-    # the two words may rarely be adjacent. The exact-df probe (one extra
+    # exact n-gram selectivities: min(unigram df) is a LOOSE upper bound —
+    # the words may rarely be adjacent. The exact-df probe (one extra
     # explode → broadcast join → countDistinct job) only matters for the
     # per-query lane choice (level 2 below), which is OFF by default:
     # measured at the 225k-queries × 20k-docs shape, routing the 45k
@@ -520,16 +526,20 @@ def percolate(
     # their python verification saved (the probe + extra stages outweigh
     # 178k candidate checks). Set EBP_JV_PER_QUERY_RATIO > 0 to enable.
     jv_beta = float(os.environ.get("EBP_JV_PER_QUERY_RATIO", "0"))
-    if jv_bigram_probe and jv_beta > 0:
+    if jv_gram_probe and jv_beta > 0:
         bpdf = pd.DataFrame(
-            sorted((fc + _BIGRAM_FCOL_OFF, v) for fc, v in jv_bigram_probe),
+            sorted(
+                (fc + _GRAM_FCOL_OFF * (n - 1), v) for fc, n, v in jv_gram_probe
+            ),
             columns=["fcol", "term"],
         )
-        bpdf["fcol"] = bpdf["fcol"].astype("int8")
-        bp_df = spark.createDataFrame(bpdf, "fcol tinyint, term string")
+        bpdf["fcol"] = bpdf["fcol"].astype("int16")
+        bp_df = spark.createDataFrame(bpdf, "fcol smallint, term string")
         bstreams = [
-            _bigram_stream(batch, tc, col_idx[tc] + _BIGRAM_FCOL_OFF)
-            for tc in sorted({used_tok_cols[fc] for fc, _ in jv_bigram_probe})
+            _ngram_stream(batch, tc, col_idx[tc] + _GRAM_FCOL_OFF * (n - 1), n)
+            for tc, n in sorted(
+                {(used_tok_cols[fc], n) for fc, n, _ in jv_gram_probe}
+            )
         ]
         bs = bstreams[0]
         for p in bstreams[1:]:
@@ -541,18 +551,18 @@ def percolate(
             .agg(F.countDistinct("doc_id").alias("df"))
             .collect()
         }
-        for fc, v in jv_bigram_probe:  # absent from the batch -> df 0
-            col_df[(fc + _BIGRAM_FCOL_OFF, v)] = probed.get(
-                (fc + _BIGRAM_FCOL_OFF, v), 0
-            )
+        for fc, n, v in jv_gram_probe:  # absent from the batch -> df 0
+            fce = fc + _GRAM_FCOL_OFF * (n - 1)
+            col_df[(fce, v)] = probed.get((fce, v), 0)
 
     def _atom_df(fc: int, kind: str, v: str) -> int:
-        if kind == "b":
-            exact = col_df.get((fc + _BIGRAM_FCOL_OFF, v))
+        if kind != "t":
+            n = int(kind[1:])
+            exact = col_df.get((fc + _GRAM_FCOL_OFF * (n - 1), v))
             if exact is not None:
                 return exact
-            w1, w2 = v.split(" ", 1)  # probe skipped: min-unigram bound
-            return min(col_df.get((fc, w1), 0), col_df.get((fc, w2), 0))
+            # probe skipped: min-unigram bound over the gram's words
+            return min(col_df.get((fc, w), 0) for w in v.split(" "))
         return col_df.get((fc, v), 0)
 
     if jv_specs:
@@ -599,13 +609,13 @@ def percolate(
                     file=_sys.stderr,
                 )
         for qid in take:
-            rows_q, nreq, _atoms, bcols_q, never = jv_specs[qid]
+            rows_q, nreq, _atoms, gcols_q, never = jv_specs[qid]
             jv_qids.add(qid)
             if never:
                 continue  # matched-never: no rows, no group, no match
             jv_rows.extend(rows_q)
             jv_nreq.append((qid, nreq))
-            jv_bigram_cols.update(bcols_q)
+            jv_gram_cols.update(gcols_q)
 
     # map gate rows' query fields to tokens columns; drop members on
     # unmapped fields (those contribute no candidates — an empty field can
@@ -904,9 +914,9 @@ def percolate(
             columns=["qidx", "fcol", "term", "required"],
         )
         jpdf["qidx"] = jpdf["qidx"].astype("int32")
-        jpdf["fcol"] = jpdf["fcol"].astype("int8")
+        jpdf["fcol"] = jpdf["fcol"].astype("int16")
         need_sdf = spark.createDataFrame(
-            jpdf, "qidx int, fcol tinyint, term string, required boolean"
+            jpdf, "qidx int, fcol smallint, term string, required boolean"
         )
         npdf = pd.DataFrame(
             [(qidx[q], n) for q, n in jv_nreq], columns=["qidx", "n_required"]
@@ -919,15 +929,17 @@ def percolate(
         qmap_pdf["qidx"] = qmap_pdf["qidx"].astype("int32")
         qmap_sdf = spark.createDataFrame(qmap_pdf, "qidx int, query_id string")
 
-        jv_hits = batch_terms.join(F.broadcast(need_sdf), ["fcol", "term"])
-        if jv_bigram_cols:
-            # bigram streams: adjacent token pairs of each referenced
-            # column under the offset fcol space. Join BEFORE dedup — the
-            # broadcast need join filters the explode down to referenced
-            # bigrams, so the dedup shuffles only actual hits.
+        jv_hits = batch_terms.withColumn(
+            "fcol", F.col("fcol").cast("smallint")
+        ).join(F.broadcast(need_sdf), ["fcol", "term"])
+        if jv_gram_cols:
+            # n-gram streams: contiguous n-grams of each referenced
+            # (column, n) under the offset fcol space. Join BEFORE dedup —
+            # the broadcast need join filters the explode down to
+            # referenced grams, so the dedup shuffles only actual hits.
             bstreams = [
-                _bigram_stream(batch, tc, col_idx[tc] + _BIGRAM_FCOL_OFF)
-                for tc in sorted(jv_bigram_cols)
+                _ngram_stream(batch, tc, col_idx[tc] + _GRAM_FCOL_OFF * (n - 1), n)
+                for tc, n in sorted(jv_gram_cols)
             ]
             bs = bstreams[0]
             for p in bstreams[1:]:

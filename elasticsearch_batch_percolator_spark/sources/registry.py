@@ -133,12 +133,13 @@ class CompiledRegistry:
     def jv_verify_atoms(self) -> dict[str, tuple]:
         """qid -> (need, forbid) atom tuples for every verify-needing query
         the Catalyst join-verify lane can evaluate exactly. Atoms are
-        ("t", field, term) — term containment — or ("b", field, "w1 w2") —
-        2-term slop-0 phrase, which is EXACTLY bigram containment. Eligible
-        shapes: a bare 2-term phrase, or Bool whose must/filter/must_not
-        clauses are all Terms / 2-term-slop-0 Phrases (shoulds are
-        score-only when must/filter present — evaluator semantics). The
-        lane is equivalence-tested against the python evaluator."""
+        ("t", field, term) — term containment — or ("g<n>", field,
+        "w1 .. wn") — an n-term slop-0 phrase, which is EXACTLY contiguous
+        n-gram containment (n <= _JV_MAX_GRAM). Eligible shapes: a bare
+        slop-0 phrase, or Bool whose must/filter/must_not clauses are all
+        Terms / slop-0 Phrases (shoulds are score-only when must/filter
+        present — evaluator semantics). The lane is equivalence-tested
+        against the python evaluator."""
         out: dict[str, tuple] = {}
         for qid, plan in self.gate_verify_plans().items():
             req = _jv_requirements(plan)
@@ -317,13 +318,24 @@ class CompiledRegistry:
         return lit_rows, pat_rows
 
 
+# longest slop-0 phrase the join-verify n-gram streams cover; longer
+# phrases stay on the python evaluator (an n-gram stream per length is
+# one explode each — past ~8 the stream count outweighs the rare query)
+_JV_MAX_GRAM = 8
+
+
 def _jv_atom(c: Plan) -> tuple | None:
     """A clause the join-verify lane evaluates via containment in a single
-    (doc, fcol, token-or-bigram) stream; None when not expressible."""
+    (doc, fcol, token-or-ngram) stream; None when not expressible.
+    Kinds: "t" = unigram containment, "g<n>" = n-gram containment (a
+    slop-0 phrase of n terms is EXACTLY contiguous-n-gram containment)."""
     if isinstance(c, Term):
         return ("t", c.field, c.value)
-    if isinstance(c, Phrase) and len(c.terms) == 2 and c.slop == 0:
-        return ("b", c.field, f"{c.terms[0]} {c.terms[1]}")
+    if isinstance(c, Phrase) and c.slop == 0:
+        if len(c.terms) == 1:
+            return ("t", c.field, c.terms[0])
+        if len(c.terms) <= _JV_MAX_GRAM:
+            return (f"g{len(c.terms)}", c.field, " ".join(c.terms))
     return None
 
 

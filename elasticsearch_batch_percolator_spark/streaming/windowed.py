@@ -5,23 +5,30 @@ The reference's percolation responses are strictly per-batch
 what its users build downstream. Spark-first, that downstream is ONE
 declarative incremental pipeline — no foreachBatch, no python UDF:
 
-    tokenize → explode (kind, gate) candidate streams
-             → broadcast gate join (ONE static gate atom per query, so at
-               most one candidate row per (doc, query) — no dedup state)
-             → data-driven conjunction predicate (forall/exists over the
-               carried token/bigram arrays vs the query's atom arrays)
-             → withWatermark + window() aggregate
+    tokenize → SLIM atom streams (ts, doc_id, kind, atom): distinct
+               unigrams and n-grams, NO token/ngram arrays carried
+               through the explode (a code-file-sized doc pays O(n)
+               bytes, not O(n²))
+             → broadcast join against the per-query need/forbid atom
+               table (the percolate join-verify algebra)
+             → windowed (window, doc, query) count aggregate:
+               req_hits == n_need AND no forbidden atom present
+             → windowed (window, query) doc-count aggregate
 
-Late data is handled by the watermark; closed windows emit in append mode.
-The same plan runs on a BATCH DataFrame unchanged (watermark is a no-op),
-which is how the DuckDB oracle checks it.
+The two chained stateful aggregations are the documented Spark
+multiple-stateful-operator pattern (both keyed on the event-time window;
+late data is dropped by the watermark at the first aggregate, closed
+windows emit in append mode). The same plan runs on a BATCH DataFrame
+unchanged (watermark is a no-op), which is how the DuckDB oracle checks
+it.
 
-Supported query shapes: conjunctions of Term / 2-term-slop-0-Phrase atoms
-(must + must_not — the join-verify atom algebra), bare Terms, MatchAll.
+Supported query shapes: conjunctions of Term / slop-0-Phrase atoms up to
+the join-verify n-gram cap (must + must_not), bare Terms, MatchAll.
 Wildcards need the per-batch term dictionary and positional queries need
 the evaluator — both stay on the foreachBatch path (percolate_stream).
-Field names resolve to the single analyzed content column (the flat-corpus
-default, percolate(fields=None)).
+Field names resolve to the single analyzed content column (the
+flat-corpus default, percolate(fields=None)). Each (ts, doc_id) pair is
+assumed to identify one document event (the aggregate merges duplicates).
 """
 
 from __future__ import annotations
@@ -32,22 +39,30 @@ from pyspark.sql import functions as F
 from ..plans.query_plan import Term
 from ..sources.registry import CompiledRegistry, _jv_requirements
 
-_BIGRAMS = (
-    "zip_with(slice(tokens, 1, greatest(size(tokens)-1, 0)), "
-    "slice(tokens, 2, greatest(size(tokens)-1, 0)), "
-    "(x, y) -> concat(x, ' ', y))"
-)
+
+def _ngrams_expr(n: int) -> str:
+    """Distinct contiguous n-grams of the ``tokens`` column (space-joined,
+    the join-verify atom encoding); short/null arrays yield []."""
+    if n == 1:
+        return "array_distinct(tokens)"
+    return (
+        f"case when size(tokens) >= {n} then "
+        f"array_distinct(transform(sequence(1, size(tokens) - {n - 1}), "
+        f"i -> array_join(slice(tokens, i, {n}), ' '))) "
+        f"else array() end"
+    )
 
 
 def _specs(
-    registry: CompiledRegistry, term_df: dict | None
-) -> tuple[list[tuple], list[str], list[str]]:
-    """One spec row per supported query:
-    (kind, gate, query_id, need_t, need_b, forb_t, forb_b).
-    Gate = the query's rarest need atom (by ``term_df`` df when given,
-    unigrams preferred) — a necessary condition, so the join is a sound
-    candidate filter and the predicate settles the rest."""
-    specs: list[tuple] = []
+    registry: CompiledRegistry,
+) -> tuple[list[tuple], set[int], list[str], list[str]]:
+    """One atom-table row per (query, atom):
+    (kind, atom, query_id, is_forbid, n_need) where n_need = the query's
+    DISTINCT need-atom count. Returns (rows, gram_lengths, matchall,
+    unsupported). A query whose need∩forbid atoms overlap can never match
+    and contributes no rows (correctly absent)."""
+    rows: list[tuple] = []
+    grams: set[int] = set()
     matchall = registry.all_docs_query_ids()
     unsupported: list[str] = []
     for qid, cq in registry.queries.items():
@@ -61,27 +76,24 @@ def _specs(
         if req is None:
             unsupported.append(qid)
             continue
-        need, forbid = req
-        need_t = sorted({v for k, _f, v in need if k == "t"})
-        need_b = sorted({v for k, _f, v in need if k == "b"})
-        forb_t = sorted({v for k, _f, v in forbid if k == "t"})
-        forb_b = sorted({v for k, _f, v in forbid if k == "b"})
-        if not need_t and not need_b:
-            unsupported.append(qid)  # must_not-only: no positive gate
+        need_raw, forbid_raw = req
+        need = sorted({(k, v) for k, _f, v in need_raw})
+        forbid = sorted({(k, v) for k, _f, v in forbid_raw})
+        if not need:
+            unsupported.append(qid)  # must_not-only: no positive atom
             continue
-
-        def df_of(kind: str, v: str) -> int:
-            if term_df is None:
-                return 0
-            if kind == "b":
-                w1, w2 = v.split(" ", 1)
-                return min(term_df.get(w1, 0), term_df.get(w2, 0))
-            return term_df.get(v, 0)
-
-        cands = [("t", v) for v in need_t] + [("b", v) for v in need_b]
-        kind, gate = min(cands, key=lambda kv: (df_of(*kv), kv[0] != "t", kv[1]))
-        specs.append((kind, gate, qid, need_t, need_b, forb_t, forb_b))
-    return specs, matchall, unsupported
+        if set(need) & set(forbid):
+            continue  # required AND forbidden: never matches, no rows
+        n_need = len(need)
+        for k, v in need:
+            rows.append((k, v, qid, False, n_need))
+            if k != "t":
+                grams.add(int(k[1:]))
+        for k, v in forbid:
+            rows.append((k, v, qid, True, n_need))
+            if k != "t":
+                grams.add(int(k[1:]))
+    return rows, grams, matchall, unsupported
 
 
 def windowed_match_counts(
@@ -101,12 +113,13 @@ def windowed_match_counts(
 ) -> DataFrame:
     """docs (streaming or batch) → (window_start, window_end, query_id,
     n_docs): matched-document counts per event-time window per registered
-    query. ``term_df`` (term → global df, e.g. from an index manifest)
-    improves gate selectivity; without it the first atom gates.
+    query. ``term_df`` is accepted for compatibility but no longer used:
+    the atom-count verify needs no gate selection (every atom joins; the
+    aggregate settles the conjunction).
     """
     from ..functions.tokenizer import tokenize_ws
 
-    specs, matchall, unsupported = _specs(registry, term_df)
+    rows, grams, matchall, unsupported = _specs(registry)
     if unsupported and not skip_unsupported:
         raise ValueError(
             "unsupported for windowed streaming percolation (use "
@@ -118,60 +131,73 @@ def windowed_match_counts(
         F.col(ts_col).alias("ts"),
         F.col(id_col).alias("doc_id"),
         tok(content_col).alias("tokens"),
-    ).withColumn("bigrams", F.expr(_BIGRAMS))
+    )
     if watermark is not None:
         base = base.withWatermark("ts", watermark)
-
-    parts = []
-    if specs:
-        spec_df = spark.createDataFrame(
-            specs,
-            "kind string, gate string, query_id string, "
-            "need_t array<string>, need_b array<string>, "
-            "forb_t array<string>, forb_b array<string>",
-        )
-        uni = base.select(
-            "ts", "doc_id", "tokens", "bigrams",
-            F.lit("t").alias("kind"),
-            F.explode(F.array_distinct("tokens")).alias("gate"),
-        )
-        big = base.select(
-            "ts", "doc_id", "tokens", "bigrams",
-            F.lit("b").alias("kind"),
-            F.explode(F.array_distinct("bigrams")).alias("gate"),
-        )
-        cand = uni.unionByName(big).join(F.broadcast(spec_df), ["kind", "gate"])
-        ok = (
-            F.forall("need_t", lambda t: F.array_contains("tokens", t))
-            & F.forall("need_b", lambda b: F.array_contains("bigrams", b))
-            & ~F.exists("forb_t", lambda t: F.array_contains("tokens", t))
-            & ~F.exists("forb_b", lambda b: F.array_contains("bigrams", b))
-        )
-        parts.append(cand.filter(ok).select("ts", "doc_id", "query_id"))
-    if matchall:
-        qdf = spark.createDataFrame(
-            [(q,) for q in sorted(matchall)], "query_id string"
-        )
-        parts.append(
-            base.select("ts", "doc_id").crossJoin(F.broadcast(qdf))
-        )
-    if not parts:
-        return spark.createDataFrame(
-            [],
-            "window_start timestamp, window_end timestamp, "
-            "query_id string, n_docs long",
-        )
-    matches = parts[0]
-    for p in parts[1:]:
-        matches = matches.unionByName(p)
 
     win = (
         F.window("ts", window_duration, slide)
         if slide
         else F.window("ts", window_duration)
     )
+    empty = spark.createDataFrame(
+        [],
+        "window_start timestamp, window_end timestamp, "
+        "query_id string, n_docs long",
+    )
+    parts = []
+    if rows:
+        spec_df = spark.createDataFrame(
+            rows,
+            "kind string, atom string, query_id string, "
+            "is_forbid boolean, n_need int",
+        )
+        streams = [
+            base.select(
+                "ts", "doc_id",
+                F.lit("t" if n == 1 else f"g{n}").alias("kind"),
+                F.explode(F.expr(_ngrams_expr(n))).alias("atom"),
+            )
+            for n in sorted(grams | {1})
+        ]
+        atoms = streams[0]
+        for s in streams[1:]:
+            atoms = atoms.unionByName(s)
+        parts.append(
+            atoms.join(F.broadcast(spec_df), ["kind", "atom"]).select(
+                "ts", "doc_id", "query_id", "is_forbid", "n_need"
+            )
+        )
+    if matchall:
+        qdf = spark.createDataFrame(
+            [(q,) for q in sorted(matchall)], "query_id string"
+        )
+        parts.append(
+            base.select("ts", "doc_id")
+            .crossJoin(F.broadcast(qdf))
+            .select(
+                "ts", "doc_id", "query_id",
+                F.lit(False).alias("is_forbid"),
+                F.lit(1).alias("n_need"),
+            )
+        )
+    if not parts:
+        return empty
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+
+    per_doc = (
+        hits.groupBy(win.alias("win"), "doc_id", "query_id")
+        .agg(
+            F.sum(F.when(F.col("is_forbid"), 0).otherwise(1)).alias("req_hits"),
+            F.max(F.when(F.col("is_forbid"), 1).otherwise(0)).alias("forb"),
+            F.max("n_need").alias("n_need"),
+        )
+        .filter((F.col("req_hits") == F.col("n_need")) & (F.col("forb") == 0))
+    )
     return (
-        matches.groupBy(win.alias("win"), "query_id")
+        per_doc.groupBy("win", "query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .select(
             F.col("win.start").alias("window_start"),

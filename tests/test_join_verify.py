@@ -20,9 +20,10 @@ def _registry(seed: int, n: int) -> CompiledRegistry:
     rows = []
     for i in range(n):
         def clause():
-            if rng.random() < 0.3:  # 2-term slop-0 phrase: exact via bigram
+            if rng.random() < 0.3:  # slop-0 phrase: exact via n-gram stream
+                k = rng.randint(2, 4)
                 return {"phrase": {"field": "text",
-                                   "terms": [rng.choice(VOCAB), rng.choice(VOCAB)]}}
+                                   "terms": [rng.choice(VOCAB) for _ in range(k)]}}
             return {"term": {"text": rng.choice(VOCAB)}}
         if rng.random() < 0.15:
             rows.append((f"q{i}", {"phrase": {"field": "text",
@@ -49,14 +50,20 @@ def _registry(seed: int, n: int) -> CompiledRegistry:
         # same term required AND forbidden: can never match
         ("both", {"bool": {"must": [{"term": {"text": "row"}}],
                            "must_not": [{"term": {"text": "row"}}]}}),
-        # NOT jv-eligible (3 terms / slop>0): must still verify correctly
-        # through the python lane alongside jv siblings
+        # 3-term slop-0 phrase: jv-eligible via the trigram stream
         ("p3", {"phrase": {"field": "text", "terms": ["the", "def", "import"]}}),
+        # NOT jv-eligible (slop>0): python lane alongside jv siblings
         ("pslop", {"phrase": {"field": "text", "terms": ["the", "class"], "slop": 1}}),
-        # forbidden 2-term phrase: bigram containment must exclude
+        # forbidden 2- and 3-term phrases: n-gram containment must exclude
         ("pnot", {"bool": {"must": [{"term": {"text": "the"}}],
                            "must_not": [{"phrase": {"field": "text",
                                                     "terms": ["the", "def"]}}]}}),
+        ("pnot3", {"bool": {"must": [{"term": {"text": "def"}}],
+                            "must_not": [{"phrase": {"field": "text",
+                                                     "terms": ["the", "def", "import"]}}]}}),
+        # 9-term phrase: past _JV_MAX_GRAM, stays on the python lane
+        ("plong", {"phrase": {"field": "text",
+                              "terms": ["the"] * 9}}),
     ]
     return CompiledRegistry.from_rows(rows)
 

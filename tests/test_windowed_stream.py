@@ -196,3 +196,25 @@ def test_windowed_stream_watermark_close_and_late_drop(spark, tmp_path):
     # first window emitted with the 2 on-time docs only (late doc dropped);
     # the 01:00 window is still open (no later event), so not emitted yet
     assert emitted == {(0, 0): 2}
+
+
+def test_windowed_candidate_stream_is_slim(spark):
+    """The atom explode must NOT carry the token/ngram arrays per generated
+    row (the round-2 O(n_tokens²) blowup on code-file-sized docs): every
+    Generate node retains only (ts, doc_id) scalars alongside the atom."""
+    import re
+
+    reg = CompiledRegistry.from_rows(list(QUERIES.items()))
+    docs = _docs_df(spark, lambda i: i)
+    out = windowed_match_counts(
+        spark, docs, reg, window_duration="10 minutes", watermark=None
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen_lines  # the explodes exist
+    for ln in gen_lines:
+        # shape: Generate explode(<expr>), [<retained cols>], false, [<out>]
+        m = re.search(r"\), \[([^\]]*)\], (?:false|true), \[", ln)
+        assert m, ln
+        retained = m.group(1)
+        assert "tokens" not in retained, f"array carried through explode: {ln}"
