@@ -61,8 +61,16 @@ spark = get_spark('p225k', cores=32)
 # (BatchPercolatorQueriesRegistry.java:244-266), so per-batch times
 # measure percolation, not registration amortization
 t0 = time.perf_counter()
-reg.warmup(spark)  # verify-plan broadcast + join-verify structures
-print(f"registration warmup (broadcast + jv structs) in {time.perf_counter() - t0:.1f}s")
+# sample-exercised warmup: term stats for gate choice + jv lane decision
+# come from a small representative sample (the reference's analog reads
+# stats from its live index at registration), and one tiny percolation
+# spawns python workers / ships the verify broadcast / compiles codegen —
+# so the FIRST production batch runs at steady state
+# >= cores partitions so the exercise spawns EVERY python worker (each
+# pays its one-time broadcast unpickle here, not in the first real batch)
+warm_sample = synth_corpus(spark, 6000, partitions=128, vocab_size=10000)
+reg.warmup(spark, sample=warm_sample)
+print(f"registration warmup (broadcast + jv structs + sample exercise) in {time.perf_counter() - t0:.1f}s")
 batch = synth_corpus(spark, N_DOCS, partitions=128, vocab_size=10000).cache()
 batch.count()
 for rep in range(2):

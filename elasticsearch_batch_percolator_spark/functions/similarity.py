@@ -207,6 +207,50 @@ def cosine_topk_ivf(
     return cosine_topk_brute(bucket, query_vec, k, id_col, vec_col, round_to)
 
 
+def probe_centroids(
+    centroids: list[tuple[int, list[float]]], query_vec, n_probe: int
+) -> list[int]:
+    """The n_probe centroid ids nearest (cosine) to ``query_vec``."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    sims = []
+    for cid, cvec in centroids:
+        c = np.asarray(cvec, dtype=np.float64)
+        sims.append((float(qv @ c / (np.linalg.norm(qv) * np.linalg.norm(c))), cid))
+    return [cid for _, cid in sorted(sims, reverse=True)[:n_probe]]
+
+
+def write_ivf_index(assigned: DataFrame, path: str) -> None:
+    """Persist the IVF assignment PARTITIONED by centroid_id — the 100-TB
+    layout: each probe reads ONLY its n_probe bucket directories. The
+    ``centroid_id`` filter in ``cosine_topk_ivf_pruned`` reaches the scan
+    as a PartitionFilter (verified by test/PLANS.md), so a 256-bucket
+    index answers an n_probe=8 query touching 3% of the bytes."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def cosine_topk_ivf_pruned(
+    spark: SparkSession,
+    index_path: str,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ANN top-k over a ``write_ivf_index`` layout: the probe's
+    centroid_id IN-filter prunes non-probed partitions at scan planning
+    (PartitionFilters — no I/O for unprobed buckets)."""
+    probe = probe_centroids(centroids, query_vec, n_probe)
+    bucket = spark.read.parquet(index_path).filter(
+        F.col("centroid_id").isin(probe)
+    )
+    return cosine_topk_brute(bucket, query_vec, k, id_col, vec_col, round_to)
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float,

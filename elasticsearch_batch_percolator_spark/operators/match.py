@@ -20,7 +20,7 @@ Catalyst constructions:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -178,3 +178,21 @@ def match_col(
         return cond
 
     raise TypeError(f"cannot build match column for {plan!r}")
+
+
+def alias_filter(
+    docs: DataFrame,
+    query: dict | Plan,
+    token_fields: dict[str, Column],
+    value_fields: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Q14 alias filter: AND a filtered-alias query into the context before
+    percolation/search, the reference's
+    ``YPercolatorService.createContext`` alias handling
+    (YPercolatorService.java:141-149). ``query`` is a query-DSL dict (or a
+    compiled Plan); the returned DataFrame is ``docs`` restricted to rows
+    satisfying it — pure Catalyst WHERE, non-scoring (filter context)."""
+    from ..plans.compiler import compile_query
+
+    plan = query if isinstance(query, Plan) else compile_query(query)
+    return docs.filter(match_col(plan, token_fields, value_fields))

@@ -115,20 +115,47 @@ class CompiledRegistry:
         self._bc_cache = (key, bc)
         return bc
 
-    def warmup(self, spark: SparkSession, fields: dict | None = None) -> None:
+    def warmup(
+        self,
+        spark: SparkSession,
+        fields: dict | None = None,
+        sample: "DataFrame | None" = None,
+        content_col: str = "content",
+        id_col: str = "doc_id",
+    ) -> None:
         """Registration-time warmup (the reference pays its query parse at
         registration, BatchPercolatorQueriesRegistry.java:244-266): build +
         ship the verify-plan broadcast and precompute the join-verify
         structures for the anticipated batch field layout, so the FIRST
         percolation batch pays neither. ``fields`` mirrors percolate()'s
-        parameter; None = the single-field default layout."""
-        from ..operators.percolate import _jv_structs
+        parameter; None = the single-field default layout.
+
+        ``sample`` — a small REPRESENTATIVE document batch (a prior batch,
+        a corpus sample; the reference's analog draws term stats from its
+        live index). When given, warmup runs one full percolation over it,
+        which (a) builds the per-registry batch-plan cache — gate choice +
+        join-verify lane decision from the sample's term statistics, so
+        the first real batch skips its stats-probe and bt-count jobs —
+        and (b) exercises the execution path once: python workers spawn,
+        the verify broadcast ships, whole-stage codegen compiles. After a
+        representative-sample warmup the first production batch runs at
+        steady-state (warm) speed. Stats drift only affects gate
+        selectivity, never results; set EBP_STATS_REFRESH=N to re-probe
+        every N batches."""
+        from ..operators.percolate import _jv_structs, percolate
 
         self.broadcast_verify_plans(spark)
         if fields is None:
             qfields = sorted(self.query_fields())
             resolve = {qf: "tokens" for qf in qfields}
             _jv_structs(self, resolve, {"tokens": 0}, set(), set(), ["tokens"])
+        if sample is not None:
+            res = percolate(
+                spark, sample, self,
+                content_col=content_col, id_col=id_col, fields=fields,
+            )
+            res.matches.count()
+            res.unpersist()
 
     def jv_verify_atoms(self) -> dict[str, tuple]:
         """qid -> (need, forbid) atom tuples for every verify-needing query

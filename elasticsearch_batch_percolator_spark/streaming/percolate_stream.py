@@ -30,8 +30,20 @@ def multi_percolate(
     content_col: str = "content",
     track_scores: bool = False,
     size: int | None = None,
+    corpus: DataFrame | None = None,
+    corpus_id_col: str = "doc_id",
+    corpus_content_col: str = "content",
 ) -> DataFrame:
     """(batch_id, slot, action, content [, parse_error]) → per-slot results.
+
+    Bulk-with-existing-docs (the reference's multi-get pre-resolution,
+    TransportMultiYPercolateAction.java:79-116): when ``corpus`` is given
+    and ``batches`` has a ``get_id`` column, slots with a non-null
+    ``get_id`` resolve their content from the corpus in ONE join before
+    fan-out (content_col on those slots may be null). A ``get_id`` absent
+    from the corpus leaves the slot's content null, which flows into the
+    per-slot ``_parse_error_`` channel — sibling slots are unaffected,
+    exactly like an inline parse error.
 
     percolate-action slots get sorted matched query ids; count-action slots
     get only the count (E5). Every slot appears in the output, empty or not
@@ -47,6 +59,18 @@ def multi_percolate(
     S2 per-request size option; counts still reflect ALL matches, matching
     the reference where total is independent of page size).
     """
+    if corpus is not None and "get_id" in batches.columns:
+        fetched = corpus.select(
+            F.col(corpus_id_col).alias("get_id"),
+            F.col(corpus_content_col).alias("_fetched"),
+        )
+        batches = (
+            batches.join(fetched, "get_id", "left")
+            .withColumn(
+                content_col, F.coalesce(F.col(content_col), F.col("_fetched"))
+            )
+            .drop("_fetched")
+        )
     bad_flag = F.col(content_col).isNull() | F.col("slot").isNull()
     if "parse_error" in batches.columns:
         bad_flag = bad_flag | F.coalesce(F.col("parse_error"), F.lit(False))

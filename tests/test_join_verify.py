@@ -129,3 +129,58 @@ def test_join_verify_auto_guard_rejects_hot_ungated_volume(spark, monkeypatch):
     finally:
         batch.unpersist()
     assert auto == off
+
+
+def test_batch_plan_cache_reuse_across_batches(spark):
+    """Second percolate with the SAME registry must reuse the cached plan
+    artifacts (no stats probe / bt_count jobs) and still produce exactly
+    the fresh-registry results on a DIFFERENT batch — stale df stats may
+    only degrade gate choice, never results."""
+    reg = _registry(31, 40)
+    b1 = synth_corpus(spark, 600, partitions=2).persist()
+    b2 = synth_corpus(spark, 900, partitions=2).persist()
+    b1.count(); b2.count()
+    try:
+        res1 = percolate(spark, b1, reg)
+        got1 = {(int(r["doc_id"]), r["query_id"]) for r in res1.matches.collect()}
+        res1.unpersist()
+        assert getattr(reg, "_batch_plan_cache", None) is not None
+        art_before = reg._batch_plan_cache["art"]
+        res2 = percolate(spark, b2, reg)
+        got2 = {(int(r["doc_id"]), r["query_id"]) for r in res2.matches.collect()}
+        res2.unpersist()
+        assert reg._batch_plan_cache["art"] is art_before  # cache HIT
+
+        fresh = _registry(31, 40)  # identical queries, cold cache
+        res3 = percolate(spark, b2, fresh)
+        got3 = {(int(r["doc_id"]), r["query_id"]) for r in res3.matches.collect()}
+        res3.unpersist()
+    finally:
+        b1.unpersist(); b2.unpersist()
+    assert got2 == got3
+    assert got1 and got2  # non-vacuous
+
+
+def test_warmup_with_sample_prebuilds_plan_cache(spark):
+    """warmup(sample=...) runs one percolation over the sample, leaving
+    the batch-plan cache hot: the first real batch must HIT it (identical
+    art object) and produce the same matches as a cold registry."""
+    reg = _registry(11, 30)
+    sample = synth_corpus(spark, 200, partitions=2)
+    reg.warmup(spark, sample=sample)
+    assert getattr(reg, "_batch_plan_cache", None) is not None
+    art = reg._batch_plan_cache["art"]
+    batch = synth_corpus(spark, 800, partitions=2).persist()
+    batch.count()
+    try:
+        res = percolate(spark, batch, reg)
+        got = {(int(r["doc_id"]), r["query_id"]) for r in res.matches.collect()}
+        res.unpersist()
+        assert reg._batch_plan_cache["art"] is art  # warm plan reused
+        cold = _registry(11, 30)
+        res2 = percolate(spark, batch, cold)
+        got2 = {(int(r["doc_id"]), r["query_id"]) for r in res2.matches.collect()}
+        res2.unpersist()
+    finally:
+        batch.unpersist()
+    assert got == got2 and got

@@ -164,3 +164,27 @@ def test_api_tests_golden(spark):
 def test_query_cases(spark, qjson, text, expected):
     got = _match_set(spark, {"q": qjson}, [(0, text)])
     assert ((0, "q") in got) == expected
+
+
+def test_alias_filter_restricts_context(spark):
+    """Q14: the alias filter ANDs into the percolation/search context
+    (YPercolatorService.java:141-149) — a plain Catalyst WHERE over the
+    token columns, composable with any downstream operator."""
+    from elasticsearch_batch_percolator_spark.operators.match import alias_filter
+
+    docs = spark.createDataFrame(
+        [(1, ["spark", "fast"], 10), (2, ["spark", "slow"], 300), (3, ["flink"], 50)],
+        "doc_id long, tokens array<string>, n long",
+    )
+    out = alias_filter(
+        docs,
+        {"bool": {"must": [{"term": {"content": "spark"}}],
+                  "must_not": [{"term": {"content": "slow"}}]}},
+        {"content": F.col("tokens")},
+    )
+    assert [r["doc_id"] for r in out.orderBy("doc_id").collect()] == [1]
+    # numeric Range targets flow through value_fields
+    out2 = alias_filter(
+        docs, {"range": {"n": {"gte": 40}}}, {}, {"n": F.col("n")}
+    )
+    assert [r["doc_id"] for r in out2.orderBy("doc_id").collect()] == [2, 3]

@@ -293,3 +293,35 @@ def test_default_centroids_large_no_driver_collect(spark):
     # -- recover seed ids by matching embeddings is overkill; instead
     # assert the vectors are pairwise distinct
     assert len({tuple(v) for _, v in c1}) == 8
+
+
+def test_ivf_partitioned_index_prunes(spark, embeddings, tmp_path):
+    """write_ivf_index + cosine_topk_ivf_pruned: the probe's centroid_id
+    filter must reach the scan as a PartitionFilter (no I/O for unprobed
+    buckets — the 100-TB probe path), and results must equal the unwritten
+    in-memory probe."""
+    from elasticsearch_batch_percolator_spark.functions.similarity import (
+        cosine_topk_ivf_pruned,
+        kmeans_fit,
+        probe_centroids,
+        write_ivf_index,
+    )
+
+    cents = kmeans_fit(embeddings, n=8, iters=3)
+    assigned = ivf_assign(embeddings, cents)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(assigned, path)
+
+    rows = embeddings.orderBy("vec_id").collect()
+    q = list(rows[0]["embedding"])
+    pruned = cosine_topk_ivf_pruned(spark, path, cents, q, k=10, n_probe=3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the centroid_id predicate is a partition filter, not a data filter
+    pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "centroid_id" in pf
+
+    mem = cosine_topk_ivf(spark, assigned, cents, q, k=10, n_probe=3)
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in mem.collect()]
+    # sanity: probing reads fewer files than the full index has partitions
+    assert len(probe_centroids(cents, q, 3)) == 3

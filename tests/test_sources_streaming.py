@@ -286,3 +286,34 @@ def test_registry_table_auto_reload(spark, tmp_path):
         for r in spark.read.parquet(str(out)).select("doc_id", "query_id").collect()
     }
     assert got == {(1, "q-fox"), (2, "q-wolf")}
+
+
+def test_multi_percolate_with_existing_docs(spark):
+    """Bulk-with-existing-docs: slots referencing corpus doc ids resolve
+    content via ONE multi-get join before fan-out
+    (TransportMultiYPercolateAction.java:79-116); a missing id flows into
+    the per-slot _parse_error_ channel while siblings percolate."""
+    reg = CompiledRegistry.from_rows(list(QUERIES.items()))
+    corpus = spark.createDataFrame(
+        [(100, "the fox is here"), (101, "bad wolf")],
+        "doc_id long, content string",
+    )
+    batches = spark.createDataFrame(
+        [
+            (0, 0, "percolate", None, 100),     # existing doc -> q-fox
+            (0, 1, "percolate", "bad wolf", None),  # inline content
+            (0, 2, "percolate", None, 999),     # missing id -> slot error
+            (0, 3, "count", None, 101),         # existing doc, count action
+        ],
+        "batch_id long, slot long, action string, content string, get_id long",
+    )
+    rows = {
+        (r["batch_id"], r["slot"]): (
+            r["n_matches"], list(r["matched_queries"]), r["error"],
+        )
+        for r in multi_percolate(spark, batches, reg, corpus=corpus).collect()
+    }
+    assert rows[(0, 0)] == (2, ["q-all", "q-fox"], None)
+    assert rows[(0, 1)] == (1, ["q-all"], None)
+    assert rows[(0, 2)] == (0, [], "_parse_error_")
+    assert rows[(0, 3)][0] == 1 and rows[(0, 3)][2] is None
