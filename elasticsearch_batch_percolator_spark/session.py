@@ -46,6 +46,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # shuffle/broadcast codec: zstd default — trades map-side CPU for
+        # shuffle bytes, which wins whenever the memory bus / disk / network
+        # is the contended resource at high parallelism (measured on the
+        # 800k-doc index build: local[8] 39.4s→35.3s and N→4N efficiency
+        # 0.75→0.90; local[2] pays ~8% — the CPU-bound corner). At cluster
+        # scale shuffle bytes are the scarcer resource. EBP_IO_CODEC=lz4
+        # reverts.
+        .config(
+            "spark.io.compression.codec", os.environ.get("EBP_IO_CODEC", "zstd")
+        )
     )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:

@@ -47,6 +47,29 @@ p4 = grab(percolate(spark, docs, reg_jv).matches)
 os.environ.pop("EBP_SIMPLE_JOIN_VERIFY")
 sections.append(("Join-verify lane (forced): the whole conjunction — required term, required bigram (2-term phrase), forbidden term — is ONE broadcast hash join of the (doc, fcol, term) + bigram streams against the need/forbid table, a partial-aggregating HashAggregate on (doc_id, query_id), and a count filter. No Python, no Arrow; every operator inside WholeStageCodegen", p4))
 
+# 5. join-verify with a 3-term slop-0 phrase: trigram stream in the smallint
+# offset fcol space — long phrases stay JVM-side
+os.environ["EBP_SIMPLE_JOIN_VERIFY"] = "force"
+reg_g3 = CompiledRegistry.from_rows([
+    ("g3", {"phrase": {"field": "content", "terms": ["the", "fast", "spark"]}}),
+])
+p5 = grab(percolate(spark, docs, reg_g3).matches)
+os.environ.pop("EBP_SIMPLE_JOIN_VERIFY")
+sections.append(("Join-verify n-gram generalization: a 3-term slop-0 phrase is EXACT trigram containment — the contiguous-trigram stream (transform/sequence/slice inside Generate) joins the broadcast need table under fcol + 64*(n-1); same single aggregate, still zero Python", p5))
+
+# 6. IVF ANN probe over the written partitioned index: centroid_id IN-filter
+# prunes unprobed bucket partitions at scan planning (PartitionFilters)
+from elasticsearch_batch_percolator_spark.functions.similarity import (
+    cosine_topk_ivf_pruned, ivf_assign, kmeans_fit, write_ivf_index,
+)
+emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+cents = kmeans_fit(emb, n=8, iters=2)
+ivf_dir = tempfile.mkdtemp() + "/ivf"
+write_ivf_index(ivf_assign(emb, cents), ivf_dir)
+qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+p6 = grab(cosine_topk_ivf_pruned(spark, ivf_dir, cents, qv, k=10, n_probe=3))
+sections.append(("IVF ANN partition-pruned probe: the index is written partitionBy(centroid_id); the probe's IN-filter appears as PartitionFilters on the scan — unprobed buckets are never read (at 256 buckets an n_probe=8 query touches ~3% of the bytes)", p6))
+
 
 def trim(s, n=80):
     lines = [l.rstrip() for l in s.splitlines()]
