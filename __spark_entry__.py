@@ -881,9 +881,46 @@ def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_windowed_phrase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming percolation with n-gram atoms: 2- and 3-term
+    slop-0 phrases and a forbidden phrase flow through the SLIM atom
+    streams (contiguous n-grams, no arrays through the explode) and the
+    chained windowed aggregates — the round-3 g<n> atom algebra,
+    batch-mode of the same incremental plan."""
+    from elasticsearch_batch_percolator_spark.streaming.windowed import (
+        windowed_match_counts,
+    )
+
+    reg = CompiledRegistry.from_rows(
+        [
+            ("w-p2", {"phrase": {"field": "content", "terms": ["the", "fast"]}}),
+            ("w-p3", {"phrase": {"field": "content",
+                                 "terms": ["a", "key", "column"]}}),
+            ("w-mix", {"bool": {"must": [{"term": {"content": "spark"}}],
+                                "must_not": [{"phrase": {
+                                    "field": "content",
+                                    "terms": ["the", "fast"]}}]}}),
+        ]
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("text").alias("content"),
+        F.timestamp_seconds(F.col("doc_id") * 30).alias("ts"),
+    )
+    out = windowed_match_counts(
+        spark, docs, reg, window_duration="10 minutes", watermark=None
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "query_id",
+        F.col("n_docs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_match_counts": _q_windowed_counts,
+        "windowed_phrase_counts": _q_windowed_phrase_counts,
         "corpus_sha": _q_corpus_sha,
         "multimodal_features": _q_multimodal_features,
         "events_windowed_counts": _q_events_windowed_counts,
@@ -984,11 +1021,24 @@ shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
             f"SELECT doc_id, 'q-not' AS query_id FROM documents WHERE {contains.format(t='vector')} AND NOT {contains.format(t='join')}",
         ]
     )
+    winp_union = " UNION ALL ".join(
+        [
+            f"SELECT doc_id, 'w-p2' AS query_id FROM documents WHERE {phrase.format(p='the fast')}",
+            f"SELECT doc_id, 'w-p3' AS query_id FROM documents WHERE {phrase.format(p='a key column')}",
+            f"SELECT doc_id, 'w-mix' AS query_id FROM documents WHERE {contains.format(t='spark')} AND NOT {phrase.format(p='the fast')}",
+        ]
+    )
     out = {
         "windowed_match_counts": f"""
 SELECT ((doc_id * 30) // 600 * 600)::BIGINT AS window_start_epoch,
        query_id, count(*)::BIGINT AS n_docs
 FROM ({win_union})
+GROUP BY 1, 2
+""",
+        "windowed_phrase_counts": f"""
+SELECT ((doc_id * 30) // 600 * 600)::BIGINT AS window_start_epoch,
+       query_id, count(*)::BIGINT AS n_docs
+FROM ({winp_union})
 GROUP BY 1, 2
 """,
         "corpus_sha": """

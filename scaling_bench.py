@@ -196,8 +196,18 @@ def run_inner(cores: int) -> None:
 
 def run_level(cores: int) -> dict[str, float]:
     env = dict(os.environ)
+    # PIN the whole inner process tree (JVM + python workers) to exactly
+    # `cores` CPUs: local[N] alone only limits TASK SLOTS — python workers
+    # overlap the JVM and GC threads scale with the machine, so an
+    # unpinned local[2] measured 2.25-2.36 cores busy. With taskset each
+    # level is a true N-CPU node and the N vs 4N comparison measures real
+    # scaling, not slot accounting. SCALING_NO_PIN=1 restores the old
+    # behavior (and the cores_used metric quantifies the difference).
+    cmd = [sys.executable, os.path.abspath(__file__), "--inner", str(cores)]
+    if not os.environ.get("SCALING_NO_PIN"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--inner", str(cores)],
+        cmd,
         capture_output=True,
         text=True,
         env=env,

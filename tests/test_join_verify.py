@@ -184,3 +184,25 @@ def test_warmup_with_sample_prebuilds_plan_cache(spark):
     finally:
         batch.unpersist()
     assert got == got2 and got
+
+
+def test_batch_plan_cache_refresh_interval(spark, monkeypatch):
+    """EBP_STATS_REFRESH=1 re-probes every batch: the second percolate must
+    REBUILD the plan artifacts (fresh art object), results unchanged."""
+    monkeypatch.setenv("EBP_STATS_REFRESH", "1")
+    reg = _registry(13, 20)
+    batch = synth_corpus(spark, 400, partitions=2).persist()
+    batch.count()
+    try:
+        res1 = percolate(spark, batch, reg)
+        got1 = {(int(r["doc_id"]), r["query_id"]) for r in res1.matches.collect()}
+        res1.unpersist()
+        art1 = reg._batch_plan_cache["art"]
+        res2 = percolate(spark, batch, reg)
+        got2 = {(int(r["doc_id"]), r["query_id"]) for r in res2.matches.collect()}
+        res2.unpersist()
+        art2 = reg._batch_plan_cache["art"]
+    finally:
+        batch.unpersist()
+    assert art2 is not art1  # rebuilt
+    assert got1 == got2 and got1
