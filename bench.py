@@ -49,6 +49,13 @@ def _queries_100() -> dict[str, list[str]]:
     return out
 
 
+def _mp_probe_burn(_):
+    x = 0
+    for _ in range(20_000_000):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    return x
+
+
 def _percolator_queries(n: int = 200) -> list[tuple[str, dict]]:
     import random
 
@@ -183,6 +190,20 @@ def main() -> None:
         x = (x * 1103515245 + 12345) & 0x7FFFFFFF
     cpu_probe_s = round(time.perf_counter() - t0, 3)
 
+    # MULTI-core calibration: the single-thread probe misses parallel
+    # contention (a co-tenant saturating the memory bus slows 32-way work
+    # 3x while the 1-thread probe barely moves — observed 2026-08-17:
+    # synth_wand 2.0s -> 7.2s across windows at probe 2.3 -> 2.8).
+    # CPUS tasks of the same burn through multiprocessing: the per-task
+    # time under full parallelism is the normalizer for every
+    # parallel-throughput number below.
+    import multiprocessing as _mp
+
+    t0 = time.perf_counter()
+    with _mp.Pool(CPUS) as pool:
+        pool.map(_mp_probe_burn, range(CPUS))
+    mp_probe_s = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -190,6 +211,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "cpu_probe_s": cpu_probe_s,
+                "mp_probe_s": mp_probe_s,
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": SF_DIR,
                 "cpus": CPUS,

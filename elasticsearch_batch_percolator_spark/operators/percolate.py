@@ -742,19 +742,21 @@ def percolate(
             batch.select("doc_id").crossJoin(art["alldocs_sdf"])
         )
 
-    # candidates stay RAW (duplicates possible: a doc hitting several gate
-    # rows of one query, or wildcard + literal). The python verify lane
-    # dedups FREE inside its existing groupBy(doc_id) via collect_set —
-    # a global dropDuplicates here would add one full extra shuffle of the
-    # candidate stream per batch (measured: the extra stage is a fixed
-    # cost that caps N→4N scaling). The small exact/columnar slices dedup
-    # locally below.
+    # GLOBAL candidate dedup: measured strictly best. A same-window A/B
+    # against per-part / no dedup (duplicates folded into the verify
+    # groupBy's collect_set) showed the early dedup SHRINKING the stream
+    # before every downstream shuffle wins at every level — equal at
+    # local[8], ~25% faster at local[2] and ~10% at local[32]/1M docs
+    # (wildcard expansion emits one row per matched dictionary term per
+    # doc, an unbounded multiplier). The no-dedup variant only "improved"
+    # N->4N efficiency by making the small configuration slower.
     if not parts_cand:
         candidates = spark.createDataFrame([], "doc_id long, query_id string")
     else:
         candidates = parts_cand[0].select("doc_id", "query_id")
         for p in parts_cand[1:]:
             candidates = candidates.unionByName(p.select("doc_id", "query_id"))
+        candidates = candidates.dropDuplicates(["doc_id", "query_id"])
 
     if os.environ.get("EBP_PROF_CANDIDATES"):
         # perf-attribution hook: materialize the phase-1 candidate set so a
@@ -813,17 +815,15 @@ def percolate(
             if not cq.match_none and q not in verify_plans
         ]
         art["exact_sdf"] = _qid_df(spark, exact_qids) if exact_qids else None
-    # phase-1-exact slices pass through WITH their own (small) dedup —
-    # the raw candidate stream may carry duplicates (see above)
     if not verify_plans:
-        parts = [candidates.dropDuplicates(["doc_id", "query_id"])]
+        parts = [candidates]
     elif art["exact_sdf"] is None:
         parts = []
     else:
         parts = [
             candidates.join(
                 F.broadcast(art["exact_sdf"]), "query_id", "left_semi"
-            ).dropDuplicates(["doc_id", "query_id"])
+            )
         ]
 
     token_cols: dict[str, Column] = {}
@@ -860,13 +860,9 @@ def percolate(
             preds.append(cur_pred)
             chunk_qids.append(cur_qids)
         for pred, qids in zip(preds, chunk_qids):
-            cands = (
-                candidates.join(
-                    F.broadcast(_qid_df(spark, qids)), "query_id", "left_semi"
-                )
-                .dropDuplicates(["doc_id", "query_id"])  # raw-stream dupes
-                .join(batch.select("doc_id", *tok_cols), "doc_id")
-            )
+            cands = candidates.join(
+                F.broadcast(_qid_df(spark, qids)), "query_id", "left_semi"
+            ).join(batch.select("doc_id", *tok_cols), "doc_id")
             parts.append(
                 cands.filter(pred.otherwise(F.lit(False))).select("doc_id", "query_id")
             )
@@ -984,8 +980,8 @@ def percolate(
                 F.broadcast(art["pythonic_sdf"]), "query_id", "left_semi"
             )
         )
-        # collect_SET: dedups the raw candidate stream inside the shuffle
-        # this groupBy already pays — no separate dropDuplicates stage
+        # collect_SET (not list): defensive dedup inside the shuffle this
+        # groupBy already pays, so phase-2 never double-verifies a pair
         to_verify = (
             cand_py.groupBy("doc_id")
             .agg(F.collect_set("query_id").alias("qids"))
