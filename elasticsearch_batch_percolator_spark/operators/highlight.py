@@ -190,6 +190,33 @@ def highlight_map_col(
     analyzers = analyzers or {}
     field_order = sorted(content_cols)
 
+    # programs ship ONCE per executor via a Spark broadcast (a 225k-query
+    # registry's programs dict pickled into every task would dominate);
+    # per-(query, field) unit matchers memoize worker-side. Both the
+    # program build (a 10^5-query loop) and its broadcast are CACHED on
+    # the registry keyed by (app, version, field layout) — per-batch /
+    # streaming use would otherwise accumulate one full-programs broadcast
+    # per micro-batch on driver and executors; a stale-keyed predecessor
+    # is destroyed when the registry or layout changes.
+    session = SparkSession.getActiveSession()
+    sc = session.sparkContext
+    hl_key = (
+        sc.applicationId,
+        registry.version,
+        tuple(field_order),
+        tuple(sorted(analyzers.items())),
+    )
+    cached = getattr(registry, "_hl_bc_cache", None)
+    if cached is not None and cached[0] == hl_key:
+        return _hl_udf_col(
+            cached[1], field_order, analyzers, query_id_col, content_cols
+        )
+    if cached is not None:
+        try:
+            cached[1].destroy()
+        except Exception:
+            pass
+
     # per-query highlight programs: field -> (literals, patterns) under the
     # spec's requireFieldMatch / highlightQuery rules, resolved ONCE here
     programs: dict[str, dict] = {}
@@ -222,13 +249,17 @@ def highlight_map_col(
             "order": spec.order,
         }
 
-    an_by_field = {f: analyzers.get(f, "ws") for f in field_order}
+    bc_programs = sc.broadcast(programs)
+    registry._hl_bc_cache = (hl_key, bc_programs)
+    return _hl_udf_col(
+        bc_programs, field_order, analyzers, query_id_col, content_cols
+    )
 
-    # programs ship ONCE per executor via a Spark broadcast (a 225k-query
-    # registry's programs dict pickled into every task would dominate);
-    # per-(query, field) unit matchers memoize worker-side
-    session = SparkSession.getActiveSession()
-    bc_programs = session.sparkContext.broadcast(programs)
+
+def _hl_udf_col(
+    bc_programs, field_order, analyzers, query_id_col, content_cols
+) -> Column:
+    an_by_field = {f: analyzers.get(f, "ws") for f in field_order}
 
     @F.pandas_udf(HIGHLIGHT_MAP_TYPE)
     def hl(qids: pd.Series, *contents: pd.Series) -> pd.Series:
@@ -276,15 +307,28 @@ def highlight_col(
     token matching any of the query's positive literal terms or wildcard
     patterns gets wrapped, whole doc returned. For the reference-shaped
     per-field fragment map use ``highlight_map_col``."""
-    terms_by_q = {
-        qid: (
-            {t for _, t in positive_terms(q.plan)},
-            [wildcard_regex(p) for _, p in _wildcards_of(q.plan)],
-        )
-        for qid, q in registry.queries.items()
-    }
     session = SparkSession.getActiveSession()
-    bc_terms = session.sparkContext.broadcast(terms_by_q)
+    sc = session.sparkContext
+    # same per-registry broadcast cache as highlight_map_col (leak fix)
+    hlc_key = (sc.applicationId, registry.version)
+    cached = getattr(registry, "_hlc_bc_cache", None)
+    if cached is not None and cached[0] == hlc_key:
+        bc_terms = cached[1]
+    else:
+        if cached is not None:
+            try:
+                cached[1].destroy()
+            except Exception:
+                pass
+        terms_by_q = {
+            qid: (
+                {t for _, t in positive_terms(q.plan)},
+                [wildcard_regex(p) for _, p in _wildcards_of(q.plan)],
+            )
+            for qid, q in registry.queries.items()
+        }
+        bc_terms = sc.broadcast(terms_by_q)
+        registry._hlc_bc_cache = (hlc_key, bc_terms)
 
     @F.pandas_udf(T.StringType())
     def hl(qids: pd.Series, contents: pd.Series) -> pd.Series:

@@ -60,6 +60,15 @@ from .match import match_col
 # (the token-only batch_terms stream stays tinyint). Token columns with
 # index >= 64 are n-gram-ineligible (python lane), mirroring the tinyint
 # guard on the base space.
+#
+# ALIASING INVARIANT: a token atom on fcol >= 64 shares its fcol_eff with
+# the bigram stream of fcol-64 (and so on), so token/n-gram join keys are
+# only disjoint because tokenized values never contain the n-gram joiner
+# (a space) — ws/code/numeric analyzers cannot emit space-bearing tokens.
+# A Term whose DSL VALUE contains a space would violate that, so
+# _jv_structs routes any space-bearing token atom to the python lane
+# (where it correctly evaluates: a space-bearing value can never equal a
+# tokenizer-produced term).
 _GRAM_FCOL_OFF = 64
 
 
@@ -118,6 +127,12 @@ def _jv_structs(
                     continue  # forbidden on unconfigured: can't be present
                 if kind != "t" and fc >= _GRAM_FCOL_OFF:
                     ok = False  # n-gram offset space exhausted (>64 columns)
+                    break
+                if kind == "t" and " " in v:
+                    # space-bearing token value on any column: python lane
+                    # (see the ALIASING INVARIANT at _GRAM_FCOL_OFF — on
+                    # fcol >= 64 it would falsely join an n-gram stream)
+                    ok = False
                     break
                 pairs.add((fc, kind, v))
             if not ok:

@@ -46,17 +46,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # shuffle/broadcast codec: measured crossover on this box (tmpfs
-        # shuffle — compression is a pure CPU-vs-bus trade here). zstd wins
+        # shuffle/broadcast codec: measured crossover on the bench box (tmpfs
+        # shuffle — compression is a pure CPU-vs-bus trade there). zstd wins
         # when transport is the contended resource: 800k-doc index build at
-        # local[8] 39.4s→35.3s and N→4N efficiency 0.75→0.90. lz4 wins when
-        # CPU is saturated: 1M-doc build at local[32] 20.9s (lz4) vs 29.8s
-        # (zstd). Default lz4 for the local[32] bench box; set
-        # EBP_IO_CODEC=zstd on deployments where shuffle crosses a real
-        # disk/network (the usual cluster case — there the byte savings
-        # win like the local[8] measurement).
+        # local[8] 39.4s→35.3s and N→4N efficiency 0.75→0.90. lz4 wins only
+        # when CPU is saturated AND shuffle is RAM-backed: 1M-doc build at
+        # local[32] 20.9s (lz4) vs 29.8s (zstd). Default zstd — the usual
+        # cluster case shuffles across real disk/network where the byte
+        # savings win; the local bench harnesses opt into lz4 explicitly
+        # (EBP_IO_CODEC=lz4) because their shuffle lives in tmpfs.
         .config(
-            "spark.io.compression.codec", os.environ.get("EBP_IO_CODEC", "lz4")
+            "spark.io.compression.codec", os.environ.get("EBP_IO_CODEC", "zstd")
         )
     )
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")

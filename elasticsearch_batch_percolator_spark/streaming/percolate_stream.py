@@ -60,10 +60,12 @@ def multi_percolate(
     the reference where total is independent of page size).
     """
     if corpus is not None and "get_id" in batches.columns:
+        # multi-get resolves exactly ONE doc per id — a corpus with
+        # duplicate ids must not fan a slot out into duplicate result rows
         fetched = corpus.select(
             F.col(corpus_id_col).alias("get_id"),
             F.col(corpus_content_col).alias("_fetched"),
-        )
+        ).dropDuplicates(["get_id"])
         batches = (
             batches.join(fetched, "get_id", "left")
             .withColumn(

@@ -27,8 +27,11 @@ the join-verify n-gram cap (must + must_not), bare Terms, MatchAll.
 Wildcards need the per-batch term dictionary and positional queries need
 the evaluator — both stay on the foreachBatch path (percolate_stream).
 Field names resolve to the single analyzed content column (the
-flat-corpus default, percolate(fields=None)). Each (ts, doc_id) pair is
-assumed to identify one document event (the aggregate merges duplicates).
+flat-corpus default, percolate(fields=None)). A doc_id emitted several
+times within one window counts as ONE matched document per query: the
+per-doc aggregate counts DISTINCT satisfied need atoms, so repeated
+events (and repeated tokens within a doc) merge instead of overshooting
+the conjunction check.
 """
 
 from __future__ import annotations
@@ -165,7 +168,8 @@ def windowed_match_counts(
             atoms = atoms.unionByName(s)
         parts.append(
             atoms.join(F.broadcast(spec_df), ["kind", "atom"]).select(
-                "ts", "doc_id", "query_id", "is_forbid", "n_need"
+                "ts", "doc_id", "query_id", "is_forbid", "n_need",
+                "kind", "atom",
             )
         )
     if matchall:
@@ -179,6 +183,10 @@ def windowed_match_counts(
                 "ts", "doc_id", "query_id",
                 F.lit(False).alias("is_forbid"),
                 F.lit(1).alias("n_need"),
+                # constant atom: repeated events for one doc collapse to a
+                # single distinct need atom in the per-doc aggregate
+                F.lit("*").alias("kind"),
+                F.lit("*").alias("atom"),
             )
         )
     if not parts:
@@ -187,10 +195,19 @@ def windowed_match_counts(
     for p in parts[1:]:
         hits = hits.unionByName(p)
 
+    # req_hits counts DISTINCT satisfied need atoms (size ∘ collect_set,
+    # streaming-legal unlike countDistinct), so a doc_id emitted several
+    # times in one window — or a repeated token within one doc — merges
+    # into the same atom set instead of overshooting the req_hits ==
+    # n_need conjunction check. State per (win, doc, query) is bounded by
+    # the query's atom count (a handful of short strings).
+    atom_key = F.when(
+        ~F.col("is_forbid"), F.concat_ws("\x00", "kind", "atom")
+    )
     per_doc = (
         hits.groupBy(win.alias("win"), "doc_id", "query_id")
         .agg(
-            F.sum(F.when(F.col("is_forbid"), 0).otherwise(1)).alias("req_hits"),
+            F.size(F.collect_set(atom_key)).alias("req_hits"),
             F.max(F.when(F.col("is_forbid"), 1).otherwise(0)).alias("forb"),
             F.max("n_need").alias("n_need"),
         )

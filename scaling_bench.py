@@ -97,9 +97,10 @@ def run_inner(cores: int) -> None:
     # cluster nodes whose shuffle crosses a contended transport (network /
     # disk; on this box the memory bus), where compression's byte savings
     # win — measured A/B at local[8], 800k docs: zstd 35.3s vs lz4 39.4s
-    # and N→4N efficiency 0.90 vs 0.75. The CPU-saturated local[32] bench
-    # path keeps lz4 (session.py default; 1M docs: lz4 20.9s vs zstd
-    # 29.8s). Override with EBP_IO_CODEC.
+    # and N→4N efficiency 0.90 vs 0.75. The CPU-saturated local[32]
+    # bench.py path opts into lz4 itself (1M docs: lz4 20.9s vs zstd
+    # 29.8s); session.py defaults to the cluster-correct zstd. Override
+    # with EBP_IO_CODEC.
     os.environ.setdefault("EBP_IO_CODEC", "zstd")
     spark = get_spark(f"ebp-scaling-{cores}", cores=cores, shuffle_partitions=cores * 2)
     spark.range(1000).count()  # warm JVM + python workers

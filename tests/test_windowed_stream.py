@@ -218,3 +218,37 @@ def test_windowed_candidate_stream_is_slim(spark):
         assert m, ln
         retained = m.group(1)
         assert "tokens" not in retained, f"array carried through explode: {ln}"
+
+
+def test_windowed_duplicate_doc_events_count_once(spark):
+    """A doc_id emitted SEVERAL times within one window must count as ONE
+    matched document per query (multi-atom conjunctions included) — the
+    per-doc aggregate counts distinct satisfied need atoms, so repeated
+    events merge instead of overshooting the req_hits == n_need check
+    (round-3 ADVICE medium)."""
+    reg = CompiledRegistry.from_rows(list(QUERIES.items()))
+    rows = [
+        # doc 0 emitted THREE times in the 00:00-00:10 window
+        (0, "the fox is here", "2026-01-01 00:01:00"),
+        (0, "the fox is here", "2026-01-01 00:03:00"),
+        (0, "the fox is here", "2026-01-01 00:07:00"),
+        # doc 1 emitted twice, matching q-not (wolf, no fox)
+        (1, "a wolf at night", "2026-01-01 00:02:00"),
+        (1, "a wolf at night", "2026-01-01 00:08:00"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, content string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = windowed_match_counts(
+        spark, docs, reg, window_duration="10 minutes", watermark=None
+    )
+    got = {r["query_id"]: r["n_docs"] for r in out.collect()}
+    # doc 0 matches q-term/q-bool/q-phrase/q-all once; doc 1 matches
+    # q-not/q-all once => q-all sees both docs
+    assert got == {
+        "q-term": 1,
+        "q-bool": 1,
+        "q-phrase": 1,
+        "q-not": 1,
+        "q-all": 2,
+    }
