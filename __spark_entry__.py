@@ -199,6 +199,35 @@ def _q_percolate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate(spark, docs, reg).counts()
 
 
+# fields="auto": queries over differently-TYPED document columns with NO
+# explicit field map — text/lang infer string->code, n_chars infers
+# numeric->Range, and a-ghost's field has no column (never matches). The
+# documents fixture is pure [a-z ] text, so the code analyzer's tokens
+# equal the oracle's whitespace split.
+_AUTO_QUERIES = {
+    "a-term": {"term": {"text": "row"}},
+    "a-wild": {"wildcard": {"text": "merg*"}},
+    "a-lang": {"term": {"lang": "en"}},
+    "a-range": {"range": {"field": "n_chars", "gte": 100, "lte": 200}},
+    "a-mix": {"bool": {"must": [{"term": {"text": "spark"}},
+                                {"term": {"lang": "fr"}}]}},
+    "a-ghost": {"term": {"nosuchfield": "x"}},
+}
+
+
+def _q_percolate_auto_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapping inference (the reference's documentMapperWithAutoCreate,
+    BatchPercolatorService.java:314): percolate the raw documents table
+    with fields="auto" — the field map derives from query fields ∩ batch
+    columns with dtype-chosen analyzers."""
+    reg = CompiledRegistry.from_rows(list(_AUTO_QUERIES.items()))
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+    res = percolate(spark, docs, reg, fields="auto")
+    return res.matches.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "query_id"
+    )
+
+
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the compressed inverted index for a fixture dir."""
     import hashlib
@@ -962,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_sloppy_lucene": _q_phrase_sloppy_lucene,
         "percolate_batch": _q_percolate_batch,
         "percolate_counts": _q_percolate_counts,
+        "percolate_auto_fields": _q_percolate_auto_fields,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "index_term_stats": _q_index_term_stats,
     }
@@ -1256,6 +1286,15 @@ SELECT doc_id FROM tk WHERE len(list_filter(range(1, len(toks)+1),
        j -> toks[j] = 'the' AND j - i BETWEEN -1 AND 3)) > 0)) > 0
 """,
         "percolate_batch": perc_union,
+        "percolate_auto_fields": " UNION ALL ".join(
+            [
+                f"SELECT doc_id, 'a-term' AS query_id FROM documents WHERE {contains.format(t='row')}",
+                f"SELECT doc_id, 'a-wild' AS query_id FROM documents WHERE {has_like.format(p='merg%')}",
+                "SELECT doc_id, 'a-lang' AS query_id FROM documents WHERE lang = 'en'",
+                "SELECT doc_id, 'a-range' AS query_id FROM documents WHERE n_chars BETWEEN 100 AND 200",
+                f"SELECT doc_id, 'a-mix' AS query_id FROM documents WHERE {contains.format(t='spark')} AND lang = 'fr'",
+            ]
+        ),
         "percolate_counts": (
             f"SELECT query_id, count(*)::BIGINT AS n_matches FROM ({perc_union}) GROUP BY query_id"
         ),

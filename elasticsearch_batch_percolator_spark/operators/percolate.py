@@ -85,10 +85,16 @@ def _jv_structs(
     costs seconds per batch, but it only changes when the registry mutates
     or the batch field mapping differs.
 
-    Returns (specs, probe_terms, gram_probe):
-      specs[qid] = (rows, n_required, atoms, gram_cols, never)
+    Returns (specs, probe_terms, gram_probe, pat_probe):
+      specs[qid] = (rows, n_required, atoms, gram_cols, never, prows)
+        rows  = static need/forbid rows (qid, fcol_eff, term, required)
+        prows = pattern rows (qid, fc, n, prefix, like, suffix, required)
+                for "w"/"wg<n>" atoms, expanded against the batch term
+                dictionary at percolate time (one concrete need row per
+                matching dictionary term/gram, deduped per atom per doc)
       probe_terms = {(fc, word)} forbidden/n-gram words for the df stats probe
       gram_probe = {(fc, n, gram)} n-gram atoms needing exact df
+      pat_probe = {(fc, like)} unigram wildcard patterns needing exact df
     """
     layout = (
         tuple(sorted(resolve.items())),
@@ -107,9 +113,12 @@ def _jv_structs(
             return None
         return col_idx.get(tc)
 
+    from .match import wildcard_to_like
+
     specs: dict[str, tuple] = {}
     probe_terms: set[tuple[int, str]] = set()
     gram_probe: set[tuple[int, int, str]] = set()
+    pat_probe: set[tuple[int, str]] = set()
     for qid, (need, forbid) in registry.jv_verify_atoms().items():
         ok, never = True, False
         need_pairs: set[tuple[int, str, str]] = set()
@@ -125,7 +134,7 @@ def _jv_structs(
                     if required:
                         never = True  # required on unconfigured field
                     continue  # forbidden on unconfigured: can't be present
-                if kind != "t" and fc >= _GRAM_FCOL_OFF:
+                if _kind_n(kind) > 1 and fc >= _GRAM_FCOL_OFF:
                     ok = False  # n-gram offset space exhausted (>64 columns)
                     break
                 if kind == "t" and " " in v:
@@ -140,31 +149,72 @@ def _jv_structs(
         if not ok:
             continue
         if never:
-            specs[qid] = ((), 0, (), (), True)
+            specs[qid] = ((), 0, (), (), True, ())
             continue
         rows_q: list[tuple[str, int, str, bool]] = []
+        prows_q: list[tuple[str, int, int, str, str, str, bool]] = []
         atoms_q: list[tuple[int, str, str]] = []
         gcols_q: set[tuple[str, int]] = set()
         for fc, kind, v in sorted(need_pairs | forb_pairs):
-            n = 1 if kind == "t" else int(kind[1:])
+            n = _kind_n(kind)
             fc_eff = fc + _GRAM_FCOL_OFF * (n - 1)
+            in_need = (fc, kind, v) in need_pairs
+            in_forb = (fc, kind, v) in forb_pairs
+            if kind == "w":
+                # bare wildcard: expand against the base token dictionary
+                like = wildcard_to_like(v)
+                pat_probe.add((fc, like))
+                for req in ((True,) if in_need else ()) + (
+                    (False,) if in_forb else ()
+                ):
+                    prows_q.append((qid, fc, 1, "", like, "", req))
+                    atoms_q.append((fc, kind, v))
+                continue
+            if kind.startswith("wg"):
+                # wildcard-phrase: ONE "\x01"-marked pattern position;
+                # concrete grams = prefix + <dict term matching like> +
+                # suffix (percolate joins the expansion to the (col, n)
+                # n-gram stream)
+                parts = v.split(" ")
+                wi = next(
+                    i for i, p in enumerate(parts) if p.startswith("\x01")
+                )
+                like = wildcard_to_like(parts[wi][1:])
+                prefix = " ".join(parts[:wi]) + (" " if wi else "")
+                suffix = (" " if wi < n - 1 else "") + " ".join(parts[wi + 1:])
+                probe_terms.update(
+                    (fc, w) for i, w in enumerate(parts) if i != wi
+                )
+                for req in ((True,) if in_need else ()) + (
+                    (False,) if in_forb else ()
+                ):
+                    prows_q.append((qid, fc, n, prefix, like, suffix, req))
+                    atoms_q.append((fc, kind, v))
+                continue
             if kind != "t":
                 gcols_q.add((used_tok_cols[fc], n))
                 gram_probe.add((fc, n, v))
                 probe_terms.update((fc, w) for w in v.split(" "))
-            if (fc, kind, v) in need_pairs:
+            if in_need:
                 rows_q.append((qid, fc_eff, v, True))
                 atoms_q.append((fc, kind, v))
-            if (fc, kind, v) in forb_pairs:
+            if in_forb:
                 rows_q.append((qid, fc_eff, v, False))
                 atoms_q.append((fc, kind, v))
                 if kind == "t":
                     probe_terms.add((fc, v))
         specs[qid] = (tuple(rows_q), len(need_pairs), tuple(atoms_q),
-                      tuple(sorted(gcols_q)), False)
-    out = (specs, probe_terms, gram_probe)
+                      tuple(sorted(gcols_q)), False, tuple(prows_q))
+    out = (specs, probe_terms, gram_probe, pat_probe)
     registry._jv_struct_cache = (key, out)
     return out
+
+
+def _kind_n(kind: str) -> int:
+    """Gram length of a jv atom kind: "t"/"w" → 1, "g<n>"/"wg<n>" → n."""
+    if kind == "t" or kind == "w":
+        return 1
+    return int(kind[2:] if kind.startswith("wg") else kind[1:])
 
 
 def _ngram_stream(batch: DataFrame, tc: str, fcb: int, n: int) -> DataFrame:
@@ -323,6 +373,32 @@ class PercolateResult:
         )
 
 
+def auto_fields(registry: CompiledRegistry, docs: DataFrame) -> dict:
+    """Infer the percolation field map from the registered queries' field
+    names ∩ the batch's columns — the reference's
+    ``documentMapperWithAutoCreate`` (BatchPercolatorService.java:314):
+    a percolated doc needs no explicit mapping, its fields are typed from
+    the document itself. Dtype → analyzer: string → "code", numeric →
+    "numeric" (Range semantics), array<struct> → "nested" (block join);
+    a query field with no same-named batch column (or an unsupported
+    dtype) stays unconfigured and never matches, isolated per query."""
+    out: dict[str, tuple[str, str]] = {}
+    by_name = {f.name: f.dataType for f in docs.schema.fields}
+    for qf in sorted(registry.query_fields()):
+        dt = by_name.get(qf)
+        if dt is None:
+            continue
+        if isinstance(dt, T.StringType):
+            out[qf] = (qf, "code")
+        elif isinstance(dt, T.NumericType):
+            out[qf] = (qf, "numeric")
+        elif isinstance(dt, T.ArrayType) and isinstance(
+            dt.elementType, T.StructType
+        ):
+            out[qf] = (qf, "nested")
+    return out
+
+
 def percolate(
     spark: SparkSession,
     docs: DataFrame,
@@ -330,7 +406,7 @@ def percolate(
     content_col: str = "content",
     id_col: str = "doc_id",
     tokenizer=None,
-    fields: dict | None = None,
+    fields: dict | str | None = None,
 ) -> PercolateResult:
     """Match every registered query against every doc of the batch.
 
@@ -340,8 +416,14 @@ def percolate(
     with per-field analyzers (A1); ``analyzer`` ∈ {"ws", "code"} or a
     Column-function. Queries on unconfigured fields never match (treated as
     empty fields), isolated per query.
+    ``fields="auto"`` — infer the map from query fields ∩ batch columns
+    with dtype-derived analyzers (``auto_fields``; the reference's
+    documentMapperWithAutoCreate, BatchPercolatorService.java:314).
     """
     from ..functions.tokenizer import tokenize_code, tokenize_ws
+
+    if fields == "auto":
+        fields = auto_fields(registry, docs)
 
     import sys as _sys
     import time as _time
@@ -491,12 +573,14 @@ def percolate(
     # override for tests.
     jv_mode = os.environ.get("EBP_SIMPLE_JOIN_VERIFY", "auto")
     if jv_mode != "off":
-        jv_specs, jv_probe_terms, jv_gram_probe = _jv_structs(
+        jv_specs, jv_probe_terms, jv_gram_probe, jv_pat_probe = _jv_structs(
             registry, resolve, col_idx, nested_cols, scalar_cols, used_tok_cols
         )
         _prof('jv_structs')
     else:
-        jv_specs, jv_probe_terms, jv_gram_probe = {}, set(), set()
+        jv_specs, jv_probe_terms, jv_gram_probe, jv_pat_probe = (
+            {}, set(), set(), set()
+        )
 
     # ---- per-registry batch-plan cache ----------------------------------
     # Everything from the involved-term stats probe down to the gate /
@@ -577,6 +661,28 @@ def percolate(
         _prof('stats probe + gates')
         art["col_df"], art["term_df"] = col_df, term_df
         art["gate_rows"] = (lit_rows, pat_rows)
+        # exact hit-volume of jv "w" pattern atoms: rows of batch_terms
+        # matching each pattern (the join the lane would actually pay).
+        # One LIKE-join job on the persisted explode, cached per registry.
+        jv_pat_df: dict[tuple[int, str], int] = {}
+        if jv_pat_probe:
+            ppdf = pd.DataFrame(
+                sorted(jv_pat_probe), columns=["fcol", "like_pat"]
+            )
+            ppdf["fcol"] = ppdf["fcol"].astype("int8")
+            probe_sdf = spark.createDataFrame(
+                ppdf, "fcol tinyint, like_pat string"
+            )
+            jv_pat_df = {
+                (int(r["fcol"]), r["like_pat"]): int(r["df"])
+                for r in batch_terms.join(F.broadcast(probe_sdf), "fcol")
+                .filter(F.expr("term LIKE like_pat"))
+                .groupBy("fcol", "like_pat")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .collect()
+            }
+            _prof('jv pattern probe')
+        art["jv_pat_df"] = jv_pat_df
 
     # pick the join-verify set: eligible = every need/forbid field resolves
     # to a PLAIN exploded token column (nested/scalar views diverge from
@@ -588,6 +694,7 @@ def percolate(
     # aggregate, token and every n-gram containment together
     jv_qids: set[str] = set()
     jv_rows: list[tuple[str, int, str, bool]] = []
+    jv_prows: list[tuple[str, int, int, str, str, str, bool]] = []
     jv_nreq: list[tuple[str, int]] = []
     jv_gram_cols: set[tuple[str, int]] = set()
 
@@ -629,6 +736,16 @@ def percolate(
             col_df[(fce, v)] = probed.get((fce, v), 0)
 
     def _atom_df(fc: int, kind: str, v: str) -> int:
+        from .match import wildcard_to_like
+
+        if kind == "w":
+            # exact probed hit volume of the expanded pattern
+            return art.get("jv_pat_df", {}).get((fc, wildcard_to_like(v)), 0)
+        if kind.startswith("wg"):
+            # wildcard-phrase bound: min unigram df over the LITERAL
+            # positions (the pattern position is unconstrained)
+            lits = [w for w in v.split(" ") if not w.startswith("\x01")]
+            return min(col_df.get((fc, w), 0) for w in lits)
         if kind != "t":
             n = int(kind[1:])
             exact = col_df.get((fc + _GRAM_FCOL_OFF * (n - 1), v))
@@ -667,14 +784,23 @@ def percolate(
             ratio = float(os.environ.get("EBP_JV_MAX_RATIO", "1.5"))
             if total_est <= ratio * (bt_count + gated_all):
                 take = set(jv_specs)
-            elif jv_beta > 0:
-                take = {
-                    q
-                    for q in jv_specs
-                    if est_q[q] <= jv_beta * gate_df_q.get(q, 0)
-                }
             else:
-                take = set()
+                # pattern-bearing queries' expansions blew the budget:
+                # fall back to the static-atom subset (never worse than
+                # the pre-wildcard lane), then per-query if enabled
+                static = {q for q, s in jv_specs.items() if not s[5]}
+                est_static = sum(est_q[q] for q in static)
+                gated_static = sum(gate_df_q.get(q, 0) for q in static)
+                if static and est_static <= ratio * (bt_count + gated_static):
+                    take = static
+                elif jv_beta > 0:
+                    take = {
+                        q
+                        for q in jv_specs
+                        if est_q[q] <= jv_beta * gate_df_q.get(q, 0)
+                    }
+                else:
+                    take = set()
             if os.environ.get("EBP_PROF_CANDIDATES"):
                 import sys as _sys
 
@@ -688,17 +814,18 @@ def percolate(
     art["jv_take"] = take
     _prof('jv decision')
     if jv_specs and "jv_rows" in art:
-        jv_qids, jv_rows, jv_nreq, jv_gram_cols = art["jv_rows"]
+        jv_qids, jv_rows, jv_prows, jv_nreq, jv_gram_cols = art["jv_rows"]
     elif jv_specs:
         for qid in take:
-            rows_q, nreq, _atoms, gcols_q, never = jv_specs[qid]
+            rows_q, nreq, _atoms, gcols_q, never, prows_q = jv_specs[qid]
             jv_qids.add(qid)
             if never:
                 continue  # matched-never: no rows, no group, no match
             jv_rows.extend(rows_q)
+            jv_prows.extend(prows_q)
             jv_nreq.append((qid, nreq))
             jv_gram_cols.update(gcols_q)
-        art["jv_rows"] = (jv_qids, jv_rows, jv_nreq, jv_gram_cols)
+        art["jv_rows"] = (jv_qids, jv_rows, jv_prows, jv_nreq, jv_gram_cols)
 
     # map gate rows' query fields to tokens columns; drop members on
     # unmapped fields (those contribute no candidates — an empty field can
@@ -739,13 +866,24 @@ def percolate(
         )
 
     _prof('gate tables')
+    # the distinct (fcol, term) batch dictionary feeds BOTH wildcard
+    # expansions (gate patterns of non-jv queries AND the jv lane's
+    # "w"/"wg" need expansion) — built once, persisted when both lanes
+    # consume it so the dedup shuffle isn't paid twice
+    term_dict = None
+    if art["patterns_sdf"] is not None or jv_prows:
+        term_dict = batch_terms.select("fcol", "term").dropDuplicates(
+            ["fcol", "term"]
+        )
+        if art["patterns_sdf"] is not None and jv_prows:
+            term_dict = term_dict.persist()
+            cached_frames.append(term_dict)
     parts_cand = []
     if art["gates_sdf"] is not None:
         parts_cand.append(
             batch_terms.join(F.broadcast(art["gates_sdf"]), ["fcol", "term"])
         )
     if art["patterns_sdf"] is not None:
-        term_dict = batch_terms.select("fcol", "term").dropDuplicates(["fcol", "term"])
         expanded = (
             term_dict.join(F.broadcast(art["patterns_sdf"]), "fcol")
             .filter(F.expr("term LIKE pattern"))
@@ -1011,31 +1149,35 @@ def percolate(
             )
         )
 
-    if jv_rows:
+    if jv_rows or jv_prows:
         # ---- join-verify lane: Catalyst-only exact verification ----------
         # One broadcast hash join (no shuffle of batch_terms) + one count
-        # aggregate. req_hits == n_required ⇔ every required (field, term)
-        # present (batch_terms is deduped per (doc, fcol, term), so each
-        # present term contributes exactly one row); forbid_hits == 0 ⇔ no
-        # forbidden term present. Docs with no term overlap form no group —
-        # correctly absent since n_required >= 1 here.
+        # aggregate. req_hits == n_required ⇔ every required atom present
+        # (batch_terms is deduped per (doc, fcol, term), so each present
+        # static term contributes exactly one row; gram and expanded-
+        # pattern hits are deduped per atom before the union). forbid_hits
+        # == 0 ⇔ no forbidden atom present. Docs with no overlap form no
+        # group — correctly absent since n_required >= 1 here.
         # query ids ship through the hit shuffle DICTIONARY-ENCODED (int
         # qidx, not the string id) — the aggregate's exchange is the lane's
         # dominant byte volume at scale; names are restored by a broadcast
         # join after the count filter
         if "jv_tables" in art:
-            need_sdf, nreq_sdf, qmap_sdf = art["jv_tables"]
+            need_sdf, nreq_sdf, qmap_sdf, pat_sdf, patq_sdf = art["jv_tables"]
         else:
-            qidx = {q: i for i, q in enumerate(sorted({r[0] for r in jv_rows}))}
-            jpdf = pd.DataFrame(
-                [(qidx[q], fc, t, req) for q, fc, t, req in jv_rows],
-                columns=["qidx", "fcol", "term", "required"],
-            )
-            jpdf["qidx"] = jpdf["qidx"].astype("int32")
-            jpdf["fcol"] = jpdf["fcol"].astype("int16")
-            need_sdf = spark.createDataFrame(
-                jpdf, "qidx int, fcol smallint, term string, required boolean"
-            )
+            qidx = {q: i for i, q in enumerate(sorted(q for q, _ in jv_nreq))}
+            if jv_rows:
+                jpdf = pd.DataFrame(
+                    [(qidx[q], fc, t, req) for q, fc, t, req in jv_rows],
+                    columns=["qidx", "fcol", "term", "required"],
+                )
+                jpdf["qidx"] = jpdf["qidx"].astype("int32")
+                jpdf["fcol"] = jpdf["fcol"].astype("int16")
+                need_sdf = spark.createDataFrame(
+                    jpdf, "qidx int, fcol smallint, term string, required boolean"
+                )
+            else:
+                need_sdf = None
             npdf = pd.DataFrame(
                 [(qidx[q], n) for q, n in jv_nreq], columns=["qidx", "n_required"]
             )
@@ -1046,27 +1188,115 @@ def percolate(
             )
             qmap_pdf["qidx"] = qmap_pdf["qidx"].astype("int32")
             qmap_sdf = spark.createDataFrame(qmap_pdf, "qidx int, query_id string")
-            art["jv_tables"] = (need_sdf, nreq_sdf, qmap_sdf)
+            if jv_prows:
+                # two driver tables: DISTINCT patterns (expanded against
+                # the dictionary once each, however many queries share
+                # them) and the per-(query, atom) fan-out joined after
+                pats = sorted(
+                    {(fc, n, pre, lk, suf) for _, fc, n, pre, lk, suf, _ in jv_prows}
+                )
+                pid_of = {p: i for i, p in enumerate(pats)}
+                ppdf = pd.DataFrame(
+                    [(i, fc, n, pre, lk, suf) for (fc, n, pre, lk, suf), i in sorted(pid_of.items(), key=lambda kv: kv[1])],
+                    columns=["pid", "fcol", "n", "prefix", "like_pat", "suffix"],
+                )
+                ppdf["pid"] = ppdf["pid"].astype("int32")
+                ppdf["fcol"] = ppdf["fcol"].astype("int8")
+                ppdf["n"] = ppdf["n"].astype("int32")
+                pat_sdf = spark.createDataFrame(
+                    ppdf,
+                    "pid int, fcol tinyint, n int, prefix string, "
+                    "like_pat string, suffix string",
+                )
+                pqdf = pd.DataFrame(
+                    [
+                        (pid_of[(fc, n, pre, lk, suf)], qidx[q], aid, req)
+                        for aid, (q, fc, n, pre, lk, suf, req) in enumerate(jv_prows)
+                    ],
+                    columns=["pid", "qidx", "atom_id", "required"],
+                )
+                pqdf["pid"] = pqdf["pid"].astype("int32")
+                pqdf["qidx"] = pqdf["qidx"].astype("int32")
+                pqdf["atom_id"] = pqdf["atom_id"].astype("int32")
+                patq_sdf = spark.createDataFrame(
+                    pqdf, "pid int, qidx int, atom_id int, required boolean"
+                )
+            else:
+                pat_sdf = patq_sdf = None
+            art["jv_tables"] = (need_sdf, nreq_sdf, qmap_sdf, pat_sdf, patq_sdf)
 
-        jv_hits = batch_terms.withColumn(
-            "fcol", F.col("fcol").cast("smallint")
-        ).join(F.broadcast(need_sdf), ["fcol", "term"])
-        if jv_gram_cols:
-            # n-gram streams: contiguous n-grams of each referenced
-            # (column, n) under the offset fcol space. Join BEFORE dedup —
-            # the broadcast need join filters the explode down to
-            # referenced grams, so the dedup shuffles only actual hits.
-            bstreams = [
+        def _gram_union(cols):
+            streams = [
                 _ngram_stream(batch, tc, col_idx[tc] + _GRAM_FCOL_OFF * (n - 1), n)
-                for tc, n in sorted(jv_gram_cols)
+                for tc, n in sorted(cols)
             ]
-            bs = bstreams[0]
-            for p in bstreams[1:]:
-                bs = bs.unionByName(p)
-            bhits = bs.join(F.broadcast(need_sdf), ["fcol", "term"]).dropDuplicates(
-                ["doc_id", "qidx", "fcol", "term", "required"]
+            gs = streams[0]
+            for p in streams[1:]:
+                gs = gs.unionByName(p)
+            return gs
+
+        bt_sm = batch_terms.withColumn("fcol", F.col("fcol").cast("smallint"))
+        hit_parts: list[DataFrame] = []
+        if need_sdf is not None:
+            hit_parts.append(
+                bt_sm.join(F.broadcast(need_sdf), ["fcol", "term"]).select(
+                    "doc_id", "qidx", "required"
+                )
             )
-            jv_hits = jv_hits.select(bhits.columns).unionByName(bhits)
+            if jv_gram_cols:
+                # static n-gram streams: contiguous n-grams of each
+                # referenced (column, n) under the offset fcol space. Join
+                # BEFORE dedup — the broadcast need join filters the
+                # explode down to referenced grams, so the dedup shuffles
+                # only actual hits.
+                bhits = _gram_union(jv_gram_cols).join(
+                    F.broadcast(need_sdf), ["fcol", "term"]
+                ).dropDuplicates(["doc_id", "qidx", "fcol", "term", "required"])
+                hit_parts.append(bhits.select("doc_id", "qidx", "required"))
+        if pat_sdf is not None:
+            # wildcard need expansion: each DISTINCT pattern × the batch
+            # term dictionary (the reference's automaton-over-index-terms,
+            # WildcardTermsProducer.getTerms:26-53) → concrete (fcol_eff,
+            # gram) need rows, fanned out per (query, atom). A doc
+            # satisfies the atom if ANY expansion hits, so hits dedup per
+            # (doc, qidx, atom_id) before the count aggregate.
+            expanded = (
+                term_dict.join(F.broadcast(pat_sdf), "fcol")
+                .filter(F.expr("term LIKE like_pat"))
+                .select(
+                    "pid",
+                    (
+                        F.col("fcol").cast("int")
+                        + F.lit(_GRAM_FCOL_OFF) * (F.col("n") - 1)
+                    ).cast("smallint").alias("fcol"),
+                    F.concat("prefix", "term", "suffix").alias("term"),
+                )
+            )
+            need_pat = expanded.join(F.broadcast(patq_sdf), "pid").select(
+                "fcol", "term", "qidx", "atom_id", "required"
+            )
+            pat_gram_cols = {
+                (used_tok_cols[fc], n)
+                for _, fc, n, _, _, _, _ in jv_prows
+                if n > 1
+            }
+            pstreams = [bt_sm] if any(
+                n == 1 for _, _, n, _, _, _, _ in jv_prows
+            ) else []
+            if pat_gram_cols:
+                pstreams.append(_gram_union(pat_gram_cols))
+            pstream = pstreams[0]
+            for p in pstreams[1:]:
+                pstream = pstream.unionByName(p)
+            whits = (
+                pstream.join(F.broadcast(need_pat), ["fcol", "term"])
+                .dropDuplicates(["doc_id", "qidx", "atom_id"])
+                .select("doc_id", "qidx", "required")
+            )
+            hit_parts.append(whits)
+        jv_hits = hit_parts[0]
+        for p in hit_parts[1:]:
+            jv_hits = jv_hits.unionByName(p)
         jv_agg = jv_hits.groupBy("doc_id", "qidx").agg(
             F.count(F.when(F.col("required"), 1)).alias("req_hit"),
             F.count(F.when(~F.col("required"), 1)).alias("forbid_hit"),

@@ -52,6 +52,7 @@ from ..plans.query_plan import (
     Range,
     Term,
     Wildcard,
+    WildcardPhrase,
 )
 
 
@@ -182,9 +183,52 @@ class CompiledRegistry:
         return reg
 
     @classmethod
-    def from_df(cls, queries_df: DataFrame) -> "CompiledRegistry":
-        rows = queries_df.select("query_id", "query_json").collect()
-        return cls.from_rows([(r["query_id"], r["query_json"]) for r in rows])
+    def from_df(
+        cls, queries_df: DataFrame, distributed: bool | str = "auto"
+    ) -> "CompiledRegistry":
+        """Compile a (query_id, query_json) table into a registry.
+
+        ``distributed`` parallelizes the parse+approximate+flatten work
+        across executors (the reference compiles per shard in parallel,
+        BatchQueriesLoaderCollector.java:77-96; a 225k-query registry
+        costs ~8-12s single-threaded on the driver). Each partition
+        compiles its queries through the SAME ``register`` code path used
+        on the driver and ships ONE pickled list of CompiledQuery back
+        (mapInPandas/Arrow); the driver only unpickles and assembles the
+        dict — equality with driver compilation is test-asserted. "auto"
+        goes distributed when Spark reports a partitioned/large input
+        (recovery-scale), serial for small interactive registries.
+        """
+        import pickle
+
+        import pandas as _pd
+
+        if distributed == "auto":
+            distributed = queries_df.rdd.getNumPartitions() > 1
+
+        if not distributed:
+            rows = queries_df.select("query_id", "query_json").collect()
+            return cls.from_rows([(r["query_id"], r["query_json"]) for r in rows])
+
+        def compile_part(it):
+            for pdf in it:
+                compiled = []
+                tmp = cls()
+                for qid, qjson in zip(pdf["query_id"], pdf["query_json"]):
+                    tmp.register(qid, qjson)  # exact driver semantics
+                    compiled.append(tmp.queries.pop(qid))
+                yield _pd.DataFrame({"blob": [pickle.dumps(compiled)]})
+
+        reg = cls()
+        for r in (
+            queries_df.select("query_id", "query_json")
+            .mapInPandas(compile_part, "blob binary")
+            .collect()
+        ):
+            for cq in pickle.loads(r["blob"]):
+                reg.queries[cq.query_id] = cq
+        reg.version = len(reg.queries)
+        return reg
 
     def register(self, query_id: str, query_json: str | dict) -> None:
         """Parse + approximate + flatten (the reference's preIndex validate +
@@ -355,14 +399,52 @@ def _jv_atom(c: Plan) -> tuple | None:
     """A clause the join-verify lane evaluates via containment in a single
     (doc, fcol, token-or-ngram) stream; None when not expressible.
     Kinds: "t" = unigram containment, "g<n>" = n-gram containment (a
-    slop-0 phrase of n terms is EXACTLY contiguous-n-gram containment)."""
+    slop-0 phrase of n terms is EXACTLY contiguous-n-gram containment),
+    "w" = wildcard containment (any batch-dictionary term matching the
+    pattern present — the reference's automaton-over-index-terms expansion,
+    WildcardTermsProducer.getTerms:26-53, applied at verify time), and
+    "wg<n>" = wildcard-phrase containment: an n-producer adjacency phrase
+    with EXACTLY ONE wildcard position, expanded against the dictionary
+    into concrete n-grams (the wildcard position is "\\x01"-prefixed in
+    the space-joined encoding; >1 wildcard position would need a
+    combinatorial multi-join and stays on the python evaluator)."""
     if isinstance(c, Term):
         return ("t", c.field, c.value)
+    if isinstance(c, Wildcard):
+        if " " in c.pattern or "\x01" in c.pattern:
+            return None  # can't match tokenized terms / breaks encoding
+        return ("w", c.field, c.pattern)
     if isinstance(c, Phrase) and c.slop == 0:
         if len(c.terms) == 1:
             return ("t", c.field, c.terms[0])
         if len(c.terms) <= _JV_MAX_GRAM:
             return (f"g{len(c.terms)}", c.field, " ".join(c.terms))
+    if isinstance(c, WildcardPhrase) and len(c.producers) <= _JV_MAX_GRAM:
+        n = len(c.producers)
+        parts: list[str] = []
+        n_wild = 0
+        for p in c.producers:
+            if isinstance(p, Term):
+                if " " in p.value or "\x01" in p.value:
+                    return None  # would break the space-joined encoding
+                parts.append(p.value)
+            elif isinstance(p, Wildcard):
+                if " " in p.pattern or "\x01" in p.pattern:
+                    return None
+                n_wild += 1
+                parts.append("\x01" + p.pattern)
+            else:
+                return None
+        if n_wild == 0:
+            return (
+                ("t", c.field, parts[0])
+                if n == 1
+                else (f"g{n}", c.field, " ".join(parts))
+            )
+        if n_wild == 1:
+            if n == 1:
+                return ("w", c.field, parts[0][1:])
+            return (f"wg{n}", c.field, " ".join(parts))
     return None
 
 

@@ -76,7 +76,13 @@ def _specs(
             req = ((("t", plan.field, plan.value),), ())
         else:
             req = _jv_requirements(plan)
-        if req is None:
+        if req is None or any(
+            # wildcard atoms ("w"/"wg<n>") need the per-batch term
+            # dictionary — no static atom stream exists for them; they
+            # run on the foreachBatch path (percolate_stream)
+            k[0] == "w"
+            for k, _f, _v in (*req[0], *req[1])
+        ):
             unsupported.append(qid)
             continue
         need_raw, forbid_raw = req

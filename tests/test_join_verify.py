@@ -20,10 +20,19 @@ def _registry(seed: int, n: int) -> CompiledRegistry:
     rows = []
     for i in range(n):
         def clause():
-            if rng.random() < 0.3:  # slop-0 phrase: exact via n-gram stream
+            r = rng.random()
+            if r < 0.3:  # slop-0 phrase: exact via n-gram stream
                 k = rng.randint(2, 4)
                 return {"phrase": {"field": "text",
                                    "terms": [rng.choice(VOCAB) for _ in range(k)]}}
+            if r < 0.45:  # wildcard: jv via batch-dict expansion
+                return {"wildcard": {"text": rng.choice(VOCAB)[:2] + "*"}}
+            if r < 0.55:  # wildcard-phrase: jv via expanded n-grams
+                k = rng.randint(2, 3)
+                prods = [{"term": {"text": rng.choice(VOCAB)}} for _ in range(k)]
+                wi = rng.randrange(k)
+                prods[wi] = {"wildcard": {"text": rng.choice(VOCAB)[:2] + "*"}}
+                return {"wildcard_phrase": {"field": "text", "producers": prods}}
             return {"term": {"text": rng.choice(VOCAB)}}
         if rng.random() < 0.15:
             rows.append((f"q{i}", {"phrase": {"field": "text",
@@ -64,6 +73,27 @@ def _registry(seed: int, n: int) -> CompiledRegistry:
         # 9-term phrase: past _JV_MAX_GRAM, stays on the python lane
         ("plong", {"phrase": {"field": "text",
                               "terms": ["the"] * 9}}),
+        # bare wildcard (jv "w" atom: expansion against the batch dict)
+        ("wbare", {"wildcard": {"text": "de*"}}),
+        # wildcard matching NOTHING in the batch: zero expansion rows,
+        # required atom unsatisfiable, must never match
+        ("wnone", {"wildcard": {"text": "zzzqqqxx*"}}),
+        # forbidden wildcard: any expanded hit excludes the doc
+        ("wnot", {"bool": {"must": [{"term": {"text": "the"}}],
+                           "must_not": [{"wildcard": {"text": "im*"}}]}}),
+        # wildcard on an unconfigured field: required -> never matches
+        ("wunconf", {"bool": {"must": [{"wildcard": {"ghost": "a*"}}]}}),
+        # wildcard-phrase, wildcard at each position
+        ("wgA", {"wildcard_phrase": {"field": "text", "producers": [
+            {"wildcard": {"text": "th*"}}, {"term": {"text": "def"}}]}}),
+        ("wgB", {"wildcard_phrase": {"field": "text", "producers": [
+            {"term": {"text": "the"}}, {"wildcard": {"text": "de*"}}]}}),
+        ("wgMid", {"wildcard_phrase": {"field": "text", "producers": [
+            {"term": {"text": "the"}}, {"wildcard": {"text": "d*"}},
+            {"term": {"text": "import"}}]}}),
+        # TWO wildcard positions: not jv-eligible, python lane
+        ("wg2w", {"wildcard_phrase": {"field": "text", "producers": [
+            {"wildcard": {"text": "th*"}}, {"wildcard": {"text": "d*"}}]}}),
     ]
     return CompiledRegistry.from_rows(rows)
 

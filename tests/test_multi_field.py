@@ -165,3 +165,59 @@ def test_columnar_when_chain_path_equivalent(spark, monkeypatch):
         (2, "t"), (2, "w"),
         (3, "t"), (3, "p"),
     }
+
+
+def test_auto_fields_simple_percolation(spark):
+    """The reference's SimplePercolationTests.testSingleDocPercolation
+    (SimplePercolationTests.java:43-108) with NO explicit field
+    configuration: queries on field1 (term b / term c / b AND c /
+    match_all), doc {"field1": "b"} — fields="auto" must infer the
+    mapping from query fields ∩ batch columns (the reference's
+    documentMapperWithAutoCreate, BatchPercolatorService.java:314) and
+    match exactly queries {1, 4}."""
+    reg = CompiledRegistry.from_rows([
+        ("1", {"term": {"field1": "b"}}),
+        ("2", {"term": {"field1": "c"}}),
+        ("3", {"bool": {"must": [{"term": {"field1": "b"}},
+                                 {"term": {"field1": "c"}}]}}),
+        ("4", {"match_all": {}}),
+    ])
+    docs = spark.createDataFrame([(1, "b")], "doc_id long, field1 string")
+    res = percolate(spark, docs, reg, fields="auto")
+    got = _matches(res)
+    res.unpersist()
+    assert got == {(1, "1"), (1, "4")}
+
+
+def test_auto_fields_dtype_analyzers(spark):
+    """auto_fields types each inferred field from the batch column dtype:
+    string → code analyzer, numeric → Range semantics, array<struct> →
+    nested block join; a query field with no same-named column stays
+    unconfigured (its query never matches, isolated)."""
+    from elasticsearch_batch_percolator_spark.operators.percolate import (
+        auto_fields,
+    )
+
+    reg = CompiledRegistry.from_rows([
+        # code analyzer splits "foo.bar" into [foo, bar] — term "foo"
+        # matches ONLY under the code analyzer (ws would keep it whole)
+        ("s", {"term": {"title": "foo"}}),
+        ("n", {"range": {"field": "price", "gte": 10, "lte": 20}}),
+        ("nest", {"nested": {"path": "kids",
+                             "query": {"term": {"name": "x"}}}}),
+        ("ghost", {"term": {"nosuch": "y"}}),
+    ])
+    docs = spark.createDataFrame(
+        [(1, "a foo.bar b", 15, [{"name": ["x"]}])],
+        "doc_id long, title string, price long, "
+        "kids array<struct<name:array<string>>>",
+    )
+    inferred = auto_fields(reg, docs)
+    assert inferred["title"] == ("title", "code")
+    assert inferred["price"] == ("price", "numeric")
+    assert inferred["kids"] == ("kids", "nested")
+    assert "nosuch" not in inferred
+    res = percolate(spark, docs, reg, fields="auto")
+    got = _matches(res)
+    res.unpersist()
+    assert got == {(1, "s"), (1, "n"), (1, "nest")}
