@@ -254,6 +254,46 @@ def _q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wildcard_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: wildcard query terms through the INDEX search path — the
+    pattern expands against the persisted term_stats dictionary (term LIKE
+    pushdown scan; the reference's automaton-over-index-terms,
+    WildcardTermsProducer.getTerms:26-53) and scores as BM25 over the
+    expansion union, rank-identical to the same expansion done in SQL."""
+    idx = _ensure_index(spark, sf_dir)
+    return topk_from_index(spark, idx, {"q": ["spark", "merg*"]}, k=10).select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score_r").alias("score_r"),
+    )
+
+
+def _q_wildcard_phrase_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: WildcardPhraseQuery against POSITIONAL postings — the
+    pattern position expands to a per-slot term set from the index
+    dictionary; adjacency chains across slot position unions (same
+    contract as the batch-dict wildcard_phrase_match, independent path)."""
+    import hashlib
+
+    from elasticsearch_batch_percolator_spark.index.build import (
+        build_index,
+        read_manifest,
+    )
+    from elasticsearch_batch_percolator_spark.operators.phrase_index import (
+        phrase_docs_from_index,
+    )
+
+    from elasticsearch_batch_percolator_spark import __version__
+
+    tag = hashlib.sha256(f"{sf_dir}:pos:{__version__}".encode()).hexdigest()[:12]
+    out = f"/tmp/ebp_posindex_{tag}"
+    if read_manifest(out) is None:
+        build_index(spark, _tokens(spark, sf_dir), out, n_segments=4, positions=True)
+    return phrase_docs_from_index(spark, out, ["the", "f*"]).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 def _q_index_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index round-trip integrity: decode blocks back to (term, df, cf) and
     compare against token-level SQL over the raw corpus — validates the
@@ -946,10 +986,51 @@ def _q_windowed_phrase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_windowed_hybrid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID windowed streaming percolation: term + slop-0 phrase flow
+    through the slim JVM atom streams while a span_near, a Lucene sloppy
+    phrase and a wildcard — shapes the atom plan can't express — evaluate
+    in-stream through the compiled-predicate Arrow UDF, all unioned into
+    ONE windowed aggregate (round-4; the reference's positional-query
+    boundary, README.md:127-133)."""
+    from elasticsearch_batch_percolator_spark.streaming.windowed import (
+        windowed_match_counts,
+    )
+
+    reg = CompiledRegistry.from_rows(
+        [
+            ("h-term", {"term": {"content": "row"}}),
+            ("h-p2", {"phrase": {"field": "content", "terms": ["the", "fast"]}}),
+            ("h-span", {"span_near": {"clauses": [
+                {"span_term": {"content": "the"}},
+                {"span_term": {"content": "fast"}}],
+                "slop": 2, "in_order": True}}),
+            ("h-sloppy", {"phrase": {"field": "content",
+                                     "terms": ["fast", "the"], "slop": 2}}),
+            ("h-wild", {"wildcard": {"content": "merg*"}}),
+        ]
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("text").alias("content"),
+        F.timestamp_seconds(F.col("doc_id") * 30).alias("ts"),
+    )
+    out = windowed_match_counts(
+        spark, docs, reg, window_duration="10 minutes", watermark=None,
+        hybrid=True,
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "query_id",
+        F.col("n_docs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "windowed_match_counts": _q_windowed_counts,
         "windowed_phrase_counts": _q_windowed_phrase_counts,
+        "windowed_hybrid_counts": _q_windowed_hybrid_counts,
         "corpus_sha": _q_corpus_sha,
         "multimodal_features": _q_multimodal_features,
         "events_windowed_counts": _q_events_windowed_counts,
@@ -993,6 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_counts": _q_percolate_counts,
         "percolate_auto_fields": _q_percolate_auto_fields,
         "bm25_topk_wand": _q_bm25_topk_wand,
+        "wildcard_topk_from_index": _q_wildcard_topk_from_index,
+        "wildcard_phrase_from_index": _q_wildcard_phrase_from_index,
         "index_term_stats": _q_index_term_stats,
     }
 
@@ -1058,6 +1141,26 @@ shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
             f"SELECT doc_id, 'w-mix' AS query_id FROM documents WHERE {contains.format(t='spark')} AND NOT {phrase.format(p='the fast')}",
         ]
     )
+    winh_union = " UNION ALL ".join(
+        [
+            f"SELECT doc_id, 'h-term' AS query_id FROM documents WHERE {contains.format(t='row')}",
+            f"SELECT doc_id, 'h-p2' AS query_id FROM documents WHERE {phrase.format(p='the fast')}",
+            """SELECT DISTINCT a.doc_id, 'h-span' AS query_id
+FROM (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS p
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+            FROM documents)) a
+JOIN (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS p
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+            FROM documents)) b ON a.doc_id = b.doc_id
+WHERE a.term = 'the' AND b.term = 'fast' AND b.p > a.p AND (b.p - a.p - 1) <= 2""",
+            """SELECT doc_id, 'h-sloppy' AS query_id
+FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+WHERE len(list_filter(range(1, len(toks)+1),
+  i -> toks[i] = 'fast' AND len(list_filter(range(1, len(toks)+1),
+       j -> toks[j] = 'the' AND j - i BETWEEN -1 AND 3)) > 0)) > 0""",
+            f"SELECT doc_id, 'h-wild' AS query_id FROM documents WHERE {has_like.format(p='merg%')}",
+        ]
+    )
     out = {
         "windowed_match_counts": f"""
 SELECT ((doc_id * 30) // 600 * 600)::BIGINT AS window_start_epoch,
@@ -1069,6 +1172,12 @@ GROUP BY 1, 2
 SELECT ((doc_id * 30) // 600 * 600)::BIGINT AS window_start_epoch,
        query_id, count(*)::BIGINT AS n_docs
 FROM ({winp_union})
+GROUP BY 1, 2
+""",
+        "windowed_hybrid_counts": f"""
+SELECT ((doc_id * 30) // 600 * 600)::BIGINT AS window_start_epoch,
+       query_id, count(*)::BIGINT AS n_docs
+FROM ({winh_union})
 GROUP BY 1, 2
 """,
         "corpus_sha": """
@@ -1498,6 +1607,38 @@ LIMIT 10
 """,
     }
     out["bm25_topk_wand"] = out["bm25_topk"]  # rank-identity: same oracle
+    # wildcard search: the oracle expands 'merg*' against the SAME term
+    # dictionary (dfreq = the corpus dict the index persists) in SQL
+    out["wildcard_topk_from_index"] = f"""
+WITH {_TOK_CTES},
+q AS (SELECT DISTINCT term FROM dfreq WHERE term = 'spark' OR term LIKE 'merg%'),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+            * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)::BIGINT AS rank,
+       doc_id, round(score, 4) AS score_r
+FROM scored
+ORDER BY rank
+LIMIT 10
+"""
+    out["wildcard_phrase_from_index"] = """
+WITH pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS p
+  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents)
+)
+SELECT DISTINCT a.doc_id
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.term = 'the' AND b.term LIKE 'f%'
+"""
     # full-probe IVF must equal brute force exactly: same oracle
     out["embedding_ann_ivf"] = out["embedding_cosine_topk"]
     # the checked value IS the recall contract: >= 0.8 at n_probe=3/8

@@ -217,16 +217,44 @@ def _kind_n(kind: str) -> int:
     return int(kind[2:] if kind.startswith("wg") else kind[1:])
 
 
-def _ngram_stream(batch: DataFrame, tc: str, fcb: int, n: int) -> DataFrame:
+def _sql_str(w: str) -> str:
+    return "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _ngram_stream(
+    batch: DataFrame,
+    tc: str,
+    fcb: int,
+    n: int,
+    first_words: set[str] | None = None,
+) -> DataFrame:
     """(doc_id, fcol=fcb, term='w1 .. wn') rows — contiguous n-grams of
     column ``tc`` (space-joined, the jv atom encoding). Null/short arrays
-    yield no rows (the CASE guards sequence()'s descending-range trap)."""
-    ng = (
-        f"case when size({tc}) >= {n} then "
-        f"transform(sequence(1, size({tc}) - {n - 1}), "
-        f"i -> array_join(slice({tc}, i, {n}), ' ')) "
-        f"else array() end"
-    )
+    yield no rows (the CASE guards sequence()'s descending-range trap).
+
+    ``first_words`` prunes generation to positions whose FIRST token is in
+    the set (the union of the need atoms' leading words): Catalyst turns
+    the literal IN into an InSet hash probe, so the stream allocates only
+    grams that can possibly join — at 500k docs the unfiltered bigram
+    stream alloc'd ~50M strings per batch only for the broadcast join to
+    drop ~97% of them, pure memory-bus traffic (the scaling ceiling on a
+    shared-bus box)."""
+    if first_words:
+        lits = ", ".join(_sql_str(w) for w in sorted(first_words))
+        ng = (
+            f"case when size({tc}) >= {n} then "
+            f"transform(filter(sequence(1, size({tc}) - {n - 1}), "
+            f"i -> element_at({tc}, i) IN ({lits})), "
+            f"i -> array_join(slice({tc}, i, {n}), ' ')) "
+            f"else array() end"
+        )
+    else:
+        ng = (
+            f"case when size({tc}) >= {n} then "
+            f"transform(sequence(1, size({tc}) - {n - 1}), "
+            f"i -> array_join(slice({tc}, i, {n}), ' ')) "
+            f"else array() end"
+        )
     return batch.select(
         "doc_id",
         F.lit(fcb).cast("smallint").alias("fcol"),
@@ -523,7 +551,19 @@ def percolate(
         if tc in scalar_cols:
             return []  # numeric fields carry no gate terms
         if tc not in nested_cols:
-            return [batch.select("doc_id", fcol, F.explode(F.col(tc)).alias("term"))]
+            # array_distinct BEFORE the explode = the per-(doc, fcol, term)
+            # dedup downstream counting relies on, WITHOUT a shuffle: a
+            # doc's duplicate tokens live in its own array, never across
+            # rows, so the old global dropDuplicates shuffled ~|tokens|
+            # rows to remove partition-local duplicates (measured the
+            # single largest memory-traffic stage at 150k docs x 32 cores
+            # — the bench box's shared memory bus is the scaling ceiling)
+            return [
+                batch.select(
+                    "doc_id", fcol,
+                    F.explode(F.array_distinct(F.col(tc))).alias("term"),
+                )
+            ]
         # nested column: every child's token arrays flatten into the
         # parent's gate stream (matches the limiting-filter field remap)
         dt = batch.schema[tc].dataType
@@ -533,28 +573,53 @@ def percolate(
             # would make F.transform pass the ARRAY INDEX into it
             return lambda c: c.getField(name)
 
-        out = []
-        for f in dt.elementType.fields:
-            if isinstance(f.dataType, T.ArrayType):
-                toks = F.flatten(F.transform(F.col(tc), _getter(f.name)))
-                out.append(
-                    batch.select(
-                        "doc_id", fcol, F.explode(F.coalesce(toks, F.array())).alias("term")
-                    )
-                )
-        return out
+        # ALL child token arrays concat + array_distinct + ONE explode:
+        # per-(doc, fcol, term) dedup across children without a shuffle
+        # (cross-child duplicates would otherwise need the global dedup)
+        child_toks = [
+            F.coalesce(
+                F.flatten(F.transform(F.col(tc), _getter(f.name))), F.array()
+            )
+            for f in dt.elementType.fields
+            if isinstance(f.dataType, T.ArrayType)
+        ]
+        if not child_toks:
+            return []
+        merged = child_toks[0]
+        for c in child_toks[1:]:
+            merged = F.concat(merged, c)
+        return [
+            batch.select(
+                "doc_id", fcol,
+                F.explode(F.array_distinct(merged)).alias("term"),
+            )
+        ]
 
     if used_tok_cols:
         bt_parts = [p for tc in used_tok_cols for p in _term_rows(tc)]
         batch_terms = bt_parts[0]
         for p in bt_parts[1:]:
             batch_terms = batch_terms.unionByName(p)
-        # persisted: the gate-selectivity job, the candidate join and the
-        # wildcard dictionary all reuse this explode+dedup instead of
-        # recomputing it (E11: unpersisted with the batch)
-        batch_terms = batch_terms.dropDuplicates(
-            ["doc_id", "fcol", "term"]
-        ).persist()
+        # per-(doc, fcol, term) uniqueness is established INSIDE each
+        # doc's array (array_distinct above) — parts have disjoint fcols,
+        # so no global dropDuplicates shuffle is needed (it was the
+        # plan's largest exchange: ~|batch tokens| rows moved only to
+        # drop partition-local duplicates). persisted: the gate-
+        # selectivity job, the candidate join and the wildcard dictionary
+        # all reuse this explode (E11: unpersisted with the batch).
+        # EBP_BT_DEDUP=1 restores the old shuffled dedup (A/B hook).
+        if os.environ.get("EBP_BT_DEDUP"):
+            batch_terms = batch_terms.dropDuplicates(["doc_id", "fcol", "term"])
+        elif os.environ.get("EBP_BT_COALESCE", "1") != "0":
+            # shuffle-free partition-count control: the raw explode keeps
+            # the batch's (cores*4) partitioning, and every downstream job
+            # over the cache re-pays that task count; coalesce to one
+            # partition per core (narrow, no data movement) — the compact
+            # layout the old dedup only got as an AQE side effect
+            batch_terms = batch_terms.coalesce(
+                max(1, spark.sparkContext.defaultParallelism)
+            )
+        batch_terms = batch_terms.persist()
         cached_frames.append(batch_terms)
         _prof('batch_terms plan')
     else:
@@ -1225,9 +1290,43 @@ def percolate(
                 pat_sdf = patq_sdf = None
             art["jv_tables"] = (need_sdf, nreq_sdf, qmap_sdf, pat_sdf, patq_sdf)
 
-        def _gram_union(cols):
+        # leading-word prune sets per (tc, n), SEPARATE for the static and
+        # the pattern-expansion gram joins (each stream only feeds its own
+        # join): a generated gram can only join if its first token is one
+        # of that join's need atoms' first words. A wildcard-phrase whose
+        # pattern IS the first position disables the prune for its stream
+        # (None = unfiltered), as does an oversized word set.
+        fw_static: dict[tuple[str, int], set | None] = {}
+        fw_pat: dict[tuple[str, int], set | None] = {}
+
+        def _fw_add(m, tc, n, word):
+            if m.get((tc, n), ()) is None:
+                return
+            if word is None:
+                m[(tc, n)] = None
+            else:
+                m.setdefault((tc, n), set()).add(word)
+
+        for _q, fce, term, _req in jv_rows:
+            if fce >= _GRAM_FCOL_OFF:
+                gn = fce // _GRAM_FCOL_OFF + 1
+                _fw_add(fw_static, used_tok_cols[fce % _GRAM_FCOL_OFF], gn,
+                        term.split(" ")[0])
+        for _q, fc, gn, prefix, _lk, _suf, _req in jv_prows:
+            if gn > 1:
+                _fw_add(fw_pat, used_tok_cols[fc], gn,
+                        prefix.split(" ")[0] if prefix else None)
+        for m in (fw_static, fw_pat):
+            for key, v in m.items():
+                if v is not None and len(v) > 2000:
+                    m[key] = None
+
+        def _gram_union(cols, fw):
             streams = [
-                _ngram_stream(batch, tc, col_idx[tc] + _GRAM_FCOL_OFF * (n - 1), n)
+                _ngram_stream(
+                    batch, tc, col_idx[tc] + _GRAM_FCOL_OFF * (n - 1), n,
+                    first_words=fw.get((tc, n)),
+                )
                 for tc, n in sorted(cols)
             ]
             gs = streams[0]
@@ -1249,7 +1348,7 @@ def percolate(
                 # BEFORE dedup — the broadcast need join filters the
                 # explode down to referenced grams, so the dedup shuffles
                 # only actual hits.
-                bhits = _gram_union(jv_gram_cols).join(
+                bhits = _gram_union(jv_gram_cols, fw_static).join(
                     F.broadcast(need_sdf), ["fcol", "term"]
                 ).dropDuplicates(["doc_id", "qidx", "fcol", "term", "required"])
                 hit_parts.append(bhits.select("doc_id", "qidx", "required"))
@@ -1284,7 +1383,7 @@ def percolate(
                 n == 1 for _, _, n, _, _, _, _ in jv_prows
             ) else []
             if pat_gram_cols:
-                pstreams.append(_gram_union(pat_gram_cols))
+                pstreams.append(_gram_union(pat_gram_cols, fw_pat))
             pstream = pstreams[0]
             for p in pstreams[1:]:
                 pstream = pstream.unionByName(p)

@@ -37,34 +37,61 @@ def _decode_with_positions(blocks) -> tuple[np.ndarray, list[np.ndarray]]:
 def phrase_docs_from_index(
     spark: SparkSession, index_dir: str, terms: list[str]
 ) -> DataFrame:
-    """doc_ids containing ``terms`` at consecutive positions (slop=0)."""
+    """doc_ids containing ``terms`` at consecutive positions (slop=0).
+
+    A term may be a Lucene wildcard (``*``/``?``): each pattern position
+    expands against the index term dictionary (the reference's
+    WildcardPhraseQuery — per-position term-set producers,
+    WildcardTermsProducer.getTerms:26-53) and the position slot accepts
+    ANY of its expansion terms; adjacency chains across the slots'
+    position unions."""
+    from .wand import _is_pattern, expand_patterns_from_index
+
     read_manifest(index_dir)  # validates the index exists
-    postings = read_postings(spark, index_dir, sorted(set(terms))).select(
+    pats = sorted({t for t in terms if _is_pattern(t)})
+    exp = expand_patterns_from_index(spark, index_dir, pats) if pats else {}
+    # per-position term sets: literal -> {literal}; pattern -> expansions
+    slots = [sorted(exp[t]) if _is_pattern(t) else [t] for t in terms]
+    if any(not s for s in slots):
+        # a pattern matching NOTHING in the index: the phrase can't occur
+        return spark.createDataFrame([], "doc_id long")
+    flat_terms = sorted({t for s in slots for t in s})
+    postings = read_postings(spark, index_dir, flat_terms).select(
         "segment_id", "term", "blocks"
     )
-    terms_seq = list(terms)
 
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
         by_term = {r.term: r.blocks for r in pdf.itertuples()}
-        if any(t not in by_term for t in terms_seq):
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
-        decoded = {t: _decode_with_positions(by_term[t]) for t in set(terms_seq)}
-        # intersect doc lists across all phrase terms
-        docs0 = decoded[terms_seq[0]][0]
-        common = docs0
-        for t in terms_seq[1:]:
-            common = np.intersect1d(common, decoded[t][0], assume_unique=False)
-        out = []
-        index_of = {
-            t: {int(d): i for i, d in enumerate(decoded[t][0])} for t in set(terms_seq)
+        decoded = {
+            t: _decode_with_positions(by_term[t])
+            for t in flat_terms
+            if t in by_term
         }
-        for d in common.tolist():
-            # start positions = positions of term0; phrase holds if some
-            # chain p, p+1, ..., p+k-1 exists across the terms
-            cand = decoded[terms_seq[0]][1][index_of[terms_seq[0]][d]]
-            for offset, t in enumerate(terms_seq[1:], start=1):
-                pos_t = decoded[t][1][index_of[t][d]]
-                cand = cand[np.isin(cand + offset, pos_t)]
+        # slot i: doc -> union of its expansion terms' position arrays
+        slot_pos: list[dict[int, np.ndarray]] = []
+        for s in slots:
+            dmap: dict[int, np.ndarray] = {}
+            for t in s:
+                if t not in decoded:
+                    continue
+                docs_t, pos_t = decoded[t]
+                for i, d in enumerate(docs_t.tolist()):
+                    prev = dmap.get(d)
+                    dmap[d] = pos_t[i] if prev is None else np.union1d(prev, pos_t[i])
+            if not dmap:
+                return empty  # slot unmatched anywhere in this segment
+            slot_pos.append(dmap)
+        common = set(slot_pos[0])
+        for dmap in slot_pos[1:]:
+            common &= set(dmap)
+        out = []
+        for d in sorted(common):
+            # start positions = slot0 positions; the phrase holds if some
+            # chain p, p+1, ..., p+k-1 exists across the slots
+            cand = slot_pos[0][d]
+            for offset, dmap in enumerate(slot_pos[1:], start=1):
+                cand = cand[np.isin(cand + offset, dmap[d])]
                 if len(cand) == 0:
                     break
             if len(cand) > 0:

@@ -284,6 +284,41 @@ def _segment_topk_wand(
     return [(d, raw) for d, raw, _ in out]
 
 
+def expand_patterns_from_index(
+    spark: SparkSession, index_dir: str, patterns: list[str]
+) -> dict[str, list[str]]:
+    """Lucene-wildcard patterns → the index terms they match, via ONE
+    ``term LIKE`` scan over the persisted ``term_stats`` dictionary — the
+    reference expands wildcards against live index terms the same way
+    (WildcardTermsProducer.getTerms:26-53, an automaton over the terms
+    enum). Prefix patterns push StringStartsWith down to the parquet scan
+    (term_stats files are term-sorted, so row groups prune)."""
+    import functools
+
+    from ..plans.eval_py import wildcard_regex
+    from .match import wildcard_to_like
+
+    if not patterns:
+        return {}
+    likes = [F.col("term").like(wildcard_to_like(p)) for p in patterns]
+    cand = [
+        r["term"]
+        for r in spark.read.parquet(f"{index_dir}/term_stats")
+        .select("term")
+        .filter(functools.reduce(lambda a, b: a | b, likes))
+        .collect()
+    ]
+    out = {}
+    for p in patterns:
+        rx = wildcard_regex(p)
+        out[p] = sorted(t for t in cand if rx.match(t))
+    return out
+
+
+def _is_pattern(t: str) -> bool:
+    return "*" in t or "?" in t
+
+
 def topk_from_index(
     spark: SparkSession,
     index_dir: str,
@@ -299,11 +334,33 @@ def topk_from_index(
     decoded blocks — the deep-corpus single-query path); 'exhaustive' =
     reference oracle.
 
+    Query terms may be Lucene wildcards (``*``/``?``): each pattern
+    expands against the index term dictionary
+    (``expand_patterns_from_index``) and the query scores as BM25 over
+    the UNION of its literal and expanded terms (Lucene's scoring-boolean
+    MultiTermQuery rewrite; a pattern-bearing query's term multiset
+    dedups, so a term matched both literally and by a pattern scores
+    once).
+
     One parquet scan covers all queries' terms (IN-list pushdown); each
     segment scores every query locally; global top-k is a window over
     n_segments*k survivors.
     """
     manifest = read_manifest(index_dir)
+    pats = sorted({t for ts in queries.values() for t in ts if _is_pattern(t)})
+    if pats:
+        exp = expand_patterns_from_index(spark, index_dir, pats)
+        queries = {
+            qid: (
+                sorted(
+                    {t for t in ts if not _is_pattern(t)}
+                    | {e for t in ts if _is_pattern(t) for e in exp[t]}
+                )
+                if any(_is_pattern(t) for t in ts)
+                else ts
+            )
+            for qid, ts in queries.items()
+        }
     all_terms = sorted({t for ts in queries.values() for t in ts})
     dfs = read_term_stats(spark, index_dir, all_terms)
     idfs = {t: _idf(manifest.n_docs, dfs.get(t, 0)) for t in all_terms}

@@ -119,20 +119,32 @@ def windowed_match_counts(
     tokenizer=None,
     term_df: dict | None = None,
     skip_unsupported: bool = False,
+    hybrid: bool = False,
 ) -> DataFrame:
     """docs (streaming or batch) → (window_start, window_end, query_id,
     n_docs): matched-document counts per event-time window per registered
     query. ``term_df`` is accepted for compatibility but no longer used:
     the atom-count verify needs no gate selection (every atom joins; the
     aggregate settles the conjunction).
+
+    ``hybrid=True`` routes the query shapes the slim atom-stream plan
+    can't express (spans, sloppy phrases, wildcards — the reference's
+    "positional queries are magnitudes slower" boundary, README.md:127)
+    through an in-stream compiled-predicate Arrow UDF: each unsupported
+    query evaluates exactly per document event, its hits enter the SAME
+    windowed aggregate as single-satisfied-atom rows, so one output
+    stream carries both lanes. Cost is |events| x |unsupported| python
+    predicate calls — keep the unsupported subset small relative to the
+    registry (the atom lane stays JVM-side for everything else).
     """
     from ..functions.tokenizer import tokenize_ws
 
     rows, grams, matchall, unsupported = _specs(registry)
-    if unsupported and not skip_unsupported:
+    if unsupported and not skip_unsupported and not hybrid:
         raise ValueError(
             "unsupported for windowed streaming percolation (use "
-            f"percolate_stream/foreachBatch): {sorted(unsupported)[:10]}"
+            "hybrid=True or percolate_stream/foreachBatch): "
+            f"{sorted(unsupported)[:10]}"
         )
 
     tok = tokenizer or tokenize_ws
@@ -195,6 +207,73 @@ def windowed_match_counts(
                 F.lit("*").alias("atom"),
             )
         )
+    if hybrid and unsupported:
+        # python sub-lane: spans / sloppy phrases / wildcards evaluate
+        # exactly per event through the broadcast compiled-predicate
+        # evaluator (the same verifier percolate's python lane uses), and
+        # their hits join the windowed aggregate as single-satisfied-atom
+        # rows (kind/atom "*" collapses repeated events of one doc, same
+        # as match_all). Per-query isolation: a failing predicate drops
+        # only its own query for that doc.
+        import pickle
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ..plans.eval_py import compile_predicate_fields
+        from ..plans.query_plan import fields_of
+
+        blobs = {
+            qid: (
+                pickle.dumps(registry.queries[qid].plan),
+                tuple(sorted(fields_of(registry.queries[qid].plan))),
+            )
+            for qid in unsupported
+        }
+        bc_plans = spark.sparkContext.broadcast(blobs)
+
+        memo: dict = {}  # per-worker predicate cache (closure-captured)
+
+        # NB: no pd.Series annotations — pandas is function-local here and
+        # pandas_udf resolves annotation strings at definition time
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def eval_unsup(tok_s):
+            def pred_of(qid):
+                p = memo.get(qid)
+                if p is None:
+                    blob, flds = bc_plans.value[qid]
+                    p = (compile_predicate_fields(pickle.loads(blob)), flds)
+                    memo[qid] = p
+                return p
+
+            out = []
+            for toks in tok_s:
+                tl = list(toks) if toks is not None else []
+                view = (tl, set(tl))
+                hit = []
+                for qid in bc_plans.value:
+                    try:
+                        p, flds = pred_of(qid)
+                        if p({f: view for f in flds}):
+                            hit.append(qid)
+                    except Exception:
+                        pass
+                out.append(hit)
+            return pd.Series(out)
+
+        parts.append(
+            base.select(
+                "ts", "doc_id",
+                F.explode(eval_unsup("tokens")).alias("query_id"),
+            ).select(
+                "ts", "doc_id", "query_id",
+                F.lit(False).alias("is_forbid"),
+                F.lit(1).alias("n_need"),
+                F.lit("*").alias("kind"),
+                F.lit("*").alias("atom"),
+            )
+        )
+
     if not parts:
         return empty
     hits = parts[0]

@@ -46,6 +46,21 @@ def _mp_burn(_):
     return x
 
 
+def _mp_membw_burn(_):
+    """Memory-BANDWIDTH control: random-access gathers over a 200MB array
+    (no Spark, no python loop in the hot path). The register-only _mp_burn
+    scales ~1.0 from 8 to 32 workers on this box, but shuffle/join/hash
+    work is memory-bound — this control measures how much the SHARED bus
+    slows one task when 32 run instead of 8. Each scaling level runs
+    `cores` tasks (one wave); ideal hardware keeps per-wave wall constant."""
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    a = rng.integers(0, 1 << 30, size=25_000_000, dtype=np.int64)
+    idx = rng.permutation(a.size)
+    return int(a[idx].sum() & 0x7FFFFFFF)
+
+
 def tree_cpu_seconds() -> float:
     """utime+stime of this process AND every descendant (the JVM, every
     python worker) — local[N] does not pin CPUs, so wall-clock alone
@@ -196,6 +211,16 @@ def run_inner(cores: int) -> None:
     with mp.Pool(cores) as pool:
         pool.map(_mp_burn, range(64))
     out["mp_cpu_control_s"] = time.perf_counter() - t0
+
+    # control C: ONE WAVE of `cores` memory-bandwidth-bound tasks —
+    # constant wall across levels on ideal hardware; the observed 8->32
+    # slowdown is the shared-bus contention every shuffle/join stage
+    # inherits (the honest ceiling for wall-clock scaling efficiency of
+    # memory-bound operators on this single-socket box)
+    t0 = time.perf_counter()
+    with mp.Pool(cores) as pool:
+        pool.map(_mp_membw_burn, range(cores))
+    out["membw_control_s"] = time.perf_counter() - t0
 
     shutil.rmtree(idx_dir, ignore_errors=True)
     out["cores_used"] = cpu_used

@@ -252,3 +252,103 @@ def test_windowed_duplicate_doc_events_count_once(spark):
         "q-not": 1,
         "q-all": 2,
     }
+
+
+def test_windowed_hybrid_mixes_atom_and_python_lanes(spark):
+    """hybrid=True: span_near / sloppy phrase / wildcard evaluate through
+    the in-stream compiled-predicate UDF while term/phrase stay on the
+    atom streams; ONE windowed count output, checked against a direct
+    python model (round-4 VERDICT item 5)."""
+    reg = CompiledRegistry.from_rows([
+        ("s-term", {"term": {"content": "fox"}}),
+        ("s-phrase", {"phrase": {"field": "content", "terms": ["the", "fox"]}}),
+        ("u-span", {"span_near": {"clauses": [
+            {"span_term": {"content": "wolf"}},
+            {"span_term": {"content": "night"}}],
+            "slop": 1, "in_order": True}}),
+        ("u-sloppy", {"phrase": {"field": "content",
+                                 "terms": ["fox", "the"], "slop": 2}}),
+        ("u-wild", {"wildcard": {"content": "wo*"}}),
+    ])
+    docs = _docs_df(spark, lambda i: i * 7)
+    # without hybrid: raises on the unsupported shapes
+    with pytest.raises(ValueError):
+        windowed_match_counts(
+            spark, docs, reg, window_duration="10 minutes", watermark=None
+        )
+    out = windowed_match_counts(
+        spark, docs, reg, window_duration="10 minutes", watermark=None,
+        hybrid=True,
+    )
+    got = {
+        (r["window_start"].minute, r["query_id"]): r["n_docs"]
+        for r in out.collect()
+    }
+
+    from elasticsearch_batch_percolator_spark.plans.compiler import compile_query
+    from elasticsearch_batch_percolator_spark.plans.eval_py import eval_plan
+
+    truth = {}
+    for i, content in DOCS:
+        toks = content.split()
+        for qid, q in reg.queries.items():
+            if eval_plan(q.plan, {"content": toks}):
+                key = ((i * 7 // 10) * 10, qid)
+                truth[key] = truth.get(key, 0) + 1
+    assert got == truth
+    assert any(q.startswith("u-") for _, q in got)  # python lane non-vacuous
+    assert any(q.startswith("s-") for _, q in got)  # atom lane non-vacuous
+
+
+def test_windowed_hybrid_streaming_run(spark, tmp_path):
+    """The hybrid plan must run as a REAL stream: the compiled-predicate
+    UDF sits before the stateful aggregate (streaming-legal), windows
+    close under the watermark."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    reg = CompiledRegistry.from_rows([
+        ("s-term", {"term": {"content": "fox"}}),
+        ("u-sloppy", {"phrase": {"field": "content",
+                                 "terms": ["fox", "the"], "slop": 2}}),
+    ])
+    schema = "doc_id long, content string, ts timestamp"
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            [(i, c, t) for i, c, t in rows], "doc_id long, content string, ts_s string"
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    write_batch("b0", [(0, "the fox runs", "2026-01-01 00:01:00"),
+                       (1, "fox about the", "2026-01-01 00:02:00")])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    counts = windowed_match_counts(
+        spark, stream, reg, window_duration="10 minutes",
+        watermark="0 seconds", hybrid=True,
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark past the first window
+        write_batch("b1", [(2, "nothing here", "2026-01-01 00:25:00")])
+        q.processAllAvailable()
+        q.processAllAvailable()
+        rows = spark.read.parquet(str(out_dir)).collect()
+    finally:
+        q.stop()
+    emitted = {(r["window_start"].minute, r["query_id"]): r["n_docs"] for r in rows}
+    # both docs match s-term; doc 1 contains fox..the within slop 2 and
+    # doc 0 "the fox" = transposition (cost 2) -> both match u-sloppy
+    assert emitted[(0, "s-term")] == 2
+    assert emitted[(0, "u-sloppy")] == 2
