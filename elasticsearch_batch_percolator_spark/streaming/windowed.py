@@ -25,7 +25,10 @@ it.
 Supported query shapes: conjunctions of Term / slop-0-Phrase atoms up to
 the join-verify n-gram cap (must + must_not), bare Terms, MatchAll.
 Wildcards need the per-batch term dictionary and positional queries need
-the evaluator — both stay on the foreachBatch path (percolate_stream).
+the evaluator — ``hybrid=True`` runs those through an in-stream
+compiled-predicate Arrow UDF feeding the same windowed aggregate
+(round 4); otherwise they stay on the foreachBatch path
+(percolate_stream).
 Field names resolve to the single analyzed content column (the
 flat-corpus default, percolate(fields=None)). A doc_id emitted several
 times within one window counts as ONE matched document per query: the

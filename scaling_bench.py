@@ -35,7 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "800000"))
 N_QUERIES = int(os.environ.get("SCALING_N_QUERIES", "3000"))
-PERC_DOCS = int(os.environ.get("SCALING_PERC_DOCS", "150000"))
+# 400k docs: the round-4 verify-lane speedups made 150k fixed-cost-bound
+# (32 cores finished the compute in ~2s of a ~5s wall)
+PERC_DOCS = int(os.environ.get("SCALING_PERC_DOCS", "400000"))
 REPS = int(os.environ.get("SCALING_REPS", "2"))
 
 
@@ -135,8 +137,12 @@ def run_inner(cores: int) -> None:
             dt = time.perf_counter() - t0
             dc = tree_cpu_seconds() - c0
             if best is None or dt < best:
-                best, best_cores = dt, dc / dt
-        if cpu_key is not None:
+                # dc can go NEGATIVE when big child processes (python
+                # workers of a previous job) die mid-measurement and their
+                # CPU vanishes from the /proc sum — record None, not a
+                # bogus cores-busy figure
+                best, best_cores = dt, (dc / dt if dc > 0 else None)
+        if cpu_key is not None and best_cores is not None:
             cpu_used[cpu_key] = round(best_cores, 2)
         return best
 
@@ -266,12 +272,38 @@ def main() -> None:
 
     lo = int(os.environ.get("SCALING_LO", "8"))
     hi = int(os.environ.get("SCALING_HI", "32"))
-    res_lo = run_level(lo)
-    res_hi = run_level(hi)
+    # INTERLEAVED level pairs (lo,hi,lo,hi,...): this box's host-window
+    # speed swings 2-3x on the half-hour scale, so running all of level N
+    # then all of level 4N folds window drift straight into the ratio —
+    # alternate and keep each level's best per job (SCALING_PAIRS rounds).
+    pairs = int(os.environ.get("SCALING_PAIRS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(max(1, pairs)):
+        runs_lo.append(run_level(lo))
+        runs_hi.append(run_level(hi))
+
+    def best_of_runs(runs):
+        out = dict(runs[0])
+        for r in runs[1:]:
+            for k, v in r.items():
+                if k == "cores_used":
+                    continue
+                if isinstance(v, (int, float)) and v < out.get(k, float("inf")):
+                    out[k] = v
+                    # keep the matching cores_used for the winning rep
+                    ck = k.replace("_s", "")
+                    if ck in r.get("cores_used", {}):
+                        out.setdefault("cores_used", {})[ck] = r["cores_used"][ck]
+        return out
+
+    res_lo = best_of_runs(runs_lo)
+    res_hi = best_of_runs(runs_hi)
 
     report = {
         "n_docs": N_DOCS,
+        "pairs": pairs,
         "levels": {str(lo): res_lo, str(hi): res_hi},
+        "all_runs": {str(lo): runs_lo, str(hi): runs_hi},
         "throughput": {},
         "efficiency": {},
     }
@@ -288,6 +320,17 @@ def main() -> None:
         eff = (thr_hi / thr_lo) / (hi / lo)
         report["throughput"][name] = {str(lo): round(thr_lo, 1), str(hi): round(thr_hi, 1)}
         report["efficiency"][name] = round(eff, 3)
+    # membw control runs ONE WAVE of `cores` tasks per level (units scale
+    # with the level): efficiency = wall_lo / wall_hi, ideal 1.0 — the
+    # hardware's memory-bus ceiling for memory-bound parallel work
+    if "membw_control_s" in res_lo and "membw_control_s" in res_hi:
+        report["throughput"]["membw_tasks_per_sec"] = {
+            str(lo): round(lo / res_lo["membw_control_s"], 1),
+            str(hi): round(hi / res_hi["membw_control_s"], 1),
+        }
+        report["efficiency"]["membw_control"] = round(
+            res_lo["membw_control_s"] / res_hi["membw_control_s"], 3
+        )
     # CPU-normalized efficiency: local[N] does not pin CPUs (python
     # workers overlap the JVM; GC threads scale with the MACHINE), so
     # wall-clock efficiency mixes real scaling with slot-accounting
