@@ -51,12 +51,30 @@ for i in range(N_QUERIES):
             {"term": {"content": terms[0]}}, {"wildcard": {"content": terms[1][:4] + "*"}}]}}
     rows.append((f"q{i}", q))
 
-t0 = time.perf_counter()
-reg = CompiledRegistry.from_rows(rows)
-t_compile = time.perf_counter() - t0
-print(f"compiled {len(reg)} queries in {t_compile:.1f}s; verify plans: {len(reg.verify_plans())}")
-
 spark = get_spark('p225k', cores=32)
+
+# recovery-scale registration: distributed blob compile (default) —
+# executors parse + approximate + pickle the plan trees; the driver
+# assembles metadata and never unpickles a plan (the verify broadcast
+# forwards the worker bytes). EBP_REG_MODE=driver restores the serial
+# driver-side compile for A/B.
+t0 = time.perf_counter()
+if os.environ.get("EBP_REG_MODE", "dist") == "driver":
+    reg = CompiledRegistry.from_rows(rows)
+    mode = "driver"
+else:
+    import json as _json
+    import pandas as _pd
+    qpdf = _pd.DataFrame(
+        {"query_id": [qid for qid, _ in rows],
+         "query_json": [_json.dumps(qj) for _, qj in rows]}
+    )
+    qdf = spark.createDataFrame(qpdf).repartition(64)
+    reg = CompiledRegistry.from_df(qdf, distributed=True)
+    mode = "distributed blob"
+t_compile = time.perf_counter() - t0
+print(f"compiled {len(reg)} queries ({mode}) in {t_compile:.1f}s; "
+      f"gate-verify ids: {len(reg.gate_verify_ids())}")
 # registration-time warmup: build + ship the verify-plan broadcast now,
 # the way the reference pays its query parse at registration
 # (BatchPercolatorQueriesRegistry.java:244-266), so per-batch times

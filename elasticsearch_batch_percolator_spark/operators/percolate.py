@@ -1005,13 +1005,19 @@ def percolate(
     # sloppy phrases, positional nested) always use the python evaluator —
     # the same boundary the reference draws ("positional queries are
     # magnitudes slower", README.md:127-133).
-    verify_plans = registry.gate_verify_plans()
+    # ids only on the default path: a blob-backed registry (distributed
+    # compile) must not unpickle 10^5 plan trees on the driver just to
+    # split the verify set — the python-evaluator lane reads plans from
+    # the verify broadcast's executor-pickled blobs, never from here
+    verify_ids = set(registry.gate_verify_ids())
     if "verify_split" in art:
         columnar, pythonic = art["verify_split"]
     else:
         max_branches = int(os.environ.get("EBP_MAX_WHEN_BRANCHES", "0"))
         max_chunks = int(os.environ.get("EBP_MAX_WHEN_CHUNKS", "8"))
         if max_branches > 0:
+            # opt-in when-chain path genuinely needs the trees (match_col)
+            verify_plans = registry.gate_verify_plans()
             columnar = {q: p for q, p in verify_plans.items() if not _is_positional(p)}
             pythonic = {q: p for q, p in verify_plans.items() if _is_positional(p)}
             if len(columnar) > max_branches * max_chunks:
@@ -1019,7 +1025,9 @@ def percolate(
                 columnar = {}
         else:
             columnar = {}
-            pythonic = dict(verify_plans)
+            # values are never read on this path (predicates compile from
+            # the broadcast blobs) — only the qid key-set matters
+            pythonic = dict.fromkeys(verify_ids)
         for q in jv_qids:  # join-verify lane owns these (phase-1-skipped, exact)
             columnar.pop(q, None)
             pythonic.pop(q, None)
@@ -1030,10 +1038,10 @@ def percolate(
         # anti-join against the 10^5-row verify set
         exact_qids = [
             q for q, cq in registry.queries.items()
-            if not cq.match_none and q not in verify_plans
+            if not cq.match_none and q not in verify_ids
         ]
         art["exact_sdf"] = _qid_df(spark, exact_qids) if exact_qids else None
-    if not verify_plans:
+    if not verify_ids:
         parts = [candidates]
     elif art["exact_sdf"] is None:
         parts = []

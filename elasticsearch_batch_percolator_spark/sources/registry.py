@@ -56,19 +56,130 @@ from ..plans.query_plan import (
 )
 
 
-@dataclass
+# sentinel for "metadata not precomputed" (None is a meaningful value for
+# simple_req / jv_req: "plan is not expressible in that lane")
+_UNSET = "?"
+
+
 class CompiledQuery:
-    query_id: str
-    plan: Plan
-    approx: Plan | None
-    # phase-1 groups: list of OR-groups; each group is a set of
-    # ("t", field, literal) / ("w", field, pattern) members. None => unfilterable.
-    groups: list[set[tuple[str, str]]] | None
-    needs_verify: bool
-    match_none: bool = False
-    # per-query highlight spec (HighlightBuilder analog, APITests.java:63-90);
-    # None = query registered without highlighting -> empty highlights map
-    highlight: object | None = None
+    """One registered query. Driver-registered queries hold live plan trees;
+    distributed-compiled queries arrive BLOB-BACKED: ``plan``/``approx``
+    stay pickled (exactly the bytes the verify broadcast ships) and every
+    driver-needed decision (phase-1 groups, the simple term-conjunction
+    requirement, the join-verify atoms, referenced fields) is precomputed
+    on the executors — the driver of a 10^5-query registry never pays a
+    plan-tree unpickle or re-pickle unless an operator genuinely needs the
+    tree (highlight program build, windowed-stream spec)."""
+
+    __slots__ = (
+        "query_id", "_plan", "_approx", "groups", "needs_verify",
+        "match_none", "highlight", "plan_blob", "approx_blob",
+        "simple_req", "jv_req", "fields_fs",
+    )
+
+    def __init__(
+        self,
+        query_id: str,
+        plan: Plan | None,
+        approx: Plan | None,
+        # phase-1 groups: list of OR-groups; each group is a set of
+        # ("t", field, literal) / ("w", field, pattern) members.
+        # None => unfilterable.
+        groups: list[set[tuple[str, str]]] | None,
+        needs_verify: bool,
+        match_none: bool = False,
+        # per-query highlight spec (HighlightBuilder analog,
+        # APITests.java:63-90); None = registered without highlighting
+        highlight: object | None = None,
+        *,
+        plan_blob: bytes | None = None,
+        approx_blob: bytes | None = None,
+        simple_req: object = _UNSET,
+        jv_req: object = _UNSET,
+        fields_fs: frozenset | None = None,
+    ) -> None:
+        self.query_id = query_id
+        self._plan = plan
+        self._approx = approx
+        self.groups = groups
+        self.needs_verify = needs_verify
+        self.match_none = match_none
+        self.highlight = highlight
+        self.plan_blob = plan_blob
+        self.approx_blob = approx_blob
+        self.simple_req = simple_req
+        self.jv_req = jv_req
+        self.fields_fs = fields_fs
+
+    @property
+    def plan(self) -> Plan:
+        if self._plan is None and self.plan_blob is not None:
+            import pickle
+
+            self._plan = pickle.loads(self.plan_blob)
+        return self._plan
+
+    @property
+    def approx(self) -> Plan | None:
+        if self._approx is None and self.approx_blob is not None:
+            import pickle
+
+            self._approx = pickle.loads(self.approx_blob)
+        return self._approx
+
+    def to_blob(self) -> "CompiledQuery":
+        """Executor-side conversion to the blob-backed form (called inside
+        the distributed ``from_df`` compile): pickle the trees once HERE and
+        precompute everything the driver's batch planner reads."""
+        import pickle
+
+        from ..plans.query_plan import fields_of
+
+        plan = self._plan
+        return CompiledQuery(
+            self.query_id, None, None, self.groups, self.needs_verify,
+            self.match_none, self.highlight,
+            plan_blob=pickle.dumps(plan),
+            approx_blob=(
+                pickle.dumps(self._approx) if self._approx is not None else None
+            ),
+            simple_req=_simple_required(plan),
+            jv_req=_jv_requirements(plan),
+            fields_fs=frozenset(fields_of(plan)),
+        )
+
+    def __reduce__(self):
+        # positional factory call: ~5x faster to unpickle than the default
+        # __getstate__ dict round-trip — the driver assembles a 225k-query
+        # distributed registry from partition blobs in ~1s instead of ~7s
+        return (
+            _rebuild_cq,
+            (
+                self.query_id, self._plan, self._approx, self.groups,
+                self.needs_verify, self.match_none, self.highlight,
+                self.plan_blob, self.approx_blob, self.simple_req,
+                self.jv_req, self.fields_fs,
+            ),
+        )
+
+    def __repr__(self) -> str:  # compact: plans may be large trees
+        return (
+            f"CompiledQuery({self.query_id!r}, needs_verify={self.needs_verify}"
+            f", match_none={self.match_none}"
+            f", blob={self.plan_blob is not None})"
+        )
+
+
+def _rebuild_cq(
+    query_id, plan, approx, groups, needs_verify, match_none, highlight,
+    plan_blob, approx_blob, simple_req, jv_req, fields_fs,
+):
+    """Unpickle factory for CompiledQuery (see ``__reduce__``)."""
+    return CompiledQuery(
+        query_id, plan, approx, groups, needs_verify, match_none, highlight,
+        plan_blob=plan_blob, approx_blob=approx_blob, simple_req=simple_req,
+        jv_req=jv_req, fields_fs=fields_fs,
+    )
 
 
 @dataclass
@@ -102,16 +213,28 @@ class CompiledRegistry:
 
         simple: dict[str, tuple] = {}
         plans: dict[str, bytes] = {}
-        for qid, plan in self.gate_verify_plans().items():
-            req = _simple_required(plan)
+        for qid in self.gate_verify_ids():
+            cq = self.queries[qid]
+            req = (
+                cq.simple_req
+                if cq.simple_req is not _UNSET
+                else _simple_required(cq.plan)
+            )
             if req is not None:
                 simple[qid] = req
             else:
                 # plans ship INDIVIDUALLY pickled: a plan that cannot
                 # unpickle on a worker (exotic class, bad state) fails only
                 # its own per-query lookup under the verify UDF's
-                # try/except, never the whole broadcast load (E10)
-                plans[qid] = pickle.dumps(plan)
+                # try/except, never the whole broadcast load (E10). A
+                # blob-backed query forwards its executor-pickled bytes
+                # untouched — the broadcast build is a dict assembly, not
+                # a 10^5-plan re-pickle.
+                plans[qid] = (
+                    cq.plan_blob
+                    if cq.plan_blob is not None
+                    else pickle.dumps(cq.plan)
+                )
         bc = sc.broadcast({"simple": simple, "plans": plans})
         self._bc_cache = (key, bc)
         return bc
@@ -169,8 +292,11 @@ class CompiledRegistry:
         present — evaluator semantics). The lane is equivalence-tested
         against the python evaluator."""
         out: dict[str, tuple] = {}
-        for qid, plan in self.gate_verify_plans().items():
-            req = _jv_requirements(plan)
+        for qid in self.gate_verify_ids():
+            cq = self.queries[qid]
+            req = (
+                cq.jv_req if cq.jv_req is not _UNSET else _jv_requirements(cq.plan)
+            )
             if req is not None:
                 out[qid] = req
         return out
@@ -216,18 +342,26 @@ class CompiledRegistry:
                 tmp = cls()
                 for qid, qjson in zip(pdf["query_id"], pdf["query_json"]):
                     tmp.register(qid, qjson)  # exact driver semantics
-                    compiled.append(tmp.queries.pop(qid))
+                    # blob-backed: the plan/approx trees are pickled HERE
+                    # and all planner metadata precomputed, so the driver
+                    # assembles the registry — and later the verify
+                    # broadcast — without ever unpickling a plan tree.
+                    # Ship the constructor ARG TUPLE, not the object: raw
+                    # tuples unpickle ~3x faster than per-object REDUCE
+                    # opcodes (measured 20ms vs 63ms per 3.5k queries)
+                    compiled.append(tmp.queries.pop(qid).to_blob().__reduce__()[1])
                 yield _pd.DataFrame({"blob": [pickle.dumps(compiled)]})
 
         reg = cls()
+        q = reg.queries
         for r in (
             queries_df.select("query_id", "query_json")
             .mapInPandas(compile_part, "blob binary")
             .collect()
         ):
-            for cq in pickle.loads(r["blob"]):
-                reg.queries[cq.query_id] = cq
-        reg.version = len(reg.queries)
+            for args in pickle.loads(r["blob"]):
+                q[args[0]] = _rebuild_cq(*args)
+        reg.version = len(q)
         return reg
 
     def register(self, query_id: str, query_json: str | dict) -> None:
@@ -302,7 +436,9 @@ class CompiledRegistry:
 
         out: set[str] = set()
         for q in self.queries.values():
-            out |= fields_of(q.plan)
+            out |= (
+                q.fields_fs if q.fields_fs is not None else fields_of(q.plan)
+            )
         return out
 
     def group_counts(self, spark: SparkSession) -> DataFrame:
@@ -331,19 +467,26 @@ class CompiledRegistry:
             if q.needs_verify and not q.match_none
         }
 
-    def gate_verify_plans(self) -> dict[str, Plan]:
-        """Phase-2 plans under GATED phase 1 (one group per query): every
-        query whose match isn't implied by its gate group alone — i.e. all
-        needs_verify queries plus exact multi-group conjunctions."""
-        return {
-            q.query_id: q.plan
+    def gate_verify_ids(self) -> list[str]:
+        """Ids of queries needing phase-2 under GATED phase 1 (one group
+        per query): every query whose match isn't implied by its gate group
+        alone — all needs_verify queries plus exact multi-group
+        conjunctions. Pure metadata: never touches (= never unpickles)
+        plan trees."""
+        return [
+            q.query_id
             for q in self.queries.values()
             if not q.match_none
             and (
                 q.needs_verify  # incl. unfilterable (groups None) queries
                 or (q.groups is not None and len(q.groups) > 1)
             )
-        }
+        ]
+
+    def gate_verify_plans(self) -> dict[str, Plan]:
+        """Phase-2 plans for ``gate_verify_ids`` — MATERIALIZES blob-backed
+        plans; planner paths that only need ids should use the id form."""
+        return {qid: self.queries[qid].plan for qid in self.gate_verify_ids()}
 
     def gates(
         self, term_df: dict[tuple[str, str], int] | None = None

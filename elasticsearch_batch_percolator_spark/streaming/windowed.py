@@ -74,11 +74,19 @@ def _specs(
     for qid, cq in registry.queries.items():
         if cq.match_none or qid in matchall:
             continue
-        plan = cq.plan
-        if isinstance(plan, Term):
-            req = ((("t", plan.field, plan.value),), ())
+        # blob-backed registries precompute jv_req on the executors —
+        # avoid unpickling the plan tree here (_jv_requirements covers
+        # the bare-Term shortcut too: a Term is a single "t" atom)
+        from ..sources.registry import _UNSET
+
+        if cq.jv_req is not _UNSET:
+            req = cq.jv_req
         else:
-            req = _jv_requirements(plan)
+            plan = cq.plan
+            if isinstance(plan, Term):
+                req = ((("t", plan.field, plan.value),), ())
+            else:
+                req = _jv_requirements(plan)
         if req is None or any(
             # wildcard atoms ("w"/"wg<n>") need the per-batch term
             # dictionary — no static atom stream exists for them; they
@@ -226,13 +234,14 @@ def windowed_match_counts(
         from ..plans.eval_py import compile_predicate_fields
         from ..plans.query_plan import fields_of
 
-        blobs = {
-            qid: (
-                pickle.dumps(registry.queries[qid].plan),
-                tuple(sorted(fields_of(registry.queries[qid].plan))),
-            )
-            for qid in unsupported
-        }
+        def _blob(cq):
+            # blob-backed queries already carry executor-pickled bytes +
+            # a precomputed field set — forward them without unpickling
+            b = cq.plan_blob if cq.plan_blob is not None else pickle.dumps(cq.plan)
+            fs = cq.fields_fs if cq.fields_fs is not None else fields_of(cq.plan)
+            return (b, tuple(sorted(fs)))
+
+        blobs = {qid: _blob(registry.queries[qid]) for qid in unsupported}
         bc_plans = spark.sparkContext.broadcast(blobs)
 
         memo: dict = {}  # per-worker predicate cache (closure-captured)

@@ -257,9 +257,60 @@ def test_distributed_registry_compile_equals_driver(spark):
     driver = CompiledRegistry.from_rows(rows)
     assert set(dist.queries) == set(driver.queries)
     assert dist.version == driver.version
+
+    # blob-backed: executors pickled the trees and precomputed the planner
+    # metadata; the driver holds bytes, not plan objects, until an operator
+    # genuinely dereferences .plan
+    from elasticsearch_batch_percolator_spark.sources.registry import (
+        _UNSET,
+        _jv_requirements,
+        _simple_required,
+    )
+    from elasticsearch_batch_percolator_spark.plans.query_plan import fields_of
+
     for qid, dcq in driver.queries.items():
         xcq = dist.queries[qid]
-        assert xcq.plan == dcq.plan, qid
+        assert xcq.plan_blob is not None, qid
+        assert xcq._plan is None, qid  # not yet materialized on the driver
+        assert xcq.simple_req is not _UNSET and (
+            xcq.simple_req == _simple_required(dcq.plan)
+        ), qid
+        assert xcq.jv_req is not _UNSET and (
+            xcq.jv_req == _jv_requirements(dcq.plan)
+        ), qid
+        assert xcq.fields_fs == frozenset(fields_of(dcq.plan)), qid
+
+    # the verify broadcast + jv atoms + field set assemble WITHOUT
+    # unpickling any plan tree on the driver
+    bc = dist.broadcast_verify_plans(qdf.sparkSession)
+    assert set(bc.value["simple"]) | set(bc.value["plans"]) == set(
+        dist.gate_verify_ids()
+    )
+    dist.jv_verify_atoms()
+    assert dist.query_fields() == driver.query_fields()
+    assert all(cq._plan is None for cq in dist.queries.values())
+
+    # end-to-end: the blob-backed registry percolates identically (fresh
+    # from_df so the laziness assertions above stay unpolluted)
+    spark = qdf.sparkSession
+    dist2 = CompiledRegistry.from_df(qdf, distributed=True)
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.sample(vocab, 4))) for i in range(40)],
+        "doc_id long, content string",
+    )
+    got_d = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(spark, docs, dist2).matches.collect()
+    }
+    got_r = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(spark, docs, driver).matches.collect()
+    }
+    assert got_d == got_r and got_d
+
+    for qid, dcq in driver.queries.items():
+        xcq = dist.queries[qid]
+        assert xcq.plan == dcq.plan, qid  # lazy materialization is exact
         assert xcq.approx == dcq.approx, qid
         assert xcq.groups == dcq.groups, qid
         assert xcq.needs_verify == dcq.needs_verify, qid
