@@ -210,6 +210,92 @@ def _jv_structs(
     return out
 
 
+def _bt_prune_sets(
+    registry: CompiledRegistry,
+    resolve: dict,
+    col_idx: dict,
+    jv_specs: dict,
+    jv_probe_terms: set,
+    max_terms: int,
+    max_pats: int,
+) -> tuple[dict, dict] | None:
+    """Per-fcol (literal-term set, LIKE-pattern set) covering EVERY term
+    the phase-1/stats/join-verify machinery can join batch_terms on:
+    gate-group "t" members, stats-probe words (forbidden / n-gram /
+    wildcard-phrase literal words), gate-group "w" patterns, and every
+    join-verify expansion pattern ("w" and "wg<n>" — the term dictionary
+    only ever expands those). Tokens outside this closure can never
+    influence any batch_terms consumer, so they may be dropped BEFORE the
+    explode. Returns None (no pruning) when the registry's term/pattern
+    footprint exceeds the thresholds — the InSet literal and the per-token
+    LIKE chain must stay cheap — or when a group member's field resolves
+    outside the indexed columns (defensive; used_tok_cols construction
+    makes that impossible today). Cached per (registry version, layout)."""
+    from .match import wildcard_to_like
+
+    key = (
+        registry.version,
+        tuple(sorted(resolve.items())),
+        tuple(sorted(col_idx.items())),
+        max_terms,
+        max_pats,
+    )
+    cached = getattr(registry, "_bt_prune_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    lits: dict[int, set[str]] = {}
+    pats: dict[int, set[str]] = {}
+    n_terms = 0
+    n_pats = 0
+
+    def build() -> bool:
+        nonlocal n_terms, n_pats
+        for q in registry.queries.values():
+            if not q.groups:
+                continue
+            for g in q.groups:
+                for kind, f, v in g:
+                    tc = resolve.get(f)
+                    if tc is None or tc not in col_idx:
+                        continue
+                    fc = col_idx[tc]
+                    if kind == "t":
+                        s = lits.setdefault(fc, set())
+                        if v not in s:
+                            s.add(v)
+                            n_terms += 1
+                            if n_terms > max_terms:
+                                return False
+                    else:
+                        s = pats.setdefault(fc, set())
+                        p = wildcard_to_like(v)
+                        if p not in s:
+                            s.add(p)
+                            n_pats += 1
+                            if n_pats > max_pats:
+                                return False
+        for fc, w in jv_probe_terms:
+            s = lits.setdefault(fc, set())
+            if w not in s:
+                s.add(w)
+                n_terms += 1
+                if n_terms > max_terms:
+                    return False
+        for spec in jv_specs.values():
+            for _qid, fc, _n, _pre, like, _suf, _req in spec[5]:
+                s = pats.setdefault(fc, set())
+                if like not in s:
+                    s.add(like)
+                    n_pats += 1
+                    if n_pats > max_pats:
+                        return False
+        return True
+
+    out = (lits, pats) if build() else None
+    registry._bt_prune_cache = (key, out)
+    return out
+
+
 def _kind_n(kind: str) -> int:
     """Gram length of a jv atom kind: "t"/"w" → 1, "g<n>"/"wg<n>" → n."""
     if kind == "t" or kind == "w":
@@ -546,6 +632,59 @@ def percolate(
             "fcol space (127); split the batch by field group"
         )
     col_idx = {tc: i for i, tc in enumerate(used_tok_cols)}
+
+    # join-verify structures are needed BEFORE batch_terms: their probe
+    # words and expansion patterns are part of the pre-explode prune
+    # closure below (cached per registry+layout, so no repeated cost)
+    jv_mode = os.environ.get("EBP_SIMPLE_JOIN_VERIFY", "auto")
+    if jv_mode != "off":
+        jv_specs, jv_probe_terms, jv_gram_probe, jv_pat_probe = _jv_structs(
+            registry, resolve, col_idx, nested_cols, scalar_cols, used_tok_cols
+        )
+        _prof('jv_structs')
+    else:
+        jv_specs, jv_probe_terms, jv_gram_probe, jv_pat_probe = (
+            {}, set(), set(), set()
+        )
+
+    # ---- pre-explode gate-term prune ---------------------------------
+    # batch_terms only ever joins against the registry's term closure
+    # (gate literals, probe words, pattern matches — _bt_prune_sets), so
+    # tokens outside it can be dropped from each doc's array BEFORE the
+    # explode: at 500k docs x 200 queries the candidate-generation stage
+    # (explode + hash + broadcast probe of every token) measured 68% of
+    # percolate's core-seconds, almost all on tokens no query references.
+    # InSet (hash set, built once per expression) + LIKE chain inside a
+    # filter() lambda — the n-gram first-word prune technique. Large
+    # registries that exceed the thresholds keep the full explode.
+    # EBP_BT_PRUNE=0 disables.
+    bt_prune = None
+    if os.environ.get("EBP_BT_PRUNE", "1") != "0":
+        bt_prune = _bt_prune_sets(
+            registry, resolve, col_idx, jv_specs, jv_probe_terms,
+            int(os.environ.get("EBP_BT_PRUNE_MAX_TERMS", "20000")),
+            int(os.environ.get("EBP_BT_PRUNE_MAX_PATS", "64")),
+        )
+
+    def _gate_kept(arr, fc: int):
+        """array_distinct of the gate-relevant tokens of ``arr``."""
+        if bt_prune is None:
+            return F.array_distinct(arr)
+        lits = sorted(bt_prune[0].get(fc, ()))
+        pats = sorted(bt_prune[1].get(fc, ()))
+        if not lits and not pats:
+            # no query can join on this column's terms
+            return F.array().cast("array<string>")
+
+        def pred(t):
+            c = t.isin(lits) if lits else None
+            for p in pats:
+                lk = t.like(p)
+                c = lk if c is None else (c | lk)
+            return c
+
+        return F.array_distinct(F.filter(arr, pred))
+
     def _term_rows(tc: str):
         fcol = F.lit(col_idx[tc]).cast("tinyint").alias("fcol")
         if tc in scalar_cols:
@@ -561,7 +700,7 @@ def percolate(
             return [
                 batch.select(
                     "doc_id", fcol,
-                    F.explode(F.array_distinct(F.col(tc))).alias("term"),
+                    F.explode(_gate_kept(F.col(tc), col_idx[tc])).alias("term"),
                 )
             ]
         # nested column: every child's token arrays flatten into the
@@ -591,7 +730,7 @@ def percolate(
         return [
             batch.select(
                 "doc_id", fcol,
-                F.explode(F.array_distinct(merged)).alias("term"),
+                F.explode(_gate_kept(merged, col_idx[tc])).alias("term"),
             )
         ]
 
@@ -635,17 +774,8 @@ def percolate(
     # No Arrow token shipping, no Python — the lane that scales with cores.
     # "auto" guards on estimated join volume (sum of batch df over the
     # query's terms, ungated) vs the gated candidate volume; "force"/"off"
-    # override for tests.
-    jv_mode = os.environ.get("EBP_SIMPLE_JOIN_VERIFY", "auto")
-    if jv_mode != "off":
-        jv_specs, jv_probe_terms, jv_gram_probe, jv_pat_probe = _jv_structs(
-            registry, resolve, col_idx, nested_cols, scalar_cols, used_tok_cols
-        )
-        _prof('jv_structs')
-    else:
-        jv_specs, jv_probe_terms, jv_gram_probe, jv_pat_probe = (
-            {}, set(), set(), set()
-        )
+    # override for tests. (jv structures were computed above, before
+    # batch_terms — their probe words/patterns feed the pre-explode prune.)
 
     # ---- per-registry batch-plan cache ----------------------------------
     # Everything from the involved-term stats probe down to the gate /
@@ -673,6 +803,9 @@ def percolate(
         os.environ.get("EBP_JV_MAX_RATIO", "1.5"),
         os.environ.get("EBP_MAX_WHEN_BRANCHES", "0"),
         os.environ.get("EBP_MAX_WHEN_CHUNKS", "8"),
+        # bt_count semantics (and so the cached jv lane choice) depend on
+        # whether the pre-explode prune is active
+        bt_prune is not None,
     )
     refresh = int(os.environ.get("EBP_STATS_REFRESH", "0"))
     pc = getattr(registry, "_batch_plan_cache", None)
@@ -844,7 +977,46 @@ def percolate(
         if jv_mode == "force":
             take = set(jv_specs)
         else:
-            bt_count = batch_terms.count()
+            if bt_prune is not None:
+                # the pruned stream no longer proxies the python lane's
+                # fixed cost (Arrow-shipping candidate docs' FULL token
+                # arrays) — measure the batch's raw token volume instead
+                # (one columnar scan of the persisted batch, no explode)
+                size_cols = []
+                for tc in used_tok_cols:
+                    if tc in scalar_cols:
+                        continue
+                    if tc not in nested_cols:
+                        size_cols.append(
+                            F.coalesce(F.size(F.col(tc)), F.lit(0))
+                        )
+                        continue
+                    dt = batch.schema[tc].dataType
+
+                    def _g(name):
+                        return lambda c: c.getField(name)
+
+                    size_cols.extend(
+                        F.coalesce(
+                            F.size(
+                                F.flatten(F.transform(F.col(tc), _g(f.name)))
+                            ),
+                            F.lit(0),
+                        )
+                        for f in dt.elementType.fields
+                        if isinstance(f.dataType, T.ArrayType)
+                    )
+                if size_cols:
+                    vol = size_cols[0]
+                    for c in size_cols[1:]:
+                        vol = vol + c
+                    bt_count = int(
+                        batch.agg(F.sum(vol).alias("v")).first()["v"] or 0
+                    )
+                else:
+                    bt_count = 0
+            else:
+                bt_count = batch_terms.count()
             gated_all = sum(gate_df_q.get(q, 0) for q in jv_specs)
             ratio = float(os.environ.get("EBP_JV_MAX_RATIO", "1.5"))
             if total_est <= ratio * (bt_count + gated_all):

@@ -318,3 +318,69 @@ def test_distributed_registry_compile_equals_driver(spark):
         assert (xcq.highlight is None) == (dcq.highlight is None), qid
         if dcq.highlight is not None:
             assert xcq.highlight.__dict__ == dcq.highlight.__dict__, qid
+
+
+def test_bt_prune_equivalence(spark, monkeypatch):
+    """The pre-explode gate-term prune (batch_terms carries only the
+    registry's term closure) must be invisible to results. Exercises the
+    closure's edge paths: wildcard gates + jv "w" atoms (term-dictionary
+    expansion must still see pattern-matching terms), wildcard phrases
+    ("wg" expansion patterns), must_not terms (probe words outside the
+    gate groups), slop-0 phrases (gate words vs n-gram verify), and a
+    term that appears ONLY in docs (prunable)."""
+    import random as _random
+
+    rng = _random.Random(77)
+    vocab = [f"w{i}" for i in range(60)] + ["prefix_a", "prefix_b", "zonly"]
+    queries = []
+    for i in range(40):
+        k = i % 5
+        if k == 0:
+            terms = rng.sample(vocab[:60], 3)
+            q = {"bool": {"must": [{"term": {"content": t}} for t in terms[:2]],
+                          "must_not": [{"term": {"content": terms[2]}}]}}
+        elif k == 1:
+            q = {"wildcard": {"content": "prefix_*"}}
+        elif k == 2:
+            q = {"phrase": {"field": "content",
+                            "terms": rng.sample(vocab[:60], 2), "slop": 0}}
+        elif k == 3:
+            q = {"wildcard_phrase": {"field": "content", "producers": [
+                {"term": {"content": rng.choice(vocab[:60])}},
+                {"wildcard": {"content": "prefix_*"}}]}}
+        else:
+            q = {"bool": {"should": [{"term": {"content": rng.choice(vocab[:60])}},
+                                     {"wildcard": {"content": "w1*"}}]}}
+        queries.append((f"q{i}", q))
+    reg_a = CompiledRegistry.from_rows(queries)
+    reg_b = CompiledRegistry.from_rows(queries)
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.sample(vocab, 6))) for i in range(120)],
+        "doc_id long, content string",
+    )
+
+    monkeypatch.setenv("EBP_BT_PRUNE", "1")
+    pruned = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(spark, docs, reg_a).matches.collect()
+    }
+    monkeypatch.setenv("EBP_BT_PRUNE", "0")
+    full = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(spark, docs, reg_b).matches.collect()
+    }
+    assert pruned == full and pruned
+
+    # prune actually engaged for reg_a (cache holds a non-None closure)
+    assert getattr(reg_a, "_bt_prune_cache")[1] is not None
+
+    # threshold exceeded -> prune disabled, results still identical
+    monkeypatch.setenv("EBP_BT_PRUNE", "1")
+    monkeypatch.setenv("EBP_BT_PRUNE_MAX_TERMS", "3")
+    reg_c = CompiledRegistry.from_rows(queries)
+    capped = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(spark, docs, reg_c).matches.collect()
+    }
+    assert capped == full
+    assert getattr(reg_c, "_bt_prune_cache")[1] is None
