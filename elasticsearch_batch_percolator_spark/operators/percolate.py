@@ -203,6 +203,12 @@ def _jv_structs(
                 atoms_q.append((fc, kind, v))
                 if kind == "t":
                     probe_terms.add((fc, v))
+        if len(rows_q) + len(prows_q) > 63:
+            # the join-verify aggregate assigns each atom one bit of a
+            # 64-bit mask (bit_or merges duplicate hits for free — no
+            # dedup exchanges); a query with more atoms than bits stays
+            # on the python evaluator
+            continue
         specs[qid] = (tuple(rows_q), len(need_pairs), tuple(atoms_q),
                       tuple(sorted(gcols_q)), False, tuple(prows_q))
     out = (specs, probe_terms, gram_probe, pat_probe)
@@ -239,6 +245,12 @@ def _bt_prune_sets(
         tuple(sorted(col_idx.items())),
         max_terms,
         max_pats,
+        # the closure includes jv probe words and expansion patterns, and
+        # those are EMPTY when the jv lane is off (jv_specs = {}): a set
+        # computed under off must not be reused by an auto/force call, or
+        # jv-only tokens (e.g. a forbidden wildcard's expansions) would be
+        # pruned out of batch_terms and the exclusion silently lost
+        bool(jv_specs) or bool(jv_probe_terms),
     )
     cached = getattr(registry, "_bt_prune_cache", None)
     if cached is not None and cached[0] == key:
@@ -647,15 +659,20 @@ def percolate(
             {}, set(), set(), set()
         )
 
-    # ---- pre-explode gate-term prune ---------------------------------
+    # ---- gate-term prune ----------------------------------------------
     # batch_terms only ever joins against the registry's term closure
     # (gate literals, probe words, pattern matches — _bt_prune_sets), so
-    # tokens outside it can be dropped from each doc's array BEFORE the
-    # explode: at 500k docs x 200 queries the candidate-generation stage
-    # (explode + hash + broadcast probe of every token) measured 68% of
-    # percolate's core-seconds, almost all on tokens no query references.
-    # InSet (hash set, built once per expression) + LIKE chain inside a
-    # filter() lambda — the n-gram first-word prune technique. Large
+    # tokens outside it can be dropped: at 500k docs x 200 queries the
+    # candidate-generation stage (explode + hash + broadcast probe of
+    # every token) measured 68% of percolate's core-seconds, almost all
+    # on tokens no query references. The prune runs as a codegen WHERE
+    # AFTER the explode, NOT as a filter() lambda on the array: every
+    # higher-order array function is CodegenFallback (interpreted, boxed,
+    # a closure call per element), and the lambda variant of this prune
+    # measured 185 executor-seconds at 400k docs x 40 LIKE patterns where
+    # the fused explode+WHERE (InSet + StartsWith after Catalyst's
+    # LikeSimplification) does the same cut inside whole-stage codegen —
+    # rows die in-pipeline before any materialization or shuffle. Large
     # registries that exceed the thresholds keep the full explode.
     # EBP_BT_PRUNE=0 disables.
     bt_prune = None
@@ -666,29 +683,28 @@ def percolate(
             int(os.environ.get("EBP_BT_PRUNE_MAX_PATS", "64")),
         )
 
-    def _gate_kept(arr, fc: int):
-        """array_distinct of the gate-relevant tokens of ``arr``."""
+    def _prune_pred(fc: int):
+        """Codegen WHERE predicate keeping the term closure of column
+        ``fc`` — or None (keep all) / False (column joins nothing)."""
         if bt_prune is None:
-            return F.array_distinct(arr)
+            return None
         lits = sorted(bt_prune[0].get(fc, ()))
         pats = sorted(bt_prune[1].get(fc, ()))
         if not lits and not pats:
-            # no query can join on this column's terms
-            return F.array().cast("array<string>")
-
-        def pred(t):
-            c = t.isin(lits) if lits else None
-            for p in pats:
-                lk = t.like(p)
-                c = lk if c is None else (c | lk)
-            return c
-
-        return F.array_distinct(F.filter(arr, pred))
+            return False  # no query can join on this column's terms
+        c = F.col("term").isin(lits) if lits else None
+        for p in pats:
+            lk = F.col("term").like(p)
+            c = lk if c is None else (c | lk)
+        return c
 
     def _term_rows(tc: str):
         fcol = F.lit(col_idx[tc]).cast("tinyint").alias("fcol")
         if tc in scalar_cols:
             return []  # numeric fields carry no gate terms
+        pred = _prune_pred(col_idx[tc])
+        if pred is False:
+            return []
         if tc not in nested_cols:
             # array_distinct BEFORE the explode = the per-(doc, fcol, term)
             # dedup downstream counting relies on, WITHOUT a shuffle: a
@@ -697,12 +713,11 @@ def percolate(
             # rows to remove partition-local duplicates (measured the
             # single largest memory-traffic stage at 150k docs x 32 cores
             # — the bench box's shared memory bus is the scaling ceiling)
-            return [
-                batch.select(
-                    "doc_id", fcol,
-                    F.explode(_gate_kept(F.col(tc), col_idx[tc])).alias("term"),
-                )
-            ]
+            rows = batch.select(
+                "doc_id", fcol,
+                F.explode(F.array_distinct(F.col(tc))).alias("term"),
+            )
+            return [rows.where(pred) if pred is not None else rows]
         # nested column: every child's token arrays flatten into the
         # parent's gate stream (matches the limiting-filter field remap)
         dt = batch.schema[tc].dataType
@@ -727,15 +742,18 @@ def percolate(
         merged = child_toks[0]
         for c in child_toks[1:]:
             merged = F.concat(merged, c)
-        return [
-            batch.select(
-                "doc_id", fcol,
-                F.explode(_gate_kept(merged, col_idx[tc])).alias("term"),
-            )
-        ]
+        rows = batch.select(
+            "doc_id", fcol,
+            F.explode(F.array_distinct(merged)).alias("term"),
+        )
+        return [rows.where(pred) if pred is not None else rows]
 
-    if used_tok_cols:
-        bt_parts = [p for tc in used_tok_cols for p in _term_rows(tc)]
+    bt_parts = (
+        [p for tc in used_tok_cols for p in _term_rows(tc)]
+        if used_tok_cols
+        else []
+    )
+    if bt_parts:
         batch_terms = bt_parts[0]
         for p in bt_parts[1:]:
             batch_terms = batch_terms.unionByName(p)
@@ -1396,38 +1414,71 @@ def percolate(
 
     if jv_rows or jv_prows:
         # ---- join-verify lane: Catalyst-only exact verification ----------
-        # One broadcast hash join (no shuffle of batch_terms) + one count
-        # aggregate. req_hits == n_required ⇔ every required atom present
-        # (batch_terms is deduped per (doc, fcol, term), so each present
-        # static term contributes exactly one row; gram and expanded-
-        # pattern hits are deduped per atom before the union). forbid_hits
-        # == 0 ⇔ no forbidden atom present. Docs with no overlap form no
-        # group — correctly absent since n_required >= 1 here.
-        # query ids ship through the hit shuffle DICTIONARY-ENCODED (int
-        # qidx, not the string id) — the aggregate's exchange is the lane's
-        # dominant byte volume at scale; names are restored by a broadcast
-        # join after the count filter
+        # One broadcast hash join (no shuffle of batch_terms) + ONE
+        # bitmask aggregate. Every atom of a query owns one bit of a
+        # 64-bit mask (_jv_structs guards atom count <= 63): a hit row
+        # carries (rbit, fbit) = its atom's bit in the required/forbidden
+        # mask, and groupBy(doc, qidx).bit_or collapses ANY number of
+        # duplicate hits — repeated grams, multiple dictionary expansions
+        # of one wildcard atom — without the per-atom dropDuplicates
+        # exchanges the count formulation needed (two shuffles gone; OR
+        # is idempotent where COUNT is not). Match ⇔ bit_or(rbit) ==
+        # req_mask AND bit_or(fbit) == 0. Docs with no overlap form no
+        # group — correctly absent since every jv query here requires
+        # at least one atom. query ids ship through the aggregate's
+        # exchange DICTIONARY-ENCODED (int qidx, not the string id) —
+        # that exchange is the lane's dominant byte volume at scale;
+        # names are restored by a broadcast join after the mask filter.
         if "jv_tables" in art:
-            need_sdf, nreq_sdf, qmap_sdf, pat_sdf, patq_sdf = art["jv_tables"]
+            need_sdf, qmask_sdf, qmap_sdf, pat_sdf, patq_sdf = art["jv_tables"]
         else:
             qidx = {q: i for i, q in enumerate(sorted(q for q, _ in jv_nreq))}
-            if jv_rows:
+            # per-query bit assignment: static rows first, then pattern
+            # atoms, in list order (per-query contiguous by construction)
+            bit_ctr: dict[str, int] = {}
+
+            def _next_bit(q: str) -> int:
+                b = bit_ctr.get(q, 0)
+                bit_ctr[q] = b + 1
+                return b
+
+            req_mask: dict[str, int] = {q: 0 for q, _ in jv_nreq}
+            static_rows = []
+            for q, fc, t, req in jv_rows:
+                b = 1 << _next_bit(q)
+                if req:
+                    req_mask[q] |= b
+                static_rows.append((qidx[q], fc, t, b if req else 0,
+                                    0 if req else b))
+            prow_bits = []
+            for q, fc, n, pre, lk, suf, req in jv_prows:
+                b = 1 << _next_bit(q)
+                if req:
+                    req_mask[q] |= b
+                prow_bits.append(b)
+            if static_rows:
                 jpdf = pd.DataFrame(
-                    [(qidx[q], fc, t, req) for q, fc, t, req in jv_rows],
-                    columns=["qidx", "fcol", "term", "required"],
+                    static_rows,
+                    columns=["qidx", "fcol", "term", "rbit", "fbit"],
                 )
                 jpdf["qidx"] = jpdf["qidx"].astype("int32")
                 jpdf["fcol"] = jpdf["fcol"].astype("int16")
+                jpdf["rbit"] = jpdf["rbit"].astype("int64")
+                jpdf["fbit"] = jpdf["fbit"].astype("int64")
                 need_sdf = spark.createDataFrame(
-                    jpdf, "qidx int, fcol smallint, term string, required boolean"
+                    jpdf,
+                    "qidx int, fcol smallint, term string, "
+                    "rbit long, fbit long",
                 )
             else:
                 need_sdf = None
-            npdf = pd.DataFrame(
-                [(qidx[q], n) for q, n in jv_nreq], columns=["qidx", "n_required"]
+            mpdf = pd.DataFrame(
+                [(qidx[q], req_mask[q]) for q, _ in jv_nreq],
+                columns=["qidx", "req_mask"],
             )
-            npdf["qidx"] = npdf["qidx"].astype("int32")
-            nreq_sdf = spark.createDataFrame(npdf, "qidx int, n_required int")
+            mpdf["qidx"] = mpdf["qidx"].astype("int32")
+            mpdf["req_mask"] = mpdf["req_mask"].astype("int64")
+            qmask_sdf = spark.createDataFrame(mpdf, "qidx int, req_mask long")
             qmap_pdf = pd.DataFrame(
                 sorted((i, q) for q, i in qidx.items()), columns=["qidx", "query_id"]
             )
@@ -1436,7 +1487,7 @@ def percolate(
             if jv_prows:
                 # two driver tables: DISTINCT patterns (expanded against
                 # the dictionary once each, however many queries share
-                # them) and the per-(query, atom) fan-out joined after
+                # them) and the per-(query, atom-bit) fan-out joined after
                 pats = sorted(
                     {(fc, n, pre, lk, suf) for _, fc, n, pre, lk, suf, _ in jv_prows}
                 )
@@ -1455,20 +1506,28 @@ def percolate(
                 )
                 pqdf = pd.DataFrame(
                     [
-                        (pid_of[(fc, n, pre, lk, suf)], qidx[q], aid, req)
-                        for aid, (q, fc, n, pre, lk, suf, req) in enumerate(jv_prows)
+                        (
+                            pid_of[(fc, n, pre, lk, suf)],
+                            qidx[q],
+                            b if req else 0,
+                            0 if req else b,
+                        )
+                        for b, (q, fc, n, pre, lk, suf, req) in zip(
+                            prow_bits, jv_prows
+                        )
                     ],
-                    columns=["pid", "qidx", "atom_id", "required"],
+                    columns=["pid", "qidx", "rbit", "fbit"],
                 )
                 pqdf["pid"] = pqdf["pid"].astype("int32")
                 pqdf["qidx"] = pqdf["qidx"].astype("int32")
-                pqdf["atom_id"] = pqdf["atom_id"].astype("int32")
+                pqdf["rbit"] = pqdf["rbit"].astype("int64")
+                pqdf["fbit"] = pqdf["fbit"].astype("int64")
                 patq_sdf = spark.createDataFrame(
-                    pqdf, "pid int, qidx int, atom_id int, required boolean"
+                    pqdf, "pid int, qidx int, rbit long, fbit long"
                 )
             else:
                 pat_sdf = patq_sdf = None
-            art["jv_tables"] = (need_sdf, nreq_sdf, qmap_sdf, pat_sdf, patq_sdf)
+            art["jv_tables"] = (need_sdf, qmask_sdf, qmap_sdf, pat_sdf, patq_sdf)
 
         # leading-word prune sets per (tc, n), SEPARATE for the static and
         # the pattern-expansion gram joins (each stream only feeds its own
@@ -1519,26 +1578,25 @@ def percolate(
         if need_sdf is not None:
             hit_parts.append(
                 bt_sm.join(F.broadcast(need_sdf), ["fcol", "term"]).select(
-                    "doc_id", "qidx", "required"
+                    "doc_id", "qidx", "rbit", "fbit"
                 )
             )
             if jv_gram_cols:
                 # static n-gram streams: contiguous n-grams of each
-                # referenced (column, n) under the offset fcol space. Join
-                # BEFORE dedup — the broadcast need join filters the
-                # explode down to referenced grams, so the dedup shuffles
-                # only actual hits.
+                # referenced (column, n) under the offset fcol space.
+                # Repeated grams in one doc OR into the same bit — no
+                # dedup exchange.
                 bhits = _gram_union(jv_gram_cols, fw_static).join(
                     F.broadcast(need_sdf), ["fcol", "term"]
-                ).dropDuplicates(["doc_id", "qidx", "fcol", "term", "required"])
-                hit_parts.append(bhits.select("doc_id", "qidx", "required"))
+                )
+                hit_parts.append(bhits.select("doc_id", "qidx", "rbit", "fbit"))
         if pat_sdf is not None:
             # wildcard need expansion: each DISTINCT pattern × the batch
             # term dictionary (the reference's automaton-over-index-terms,
             # WildcardTermsProducer.getTerms:26-53) → concrete (fcol_eff,
-            # gram) need rows, fanned out per (query, atom). A doc
-            # satisfies the atom if ANY expansion hits, so hits dedup per
-            # (doc, qidx, atom_id) before the count aggregate.
+            # gram) need rows, fanned out per (query, atom-bit). A doc
+            # satisfies the atom if ANY expansion hits — every expansion
+            # carries the SAME bit, so bit_or IS the any-of semantics.
             expanded = (
                 term_dict.join(F.broadcast(pat_sdf), "fcol")
                 .filter(F.expr("term LIKE like_pat"))
@@ -1552,7 +1610,7 @@ def percolate(
                 )
             )
             need_pat = expanded.join(F.broadcast(patq_sdf), "pid").select(
-                "fcol", "term", "qidx", "atom_id", "required"
+                "fcol", "term", "qidx", "rbit", "fbit"
             )
             pat_gram_cols = {
                 (used_tok_cols[fc], n)
@@ -1567,24 +1625,22 @@ def percolate(
             pstream = pstreams[0]
             for p in pstreams[1:]:
                 pstream = pstream.unionByName(p)
-            whits = (
-                pstream.join(F.broadcast(need_pat), ["fcol", "term"])
-                .dropDuplicates(["doc_id", "qidx", "atom_id"])
-                .select("doc_id", "qidx", "required")
+            whits = pstream.join(F.broadcast(need_pat), ["fcol", "term"]).select(
+                "doc_id", "qidx", "rbit", "fbit"
             )
             hit_parts.append(whits)
         jv_hits = hit_parts[0]
         for p in hit_parts[1:]:
             jv_hits = jv_hits.unionByName(p)
         jv_agg = jv_hits.groupBy("doc_id", "qidx").agg(
-            F.count(F.when(F.col("required"), 1)).alias("req_hit"),
-            F.count(F.when(~F.col("required"), 1)).alias("forbid_hit"),
+            F.expr("bit_or(rbit)").alias("req_bits"),
+            F.expr("bit_or(fbit)").alias("forbid_bits"),
         )
         parts.append(
-            jv_agg.join(F.broadcast(nreq_sdf), "qidx")
+            jv_agg.join(F.broadcast(qmask_sdf), "qidx")
             .filter(
-                (F.col("req_hit") == F.col("n_required"))
-                & (F.col("forbid_hit") == 0)
+                (F.col("req_bits") == F.col("req_mask"))
+                & (F.col("forbid_bits") == 0)
             )
             .join(F.broadcast(qmap_sdf), "qidx")
             .select("doc_id", "query_id")

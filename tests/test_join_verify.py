@@ -236,3 +236,24 @@ def test_batch_plan_cache_refresh_interval(spark, monkeypatch):
         batch.unpersist()
     assert art2 is not art1  # rebuilt
     assert got1 == got2 and got1
+
+
+def test_bt_prune_cache_not_poisoned_by_off_mode(spark):
+    """The batch_terms prune closure includes jv expansion patterns, which
+    are EMPTY under EBP_SIMPLE_JOIN_VERIFY=off. A prune set cached by an
+    off-mode call must NOT be reused by a later force-mode call on the
+    same registry — that dropped a forbidden wildcard's tokens from
+    batch_terms and silently lost the exclusion (superset matches)."""
+    reg = CompiledRegistry.from_rows([
+        ("q", {"bool": {"must": [{"term": {"text": "transport"}}],
+                        "must_not": [{"wildcard": {"text": "if*"}}]}}),
+    ])
+    batch = synth_corpus(spark, 1500, partitions=4).persist()
+    batch.count()
+    try:
+        off = _matches(spark, batch, reg, "off", None)
+        force = _matches(spark, batch, reg, "force", None)
+    finally:
+        batch.unpersist()
+    assert force == off
+    assert off  # non-vacuous
