@@ -82,6 +82,14 @@ class IndexManifest:
     # first build so resume assigns identically; empty = dense arithmetic
     # ranges via seg_size
     boundaries: list = field(default_factory=list)
+    # per-stage wall clocks for the LAST build/resume invocation
+    # (north_rule: tokenization/merge/scoring metrics emitted per stage):
+    # corpus_stats_s (count/avgdl/quantile scan), encode_merge_s (the one
+    # sort-merge shuffle + per-segment tokenize-count-sort-encode Arrow
+    # pass + parquet write), segment_metrics_s (written-postings agg),
+    # term_stats_s (global df/cf merge scan), plus docs_per_sec for the
+    # encode stage. Stages not run in a resume keep 0.0.
+    stage_metrics: dict = field(default_factory=dict)
 
     def save(self, out_dir: str) -> None:
         tmp = os.path.join(out_dir, "manifest.json.tmp")
@@ -123,6 +131,13 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     manifest = read_manifest(out_dir) if resume else None
     t_start = time.perf_counter()
+    stage: dict[str, float] = {
+        "corpus_stats_s": 0.0,
+        "encode_merge_s": 0.0,
+        "segment_metrics_s": 0.0,
+        "term_stats_s": 0.0,
+        "docs_per_sec": 0.0,
+    }
 
     if manifest is None:
         row = docs.agg(
@@ -145,6 +160,7 @@ def build_index(
                 int(x)
                 for x in docs.stat.approxQuantile("doc_id", qs, 0.001)
             ]
+        stage["corpus_stats_s"] = round(time.perf_counter() - t_start, 3)
         manifest = IndexManifest(
             n_docs=n_docs,
             avgdl=avgdl,
@@ -280,13 +296,20 @@ def build_index(
                     }
                 )
 
+        t_enc = time.perf_counter()
         result = staged.mapInPandas(encode_segments, out_schema)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         result.write.partitionBy("segment_id").mode("overwrite").parquet(
             os.path.join(out_dir, "postings")
         )
+        stage["encode_merge_s"] = round(time.perf_counter() - t_enc, 3)
+        if stage["encode_merge_s"] > 0:
+            stage["docs_per_sec"] = round(
+                manifest.n_docs / stage["encode_merge_s"], 1
+            )
 
         # per-segment metrics (rows/terms/postings) from the written files
+        t_met = time.perf_counter()
         written = spark.read.parquet(os.path.join(out_dir, "postings")).filter(
             F.col("segment_id").isin(missing)
         )
@@ -300,15 +323,21 @@ def build_index(
             .agg(F.count(F.lit(1)).alias("terms"), F.sum("df").alias("postings"))
             .collect()
         }
+        stage["segment_metrics_s"] = round(time.perf_counter() - t_met, 3)
         elapsed = time.perf_counter() - t_start
         for s in missing:
             m = metrics.get(str(s), {"terms": 0, "postings": 0})
             m["wall_clock_share_s"] = round(elapsed / len(missing), 3)
             manifest.completed[str(s)] = m
+        manifest.stage_metrics = stage
         manifest.save(out_dir)
 
     if len(manifest.completed) == n_segments:
+        t_ts = time.perf_counter()
         _finalize_term_stats(spark, out_dir)
+        stage["term_stats_s"] = round(time.perf_counter() - t_ts, 3)
+        manifest.stage_metrics = stage
+        manifest.save(out_dir)
     return manifest
 
 

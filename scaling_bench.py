@@ -35,9 +35,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "800000"))
 N_QUERIES = int(os.environ.get("SCALING_N_QUERIES", "3000"))
-# 400k docs: the round-4 verify-lane speedups made 150k fixed-cost-bound
-# (32 cores finished the compute in ~2s of a ~5s wall)
-PERC_DOCS = int(os.environ.get("SCALING_PERC_DOCS", "400000"))
+# 1.6M docs: percolate carries ~6s of per-batch fixed cost (broadcast
+# builds + AQE stage rounds — measured by fitting wall = fixed + work/cores
+# across levels at 400k: fixed 6.3s, work 46 CPU-s); a 400k batch leaves
+# the 8-core level >40% fixed-cost, understating scaling that the 100-TB
+# regime (huge micro-batches) actually sees. 150k before round 4's
+# verify-lane speedups, 400k after; 1.6M with the steady-state protocol.
+PERC_DOCS = int(os.environ.get("SCALING_PERC_DOCS", "1600000"))
 REPS = int(os.environ.get("SCALING_REPS", "2"))
 
 
@@ -61,6 +65,25 @@ def _mp_membw_burn(_):
     a = rng.integers(0, 1 << 30, size=25_000_000, dtype=np.int64)
     idx = rng.permutation(a.size)
     return int(a[idx].sum() & 0x7FFFFFFF)
+
+
+def _mp_stream_burn(_):
+    """Memory-STREAMING control: sequential triad passes (a = b + c) over
+    ~600MB of arrays. The gather control above is latency-bound (random
+    access, one cache line per load); scan/explode/hash-join pipelines are
+    BANDWIDTH-bound (sequential streams through column buffers). A box can
+    scale gathers near-1.0 while its streaming bandwidth saturates at 2-3
+    cores — both ceilings are reported so each operator's wall efficiency
+    is compared against the ceiling of ITS memory access pattern."""
+    import numpy as np
+
+    b = np.ones(25_000_000, dtype=np.float64)
+    c = np.ones(25_000_000, dtype=np.float64)
+    a = np.empty_like(b)
+    for _ in range(10):
+        np.add(b, c, out=a)
+        np.add(a, b, out=c)
+    return float(c[0])
 
 
 def tree_cpu_seconds() -> float:
@@ -175,20 +198,40 @@ def run_inner(cores: int) -> None:
     reg = CompiledRegistry.from_rows(
         [(q, j) for q, j in _percolator_queries(200)]
     )
-    # The batch is MATERIALIZED before timing: on a cluster the micro-batch
-    # arrives as input (stream/parquet); regenerating the synthetic corpus
-    # inside every percolate job would charge input synthesis (which has its
-    # own scaling profile) to the operator under measurement.
-    batch = synth_corpus(spark, PERC_DOCS, partitions=cores * 4).persist()
-    batch.count()
-
-    def do_percolate():
-        res = percolate(spark, batch, reg)
+    # STEADY-STATE protocol: a FRESH pre-materialized batch per rep. On a
+    # cluster each micro-batch is new data, so (a) batches are materialized
+    # before timing (input synthesis has its own scaling profile), (b) each
+    # rep percolates a batch Spark has never seen — re-running the SAME
+    # DataFrame lets Spark reuse shuffle map outputs across reps and lets
+    # the probe stages skip, which no production batch ever gets — and
+    # (c) the first PERC_WARMUP reps are discarded: they pay one-time JIT/
+    # codegen/broadcast warmup that a long-running percolation service
+    # amortizes to zero (measured: rep0 3-9x slower than rep3 at BOTH
+    # levels; a REPS=2 same-batch protocol reported that warmup, plus
+    # shuffle reuse, as if it were the operator).
+    warm = int(os.environ.get("SCALING_PERC_WARMUP", "2"))
+    n_batches = warm + max(1, REPS)
+    batches = []
+    for _ in range(n_batches):
+        b = synth_corpus(spark, PERC_DOCS, partitions=cores * 4).persist()
+        b.count()
+        batches.append(b)
+    best, best_cores = float("inf"), None
+    for i, b in enumerate(batches):
+        c0 = tree_cpu_seconds()
+        t0 = time.perf_counter()
+        res = percolate(spark, b, reg)
         res.matches.count()
+        dt = time.perf_counter() - t0
+        dc = tree_cpu_seconds() - c0
         res.unpersist()
-
-    out["percolate_s"] = best_of(do_percolate, cpu_key="percolate")
-    batch.unpersist()
+        if i >= warm and dt < best:
+            best, best_cores = dt, (dc / dt if dc > 0 else None)
+    out["percolate_s"] = best
+    if best_cores is not None:
+        cpu_used["percolate"] = round(best_cores, 2)
+    for b in batches:
+        b.unpersist()
 
     # control A: pure-CPU pandas UDF through the same Spark machinery —
     # measures the local-mode single-JVM ceiling (scheduler + shuffle
@@ -228,6 +271,13 @@ def run_inner(cores: int) -> None:
         pool.map(_mp_membw_burn, range(cores))
     out["membw_control_s"] = time.perf_counter() - t0
 
+    # control D: ONE WAVE of `cores` memory-STREAMING tasks (sequential
+    # triad) — the bandwidth ceiling for scan/explode/join pipelines
+    t0 = time.perf_counter()
+    with mp.Pool(cores) as pool:
+        pool.map(_mp_stream_burn, range(cores))
+    out["stream_control_s"] = time.perf_counter() - t0
+
     shutil.rmtree(idx_dir, ignore_errors=True)
     out["cores_used"] = cpu_used
     print("INNER_RESULT " + json.dumps(out))
@@ -255,7 +305,7 @@ def run_level(cores: int) -> dict[str, float]:
         capture_output=True,
         text=True,
         env=env,
-        timeout=1800,
+        timeout=3600,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("INNER_RESULT "):
@@ -323,14 +373,14 @@ def main() -> None:
     # membw control runs ONE WAVE of `cores` tasks per level (units scale
     # with the level): efficiency = wall_lo / wall_hi, ideal 1.0 — the
     # hardware's memory-bus ceiling for memory-bound parallel work
-    if "membw_control_s" in res_lo and "membw_control_s" in res_hi:
-        report["throughput"]["membw_tasks_per_sec"] = {
-            str(lo): round(lo / res_lo["membw_control_s"], 1),
-            str(hi): round(hi / res_hi["membw_control_s"], 1),
-        }
-        report["efficiency"]["membw_control"] = round(
-            res_lo["membw_control_s"] / res_hi["membw_control_s"], 3
-        )
+    for ctrl in ("membw_control", "stream_control"):
+        ck = f"{ctrl}_s"
+        if ck in res_lo and ck in res_hi:
+            report["throughput"][f"{ctrl}_tasks_per_sec"] = {
+                str(lo): round(lo / res_lo[ck], 1),
+                str(hi): round(hi / res_hi[ck], 1),
+            }
+            report["efficiency"][ctrl] = round(res_lo[ck] / res_hi[ck], 3)
     # CPU-normalized efficiency: local[N] does not pin CPUs (python
     # workers overlap the JVM; GC threads scale with the MACHINE), so
     # wall-clock efficiency mixes real scaling with slot-accounting

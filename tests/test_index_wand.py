@@ -113,6 +113,14 @@ def test_resume_from_partial_build(spark, sf_dir, tmp_path):
     m2 = build_index(spark, docs, part_dir, n_segments=4)  # resume
     assert len(m2.completed) == 4
     assert m2.avgdl == m1.avgdl  # frozen stats
+    # per-stage metrics persisted to the manifest (north_rule: tokenize/
+    # merge/scoring metrics per stage): the resume ran encode+term-stats,
+    # skipped corpus stats (frozen in the manifest from the first attempt)
+    from elasticsearch_batch_percolator_spark.index.build import read_manifest
+
+    sm = read_manifest(part_dir).stage_metrics
+    assert sm["encode_merge_s"] > 0 and sm["term_stats_s"] > 0
+    assert sm["docs_per_sec"] > 0 and sm["corpus_stats_s"] == 0.0
 
     a = topk_from_index(spark, full_dir, QUERIES, k=10).collect()
     b = topk_from_index(spark, part_dir, QUERIES, k=10).collect()
