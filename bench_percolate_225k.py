@@ -90,11 +90,21 @@ t0 = time.perf_counter()
 warm_sample = synth_corpus(spark, 6000, partitions=128, vocab_size=10000)
 reg.warmup(spark, sample=warm_sample)
 print(f"registration warmup (broadcast + jv structs + sample exercise) in {time.perf_counter() - t0:.1f}s")
-batch = synth_corpus(spark, N_DOCS, partitions=128, vocab_size=10000).cache()
-batch.count()
-for rep in range(2):
+# one FRESH pre-materialized batch per rep: re-percolating the same
+# DataFrame lets Spark reuse shuffle map outputs across reps (no
+# production micro-batch gets that), so rep0 is the first production
+# batch and later reps are steady state on data Spark has never seen
+N_REPS = int(os.environ.get("P225K_REPS", "3"))
+batches = []
+for rep in range(N_REPS):
+    b = synth_corpus(spark, N_DOCS, partitions=128, vocab_size=10000).cache()
+    b.count()
+    batches.append(b)
+for rep, b in enumerate(batches):
     t0 = time.perf_counter()
-    n = percolate(spark, batch, reg).matches.count()
+    res = percolate(spark, b, reg)
+    n = res.matches.count()
     dt = time.perf_counter() - t0
+    res.unpersist()
     print(f"rep{rep}: {N_DOCS} docs x {N_QUERIES} queries -> {n} matches in {dt:.1f}s = {N_DOCS/dt:.0f} docs/s")
 spark.stop()
