@@ -257,3 +257,44 @@ def test_bt_prune_cache_not_poisoned_by_off_mode(spark):
         batch.unpersist()
     assert force == off
     assert off  # non-vacuous
+
+
+def test_space_bearing_term_value_rejected_and_guarded(spark):
+    """ALIASING INVARIANT at _GRAM_FCOL_OFF: jv token atoms and n-gram
+    streams share one smallint fcol space (fc vs fc + 64*(n-1)), which is
+    safe only because token VALUES never contain spaces. Two layers enforce
+    it: (1) the compiler rejects a Term whose value analyzes to more than
+    one token, so a space-bearing value can never be registered; (2) if one
+    ever reached the planner anyway, _jv_structs routes the whole query to
+    the python lane on ANY column (defense in depth — on fcol >= 64 the
+    atom would otherwise share a join key with an n-gram stream)."""
+    from elasticsearch_batch_percolator_spark.operators.percolate import (
+        _jv_structs,
+    )
+    from elasticsearch_batch_percolator_spark.plans.compiler import (
+        QueryParseError,
+    )
+
+    with pytest.raises(QueryParseError):
+        CompiledRegistry.from_rows([("sp", {"term": {"text": "the fast"}})])
+
+    reg = CompiledRegistry.from_rows([
+        ("sp", {"bool": {"must": [{"term": {"text": "kernel"}},
+                                  {"term": {"text": "merge"}}]}}),
+        ("ok", {"bool": {"must": [{"term": {"text": "merge"}},
+                                  {"term": {"text": "thread"}}]}}),
+    ])
+    atoms = dict(reg.jv_verify_atoms())
+    assert "sp" in atoms and "ok" in atoms  # both jv-eligible as written
+    # inject a space-bearing token atom past the compiler (layer-2 seam),
+    # on a column index >= _GRAM_FCOL_OFF where aliasing would bite
+    atoms["sp"] = (
+        (("t", "text", "the fast"), ("t", "text", "merge")),
+        (),
+    )
+    reg.jv_verify_atoms = lambda: atoms
+    specs, _, _, _ = _jv_structs(
+        reg, {"text": "text"}, {"text": 70}, set(), set(), ["text"]
+    )
+    assert "sp" not in specs  # routed to the python lane
+    assert "ok" in specs  # non-vacuous: clean siblings stay jv
