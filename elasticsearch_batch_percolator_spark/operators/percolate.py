@@ -837,25 +837,33 @@ def percolate(
     if "col_df" in art:
         col_df = art["col_df"]
         term_df = art["term_df"]
-        lit_rows, pat_rows = art["gate_rows"]
+        lit_pdf, pat_pdf = art["gate_pdfs"]
     else:
-        involved_set = {
-            (col_idx[resolve[f]], v)
-            for q in registry.queries.values()
-            if q.groups
-            for g in q.groups
-            for kind, f, v in g
-            if kind == "t" and f in resolve
-        }
+        # stats-probe vocabulary from the registry's flat gate-group table
+        # (cached per version; the per-query python set comprehension
+        # measured ~10s of driver time at a 10^6-query registry)
+        _, fg_tbl = registry.flat_groups()
+        if len(fg_tbl):
+            fcol_of = {f: col_idx[tc] for f, tc in resolve.items() if tc in col_idx}
+            inv = fg_tbl[fg_tbl["kind"] == "t"]
+            inv = inv.assign(fcol=inv["field"].map(fcol_of))
+            inv = inv.dropna(subset=["fcol"])[["fcol", "value"]].drop_duplicates()
+            involved_pairs = set(
+                zip(inv["fcol"].astype(int), inv["value"])
+            )
+        else:
+            involved_pairs = set()
         # forbidden atoms of join-verify candidates aren't gate-group
         # members — add their words to the stats probe so the volume
         # estimate covers them
-        involved_set |= jv_probe_terms
-        involved = sorted(involved_set)
+        involved_pairs |= jv_probe_terms
+        involved = sorted(involved_pairs)
         term_df = {}
         col_df = {}
         if involved:
-            inv_df = spark.createDataFrame(involved, "fcol tinyint, term string")
+            ipdf = pd.DataFrame(involved, columns=["fcol", "term"])
+            ipdf["fcol"] = ipdf["fcol"].astype("int8")
+            inv_df = spark.createDataFrame(ipdf, "fcol tinyint, term string")
             col_df = {
                 (int(r["fcol"]), r["term"]): int(r["df"])
                 for r in batch_terms.join(F.broadcast(inv_df), ["fcol", "term"])
@@ -873,10 +881,17 @@ def percolate(
                 for (ci, t) in col_df
                 if ci == col_idx[tc]
             }
-        lit_rows, pat_rows = registry.gates(term_df)
+        if term_df:
+            tdf_pdf = pd.DataFrame(
+                [(f, v, d) for (f, v), d in term_df.items()],
+                columns=["field", "value", "df"],
+            )
+        else:
+            tdf_pdf = None
+        lit_pdf, pat_pdf = registry.gates_pdf(tdf_pdf)
         _prof('stats probe + gates')
         art["col_df"], art["term_df"] = col_df, term_df
-        art["gate_rows"] = (lit_rows, pat_rows)
+        art["gate_pdfs"] = (lit_pdf, pat_pdf)
         # exact hit-volume of jv "w" pattern atoms: rows of batch_terms
         # matching each pattern (the join the lane would actually pay).
         # One LIKE-join job on the persisted explode, cached per registry.
@@ -987,10 +1002,14 @@ def percolate(
         est_q = {
             q: sum(_atom_df(*a) for a in s[2]) for q, s in jv_specs.items()
         }
-        gate_df_q: dict[str, int] = {}
-        for q, f, t in lit_rows:
-            if q in jv_specs:
-                gate_df_q[q] = gate_df_q.get(q, 0) + term_df.get((f, t), 0)
+        if len(lit_pdf):
+            ldf = lit_pdf[lit_pdf["query_id"].isin(jv_specs.keys())]
+            ldf = ldf.assign(
+                df=[term_df.get((f, t), 0) for f, t in zip(ldf["field"], ldf["term"])]
+            )
+            gate_df_q = ldf.groupby("query_id")["df"].sum().to_dict()
+        else:
+            gate_df_q = {}
         total_est = sum(est_q.values())
         if jv_mode == "force":
             take = set(jv_specs)
@@ -1089,27 +1108,31 @@ def percolate(
     # queries skip phase 1 entirely — their lane is exact on its own, so
     # their gate rows would only inflate the candidate dedup shuffle.
     if "gates_sdf" not in art:
-        lit_mapped = [
-            (q, col_idx[resolve[f]], t)
-            for q, f, t in lit_rows
-            if f in resolve and q not in jv_qids
-        ]
-        pat_mapped = [
-            (q, col_idx[resolve[f]], p)
-            for q, f, p in pat_rows
-            if f in resolve and q not in jv_qids
-        ]
-        if lit_mapped:
-            gpdf = pd.DataFrame(lit_mapped, columns=["query_id", "fcol", "term"])
-            gpdf["fcol"] = gpdf["fcol"].astype("int8")
+        fcol_of = {f: col_idx[tc] for f, tc in resolve.items() if tc in col_idx}
+
+        def _map_gate_pdf(src: "pd.DataFrame", val_col: str) -> "pd.DataFrame":
+            if not len(src):
+                return src
+            out = src[~src["query_id"].isin(jv_qids)] if jv_qids else src
+            out = out.assign(fcol=out["field"].map(fcol_of))
+            out = out.dropna(subset=["fcol"])
+            return pd.DataFrame(
+                {
+                    "query_id": out["query_id"].to_numpy(),
+                    "fcol": out["fcol"].to_numpy(dtype="int8"),
+                    val_col: out[val_col].to_numpy(),
+                }
+            )
+
+        gpdf = _map_gate_pdf(lit_pdf, "term")
+        if len(gpdf):
             art["gates_sdf"] = spark.createDataFrame(
                 gpdf, "query_id string, fcol tinyint, term string"
             )
         else:
             art["gates_sdf"] = None
-        if pat_mapped:
-            ppdf = pd.DataFrame(pat_mapped, columns=["query_id", "fcol", "pattern"])
-            ppdf["fcol"] = ppdf["fcol"].astype("int8")
+        ppdf = _map_gate_pdf(pat_pdf, "pattern")
+        if len(ppdf):
             art["patterns_sdf"] = spark.createDataFrame(
                 ppdf, "query_id string, fcol tinyint, pattern string"
             )

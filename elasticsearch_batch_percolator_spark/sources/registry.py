@@ -398,37 +398,124 @@ class CompiledRegistry:
         self.version += 1
         self.queries.pop(query_id, None)
 
-    # ---- Spark-side tables for the set-oriented phase-1 join ------------
+    # ---- flat gate-group table (vectorized planner inputs) --------------
 
-    def literal_pairs(self, spark: SparkSession) -> DataFrame:
-        """(query_id, group_id, field, term) for literal group members."""
-        rows = []
+    def flat_groups(self):
+        """Flat atom table over every filterable query's gate groups,
+        cached per registry version: ``(qid_arr, tbl)`` where ``tbl`` is a
+        pandas DataFrame (qix int32, gi int16, kind str, field str,
+        value str) in registration × group × member order and ``qid_arr``
+        maps qix → query_id. One tight pass per registry version; the
+        per-batch planner work on top of it (gate choice, stats-probe
+        vocabulary, gate-table assembly) is pure pandas — at a 10^6-query
+        registry the per-query python ``min()`` formulation of gate choice
+        alone measured ~100s on the driver, the vectorized path seconds."""
+        import numpy as np
+        import pandas as _pd
+
+        cached = getattr(self, "_flat_groups_cache", None)
+        if cached is not None and cached[0] == self.version:
+            return cached[1]
+        qids: list[str] = []
+        qixs: list[int] = []
+        gis: list[int] = []
+        kinds: list[str] = []
+        flds: list[str] = []
+        vals: list[str] = []
+        qix = 0
         for q in self.queries.values():
-            if q.groups is None or q.match_none:
+            if q.match_none or q.groups is None or len(q.groups) == 0:
                 continue
-            for gid, group in enumerate(q.groups):
-                for kind, fld, val in group:
-                    if kind == "t":
-                        rows.append((q.query_id, gid, fld, val))
-        return spark.createDataFrame(
-            rows, "query_id string, group_id int, field string, term string"
+            for gi, group in enumerate(q.groups):
+                for kind, f, v in group:
+                    qixs.append(qix)
+                    gis.append(gi)
+                    kinds.append(kind)
+                    flds.append(f)
+                    vals.append(v)
+            qids.append(q.query_id)
+            qix += 1
+        tbl = _pd.DataFrame(
+            {
+                "qix": np.asarray(qixs, dtype=np.int32),
+                "gi": np.asarray(gis, dtype=np.int16),
+                "kind": kinds,
+                "field": flds,
+                "value": vals,
+            }
         )
+        out = (np.asarray(qids, dtype=object), tbl)
+        self._flat_groups_cache = (self.version, out)
+        return out
 
-    def pattern_pairs(self, spark: SparkSession) -> DataFrame:
-        """(query_id, group_id, field, like_pattern) for wildcard members."""
+    def gates_pdf(self, term_df_pdf=None):
+        """Vectorized gate choice — identical semantics to ``gates()``
+        (one gate group per filterable query: the literal-only group with
+        the lowest summed batch df, first-in-order on ties; a query with
+        no literal-only group gates on its smallest group, whose wildcard
+        members expand against the batch dictionary downstream).
+
+        ``term_df_pdf``: pandas DataFrame (field, value, df) of batch
+        document frequencies; absent terms count 0. Returns
+        ``(lit_pdf, pat_pdf)``: pandas DataFrames (query_id, field, term)
+        and (query_id, field, pattern)."""
+        import numpy as np
+        import pandas as _pd
+
         from ..operators.match import wildcard_to_like
 
-        rows = []
-        for q in self.queries.values():
-            if q.groups is None or q.match_none:
-                continue
-            for gid, group in enumerate(q.groups):
-                for kind, fld, val in group:
-                    if kind == "w":
-                        rows.append((q.query_id, gid, fld, wildcard_to_like(val)))
-        return spark.createDataFrame(
-            rows, "query_id string, group_id int, field string, pattern string"
+        qid_arr, tbl = self.flat_groups()
+        empty_lit = _pd.DataFrame(
+            {"query_id": [], "field": [], "term": []}, dtype=object
         )
+        empty_pat = _pd.DataFrame(
+            {"query_id": [], "field": [], "pattern": []}, dtype=object
+        )
+        if tbl.empty:
+            return empty_lit, empty_pat
+        t = tbl
+        is_t = (t["kind"].to_numpy() == "t")
+        if term_df_pdf is not None and len(term_df_pdf):
+            m = t.merge(term_df_pdf, on=["field", "value"], how="left")
+            adf = m["df"].fillna(0).to_numpy(dtype=np.int64)
+        else:
+            adf = np.zeros(len(t), dtype=np.int64)
+        g = _pd.DataFrame(
+            {
+                "qix": t["qix"],
+                "gi": t["gi"],
+                "nonlit": (~is_t).astype(np.int32),
+                "score": np.where(is_t, adf, 0),
+            }
+        )
+        agg = g.groupby(["qix", "gi"], sort=True).agg(
+            n=("nonlit", "size"), nonlit=("nonlit", "sum"), score=("score", "sum")
+        ).reset_index()
+        lit_g = agg[agg["nonlit"] == 0]
+        # first minimal in gi order == gates()' min() tie-break (agg is
+        # sorted (qix, gi), idxmin keeps the first occurrence)
+        best_lit = lit_g.loc[lit_g.groupby("qix")["score"].idxmin(), ["qix", "gi"]]
+        rest = agg[~agg["qix"].isin(best_lit["qix"])]
+        best_sz = rest.loc[rest.groupby("qix")["n"].idxmin(), ["qix", "gi"]]
+        chosen = _pd.concat([best_lit, best_sz], ignore_index=True)
+        sel = t.merge(chosen, on=["qix", "gi"])
+        sel = sel.assign(query_id=qid_arr[sel["qix"].to_numpy()])
+        lit = sel[sel["kind"] == "t"]
+        pat = sel[sel["kind"] != "t"]
+        lit_pdf = lit[["query_id", "field", "value"]].rename(
+            columns={"value": "term"}
+        )
+        if len(pat):
+            pat_pdf = _pd.DataFrame(
+                {
+                    "query_id": pat["query_id"].to_numpy(),
+                    "field": pat["field"].to_numpy(),
+                    "pattern": [wildcard_to_like(v) for v in pat["value"]],
+                }
+            )
+        else:
+            pat_pdf = empty_pat
+        return lit_pdf.reset_index(drop=True), pat_pdf
 
     def query_fields(self) -> set[str]:
         """Every document field any registered query references."""
@@ -498,37 +585,28 @@ class CompiledRegistry:
         no literal-only group gates on a pattern group (expanded against the
         batch term dictionary downstream).
 
-        ``term_df`` is keyed by (field, term). Returns (literal_gates,
-        pattern_gates): literal_gates = [(query_id, field, term)],
-        pattern_gates = [(query_id, field, like_pattern)].
-        """
-        from ..operators.match import wildcard_to_like
+        ``term_df`` is keyed by (field, term); absent-from-batch terms have
+        df=0 — gating on them is optimal (zero candidates, correctly).
+        Returns (literal_gates, pattern_gates): literal_gates =
+        [(query_id, field, term)], pattern_gates = [(query_id, field,
+        like_pattern)]. Tuple-building wrapper over the vectorized
+        ``gates_pdf`` (one python loop per registered query measured ~100s
+        at a 10^6-query registry)."""
+        import pandas as _pd
 
-        term_df = term_df or {}
-        lit_rows: list[tuple[str, str, str]] = []
-        pat_rows: list[tuple[str, str, str]] = []
-        for q in self.queries.values():
-            if q.match_none or q.groups is None or len(q.groups) == 0:
-                continue
-            literal_groups = [
-                g for g in q.groups if all(kind == "t" for kind, _, _ in g)
-            ]
-            if literal_groups:
-                # absent-from-batch terms have df=0: gating on them is
-                # optimal (zero candidates, correctly)
-                gate = min(
-                    literal_groups,
-                    key=lambda g: sum(term_df.get((f, v), 0) for _, f, v in g),
-                )
-                lit_rows.extend((q.query_id, f, v) for _, f, v in gate)
-            else:
-                # fewest members ~ cheapest expansion
-                gate = min(q.groups, key=len)
-                for kind, f, v in gate:
-                    if kind == "t":
-                        lit_rows.append((q.query_id, f, v))
-                    else:
-                        pat_rows.append((q.query_id, f, wildcard_to_like(v)))
+        tdf_pdf = None
+        if term_df:
+            tdf_pdf = _pd.DataFrame(
+                [(f, v, d) for (f, v), d in term_df.items()],
+                columns=["field", "value", "df"],
+            )
+        lit_pdf, pat_pdf = self.gates_pdf(tdf_pdf)
+        lit_rows = list(
+            zip(lit_pdf["query_id"], lit_pdf["field"], lit_pdf["term"])
+        )
+        pat_rows = list(
+            zip(pat_pdf["query_id"], pat_pdf["field"], pat_pdf["pattern"])
+        )
         return lit_rows, pat_rows
 
 
