@@ -528,15 +528,6 @@ class CompiledRegistry:
             )
         return out
 
-    def group_counts(self, spark: SparkSession) -> DataFrame:
-        """(query_id, n_groups) for filterable queries with >=1 group."""
-        rows = [
-            (q.query_id, len(q.groups))
-            for q in self.queries.values()
-            if q.groups and not q.match_none
-        ]
-        return spark.createDataFrame(rows, "query_id string, n_groups int")
-
     def all_docs_query_ids(self) -> list[str]:
         """Queries that are candidates for EVERY doc: unfilterable (approx
         absent — reference Optional.absent) or zero-constraint (match_all)."""
