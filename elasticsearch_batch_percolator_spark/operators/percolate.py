@@ -71,6 +71,36 @@ from .match import match_col
 # tokenizer-produced term).
 _GRAM_FCOL_OFF = 64
 
+# Worker-process cache of the UNPICKLED verify broadcast + its compiled-
+# predicate memo, keyed by (applicationId, verify-broadcast token) — the
+# token is a driver-process-unique sequence minted per broadcast build
+# (registry.verify_bc_token()); raw ``version`` would alias across distinct
+# registries (it is len(queries) on load) and serve the wrong plans (see
+# test_worker_verify_cache_no_alias_across_registries). PySpark's own
+# per-worker broadcast value cache is unreliable across tasks (the JVM
+# re-ships broadcast metadata to reused workers and the python-side seen-set
+# is weakly held), which drops the cached value and re-unpickles it —
+# measured at a 10^6-query registry: ~110s PER TASK per worker with 32
+# workers allocating ~800MB of small objects concurrently (kernel-bound page
+# allocation), paid again on later batches, i.e. the entire cold-start cliff
+# of the 1M-query study in BASELINE.md.
+#
+# IMPORTANT: this dict must be resolved via a RUNTIME IMPORT inside the UDF
+# (``import ...percolate as _pm; _pm._WORKER_VERIFY_CACHE``), never by
+# closing over the name — cloudpickle serializes nested UDF closures by
+# value, so a closed-over module global becomes a fresh per-task copy and
+# the cache silently never hits (measured: memo0 == 0 on every task). The
+# runtime import resolves to the worker process's real module instance,
+# which survives for the worker's lifetime (spark.python.worker.reuse), so
+# the unpickle and every lazily compiled predicate are paid ONCE per worker
+# per registry version regardless of how pyspark shuffles its Broadcast
+# handles. Requires the package importable on workers (true in local mode
+# and under ``spark-submit --py-files``, the shipping config); if the import
+# fails the UDF degrades to a per-task cache — correct, just cold.
+# Capped at 2 entries so a registry hot-swap (version bump → new key)
+# releases the old value instead of accumulating.
+_WORKER_VERIFY_CACHE: dict = {}
+
 
 def _jv_structs(
     registry: CompiledRegistry,
@@ -1314,14 +1344,40 @@ def percolate(
         # only candidate qids are ever looked up) so its multi-second pickle
         # is paid once per registry, not once per batch.
         bc_plans = registry.broadcast_verify_plans(spark)
-        memo: dict = {}
+        # keyed by the broadcast's own process-unique token, NOT
+        # registry.version: version is per-registry (len(queries) on load)
+        # so two registries in one app can alias and the worker cache
+        # would serve registry A's plans to registry B's batch.
+        _bc_key = (spark.sparkContext.applicationId, registry.verify_bc_token())
 
-        def _pred(qid):
+        def _bc_state():
+            # worker-side: unpickled broadcast value + predicate memo,
+            # process-persistent. The cache dict MUST come from a runtime
+            # import (see _WORKER_VERIFY_CACHE above) — closing over it
+            # would hand every task a private copy.
+            try:
+                from elasticsearch_batch_percolator_spark.operators import (
+                    percolate as _pm,
+                )
+
+                cache = _pm._WORKER_VERIFY_CACHE
+            except ImportError:  # package not shipped: per-task fallback
+                cache = _WORKER_VERIFY_CACHE
+            st = cache.get(_bc_key)
+            if st is None:
+                val = bc_plans.value
+                while len(cache) >= 2:
+                    cache.pop(next(iter(cache)))
+                st = (val, {})
+                cache[_bc_key] = st
+            return st
+
+        def _pred(qid, plans, memo):
             import pickle
 
             p = memo.get(qid)
             if p is None:
-                blob = bc_plans.value["plans"].get(qid)
+                blob = plans.get(qid)
                 if blob is None:
                     return None
                 p = compile_predicate_fields(pickle.loads(blob))
@@ -1338,10 +1394,25 @@ def percolate(
         _EMPTY = ([], frozenset())
         nested_idx = {i for i, tc in enumerate(tok_cols) if tc in nested_cols}
         scalar_idx = {i for i, tc in enumerate(tok_cols) if tc in scalar_cols}
+        # worker-side attribution (EBP_PROF_WORKER=1): one JSON line per
+        # Arrow batch to /tmp/ebp_wprof_<pid>.jsonl — pairs, memo misses,
+        # time in broadcast load / memo compile / per-pair evaluation.
+        # Diagnosis hook for cold-vs-warm phase-2 behavior at very large
+        # registries; zero-cost when unset (captured at plan build).
+        _wprof = bool(os.environ.get("EBP_PROF_WORKER"))
 
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def verify_doc(qid_lists: pd.Series, *tok_series: pd.Series) -> pd.Series:
-            simple = bc_plans.value["simple"]
+            if _wprof:
+                import time as _t
+
+                _t0 = _t.perf_counter()
+            _val, memo = _bc_state()
+            simple = _val["simple"]
+            plans = _val["plans"]
+            if _wprof:
+                _t_bc = _t.perf_counter() - _t0
+                _m0 = len(memo)
             out = []
             for row in zip(qid_lists, *tok_series):
                 qids = row[0]
@@ -1396,12 +1467,31 @@ def percolate(
                             if ok:
                                 hit.append(qid)
                             continue
-                        p = _pred(qid)
+                        p = _pred(qid, plans, memo)
                         if p is not None and p(fmap):
                             hit.append(qid)
                     except Exception:
                         pass  # per-query error isolation (E10)
                 out.append(hit)
+            if _wprof:
+                import json as _json
+
+                with open(f"/tmp/ebp_wprof_{os.getpid()}.jsonl", "a") as fh:
+                    fh.write(
+                        _json.dumps(
+                            {
+                                "pid": os.getpid(),
+                                "wall": round(_t.perf_counter() - _t0, 3),
+                                "t_bc": round(_t_bc, 3),
+                                "docs": len(out),
+                                "pairs": int(sum(len(q) for q in qid_lists)),
+                                "hits": sum(len(h) for h in out),
+                                "memo0": _m0,
+                                "memo1": len(memo),
+                            }
+                        )
+                        + "\n"
+                    )
             return pd.Series(out)
 
         # when EVERY candidate-producing query is pythonic (the 10^5-registry

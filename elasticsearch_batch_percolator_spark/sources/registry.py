@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
+from itertools import count
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,6 +60,14 @@ from ..plans.query_plan import (
 # sentinel for "metadata not precomputed" (None is a meaningful value for
 # simple_req / jv_req: "plan is not expressible in that lane")
 _UNSET = "?"
+
+# driver-process-unique sequence for verify-plan broadcasts. ``version``
+# alone is NOT a safe worker-side cache key: it is per-registry (set to
+# len(queries) on load, bumped on mutation), so two registries in one
+# application routinely share a (app, version) pair and would collide in
+# the workers' _WORKER_VERIFY_CACHE, silently evaluating batch B against
+# registry A's plans. Each freshly built broadcast takes the next token.
+_BC_SEQ = count(1)
 
 
 class CompiledQuery:
@@ -236,8 +245,16 @@ class CompiledRegistry:
                     else pickle.dumps(cq.plan)
                 )
         bc = sc.broadcast({"simple": simple, "plans": plans})
-        self._bc_cache = (key, bc)
+        self._bc_cache = (key, bc, next(_BC_SEQ))
         return bc
+
+    def verify_bc_token(self) -> int:
+        """Process-unique token for the CURRENT verify broadcast — the
+        worker-side cache key component (see percolate._WORKER_VERIFY_CACHE).
+        Unlike ``version`` it can never alias across registries: it is drawn
+        from a module-level sequence each time a new broadcast is built, and
+        stays fixed while the cached broadcast is reused."""
+        return self._bc_cache[2]
 
     def warmup(
         self,

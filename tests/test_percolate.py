@@ -384,3 +384,106 @@ def test_bt_prune_equivalence(spark, monkeypatch):
     }
     assert capped == full
     assert getattr(reg_c, "_bt_prune_cache")[1] is None
+
+
+def test_worker_verify_cache_persists_across_tasks(spark):
+    """The per-worker unpickled-broadcast cache must be reachable through a
+    RUNTIME import, not a closed-over global: cloudpickle copies a nested
+    UDF's referenced globals by value, so a closed-over dict is a fresh
+    per-task copy and the ~110s/worker 10^6-registry unpickle (BASELINE.md
+    1M study) would be re-paid on every task. This pins the mechanism: the
+    worker-side imported module is the SAME object across tasks and jobs of
+    one application, so state written by task 1 is visible to task 2."""
+
+    sc = spark.sparkContext
+
+    def probe(_):
+        import os
+
+        from elasticsearch_batch_percolator_spark.operators import percolate as pm
+
+        key = "__test_cache_probe__"
+        pm._WORKER_VERIFY_CACHE[key] = pm._WORKER_VERIFY_CACHE.get(key, 0) + 1
+        yield (os.getpid(), pm._WORKER_VERIFY_CACHE[key])
+
+    try:
+        seen = []
+        # 2 jobs x 32 tasks over <= 8-ish workers: every worker runs the
+        # probe several times, within and across jobs
+        for _ in range(2):
+            seen += sc.parallelize(range(32), 32).mapPartitions(probe).collect()
+        by_pid = {}
+        for pid, count in seen:
+            by_pid.setdefault(pid, []).append(count)
+        # some worker was reused AND saw its own prior write (count >= 2)
+        assert any(max(v) >= 2 for v in by_pid.values()), by_pid
+        # counts grow monotonically within a pid: one shared module dict
+        for v in by_pid.values():
+            assert v == sorted(v)
+    finally:
+        # scrub the probe key from reused workers
+        def scrub(_):
+            from elasticsearch_batch_percolator_spark.operators import (
+                percolate as pm,
+            )
+
+            pm._WORKER_VERIFY_CACHE.pop("__test_cache_probe__", None)
+            yield 0
+
+        sc.parallelize(range(64), 64).mapPartitions(scrub).count()
+
+
+def test_worker_verify_cache_no_alias_across_registries(spark):
+    """Two DIFFERENT registries that share a ``version`` value (version is
+    len(queries) on load, so collisions are routine) must not alias in the
+    worker-side verify cache: each percolate must evaluate ITS OWN plans.
+    Regression for the (app, version) cache key that served registry A's
+    sloppy-phrase plans to registry B's batch, silently dropping matches
+    (caught by test_percolate_sloppy_out_of_order under the full suite)."""
+    from elasticsearch_batch_percolator_spark.operators.percolate import percolate
+    from elasticsearch_batch_percolator_spark.sources.registry import (
+        CompiledRegistry,
+    )
+
+    # both registries: 2 queries -> version == 2, identical qids, but the
+    # phrases differ. Sloppy phrases force the python verify lane (the one
+    # the worker cache backs).
+    reg_a = CompiledRegistry.from_rows(
+        [
+            ("q1", {"phrase": {"field": "content",
+                               "terms": ["red", "green"], "slop": 2}}),
+            ("q2", {"phrase": {"field": "content",
+                               "terms": ["red", "blue"], "slop": 2}}),
+        ]
+    )
+    reg_b = CompiledRegistry.from_rows(
+        [
+            ("q1", {"phrase": {"field": "content",
+                               "terms": ["cyan", "pink"], "slop": 2}}),
+            ("q2", {"phrase": {"field": "content",
+                               "terms": ["cyan", "gray"], "slop": 2}}),
+        ]
+    )
+    assert reg_a.version == reg_b.version
+
+    n = 64
+    docs_a = spark.createDataFrame(
+        [(i, "green red wall") for i in range(n)], "doc_id long, content string"
+    )
+    docs_b = spark.createDataFrame(
+        [(i, "pink cyan sky") for i in range(n)], "doc_id long, content string"
+    )
+    # 64 docs over 32 partitions in BOTH runs: essentially every reused
+    # worker first warms its cache with A's plans, then verifies B's docs —
+    # under an aliasing key, B's matches vanish on those workers.
+    got_a = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(spark, docs_a.repartition(32), reg_a).matches.collect()
+    }
+    got_b = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(spark, docs_b.repartition(32), reg_b).matches.collect()
+    }
+    assert got_a == {(i, "q1") for i in range(n)}
+    assert got_b == {(i, "q1") for i in range(n)}
+    assert reg_a.verify_bc_token() != reg_b.verify_bc_token()
