@@ -197,7 +197,7 @@ def highlight_map_col(
     # the registry keyed by (app, version, field layout) — per-batch /
     # streaming use would otherwise accumulate one full-programs broadcast
     # per micro-batch on driver and executors; a stale-keyed predecessor
-    # is destroyed when the registry or layout changes.
+    # is unpersisted when the registry or layout changes.
     session = SparkSession.getActiveSession()
     sc = session.sparkContext
     hl_key = (
@@ -213,7 +213,11 @@ def highlight_map_col(
         )
     if cached is not None:
         try:
-            cached[1].destroy()
+            # unpersist, NOT destroy: a Column returned from an earlier
+            # call (or a concurrent stream sharing this registry) may still
+            # reference the old broadcast — destroy() would fail its next
+            # task; unpersist frees executor copies and re-ships lazily
+            cached[1].unpersist()
         except Exception:
             pass
 
@@ -317,7 +321,8 @@ def highlight_col(
     else:
         if cached is not None:
             try:
-                cached[1].destroy()
+                # unpersist, not destroy — see highlight_map_col
+                cached[1].unpersist()
             except Exception:
                 pass
         terms_by_q = {

@@ -367,22 +367,15 @@ def _ngram_stream(
     stream alloc'd ~50M strings per batch only for the broadcast join to
     drop ~97% of them, pure memory-bus traffic (the scaling ceiling on a
     shared-bus box)."""
+    starts = f"sequence(1, size({tc}) - {n - 1})"
     if first_words:
         lits = ", ".join(_sql_str(w) for w in sorted(first_words))
-        ng = (
-            f"case when size({tc}) >= {n} then "
-            f"transform(filter(sequence(1, size({tc}) - {n - 1}), "
-            f"i -> element_at({tc}, i) IN ({lits})), "
-            f"i -> array_join(slice({tc}, i, {n}), ' ')) "
-            f"else array() end"
-        )
-    else:
-        ng = (
-            f"case when size({tc}) >= {n} then "
-            f"transform(sequence(1, size({tc}) - {n - 1}), "
-            f"i -> array_join(slice({tc}, i, {n}), ' ')) "
-            f"else array() end"
-        )
+        starts = f"filter({starts}, i -> element_at({tc}, i) IN ({lits}))"
+    ng = (
+        f"case when size({tc}) >= {n} then "
+        f"transform({starts}, i -> array_join(slice({tc}, i, {n}), ' ')) "
+        f"else array() end"
+    )
     return batch.select(
         "doc_id",
         F.lit(fcb).cast("smallint").alias("fcol"),

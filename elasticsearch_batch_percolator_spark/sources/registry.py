@@ -339,15 +339,23 @@ class CompiledRegistry:
         on the driver and ships ONE pickled list of CompiledQuery back
         (mapInPandas/Arrow); the driver only unpickles and assembles the
         dict — equality with driver compilation is test-asserted. "auto"
-        goes distributed when Spark reports a partitioned/large input
-        (recovery-scale), serial for small interactive registries.
+        goes distributed only for genuinely large inputs: partitioned AND
+        ≥ EBP_DIST_COMPILE_MIN rows (default 20,000 — below that the
+        serial compile is ~1s and avoids both the executor round-trip and
+        any dependence on the package being shipped to executors, e.g. a
+        recovery load on a session launched without --py-files).
         """
+        import os
         import pickle
 
         import pandas as _pd
 
         if distributed == "auto":
-            distributed = queries_df.rdd.getNumPartitions() > 1
+            distributed = (
+                queries_df.rdd.getNumPartitions() > 1
+                and queries_df.count()
+                >= int(os.environ.get("EBP_DIST_COMPILE_MIN", "20000"))
+            )
 
         if not distributed:
             rows = queries_df.select("query_id", "query_json").collect()

@@ -39,11 +39,23 @@ the conjunction check.
 
 from __future__ import annotations
 
+from itertools import count
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.query_plan import Term
-from ..sources.registry import CompiledRegistry, _jv_requirements
+from ..sources.registry import CompiledRegistry, _UNSET, _jv_requirements
+
+# Worker-process cache for the hybrid lane's compiled predicates, same
+# mechanism as percolate._WORKER_VERIFY_CACHE: reached via RUNTIME import
+# inside the UDF (a closure-captured dict is copied per task by
+# cloudpickle and never hits), keyed by (applicationId, plan-unique
+# token), capped at 2 entries. Without it a long-lived stream re-unpickles
+# and re-compiles every unsupported query's predicate in EVERY task of
+# EVERY micro-batch.
+_WORKER_UNSUP_CACHE: dict = {}
+_UNSUP_SEQ = count(1)
 
 
 def _ngrams_expr(n: int) -> str:
@@ -77,8 +89,6 @@ def _specs(
         # blob-backed registries precompute jv_req on the executors —
         # avoid unpickling the plan tree here (_jv_requirements covers
         # the bare-Term shortcut too: a Term is a single "t" atom)
-        from ..sources.registry import _UNSET
-
         if cq.jv_req is not _UNSET:
             req = cq.jv_req
         else:
@@ -243,17 +253,38 @@ def windowed_match_counts(
 
         blobs = {qid: _blob(registry.queries[qid]) for qid in unsupported}
         bc_plans = spark.sparkContext.broadcast(blobs)
-
-        memo: dict = {}  # per-worker predicate cache (closure-captured)
+        # process-persistent worker cache key (see _WORKER_UNSUP_CACHE):
+        # the plan (and its broadcast) is built once per stream, so the
+        # token is stable across every task and micro-batch of the stream
+        _ck = (spark.sparkContext.applicationId, next(_UNSUP_SEQ))
 
         # NB: no pd.Series annotations — pandas is function-local here and
         # pandas_udf resolves annotation strings at definition time
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def eval_unsup(tok_s):
+            # the cache dict MUST be resolved via runtime import — closing
+            # over _WORKER_UNSUP_CACHE would copy it per task (the memo
+            # would never hit across tasks/micro-batches)
+            try:
+                from elasticsearch_batch_percolator_spark.streaming import (
+                    windowed as _wm,
+                )
+
+                cache = _wm._WORKER_UNSUP_CACHE
+            except ImportError:  # package not shipped: per-task fallback
+                cache = _WORKER_UNSUP_CACHE
+            st = cache.get(_ck)
+            if st is None:
+                while len(cache) >= 2:
+                    cache.pop(next(iter(cache)))
+                st = (bc_plans.value, {})
+                cache[_ck] = st
+            plans, memo = st
+
             def pred_of(qid):
                 p = memo.get(qid)
                 if p is None:
-                    blob, flds = bc_plans.value[qid]
+                    blob, flds = plans[qid]
                     p = (compile_predicate_fields(pickle.loads(blob)), flds)
                     memo[qid] = p
                 return p
@@ -263,7 +294,7 @@ def windowed_match_counts(
                 tl = list(toks) if toks is not None else []
                 view = (tl, set(tl))
                 hit = []
-                for qid in bc_plans.value:
+                for qid in plans:
                     try:
                         p, flds = pred_of(qid)
                         if p({f: view for f in flds}):

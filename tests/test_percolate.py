@@ -487,3 +487,29 @@ def test_worker_verify_cache_no_alias_across_registries(spark):
     assert got_a == {(i, "q1") for i in range(n)}
     assert got_b == {(i, "q1") for i in range(n)}
     assert reg_a.verify_bc_token() != reg_b.verify_bc_token()
+
+
+def test_from_df_auto_small_stays_serial(spark, monkeypatch):
+    """distributed='auto' must consider SIZE, not just partition count: a
+    small registry parquet that Spark happens to read as several splits
+    (the load_registry recovery path) should compile serially on the
+    driver — no executor round-trip, no dependence on the package being
+    shipped to executors (a session without --py-files)."""
+    import json
+
+    from elasticsearch_batch_percolator_spark.sources import registry as regmod
+
+    calls = {}
+    orig = regmod.CompiledRegistry.from_rows.__func__
+
+    def spy(cls, rows):
+        calls["serial"] = True
+        return orig(cls, rows)
+
+    monkeypatch.setattr(regmod.CompiledRegistry, "from_rows", classmethod(spy))
+    qdf = spark.createDataFrame(
+        [(f"q{i}", json.dumps({"term": {"content": "x"}})) for i in range(10)],
+        "query_id string, query_json string",
+    ).repartition(4)
+    reg = regmod.CompiledRegistry.from_df(qdf)
+    assert calls.get("serial") and len(reg) == 10
