@@ -172,15 +172,25 @@ def main() -> None:
     stages: dict[str, float] = {}
     if n_synth:
         synth_idx = tempfile.mkdtemp(prefix="ebp_bench_synth_")
-        corpus = synth_corpus(spark, n_synth, partitions=CPUS * 4).select(
-            "doc_id", tokenize_code("content").alias("tokens")
+        # corpus MATERIALIZED before timing, same principle as synth_batch
+        # below: input arrival (parquet scan on a cluster) isn't the index
+        # operator's cost. Un-persisted, the lazy synthetic generator +
+        # tokenizer re-ran INSIDE build_index twice per rep (stats scan +
+        # encode scan), so the timing was dominated by corpus generation
+        # and its run-to-run host-contention noise, not by indexing.
+        corpus = (
+            synth_corpus(spark, n_synth, partitions=CPUS * 4)
+            .select("doc_id", tokenize_code("content").alias("tokens"))
+            .persist()
         )
+        corpus.count()
 
         def run_synth_build():
             shutil.rmtree(synth_idx, ignore_errors=True)
             build_index(spark, corpus, synth_idx, n_segments=CPUS * 4)
 
         timeit("synth_index_build", run_synth_build)
+        corpus.unpersist()
 
         timeit(
             "synth_wand_batch100",
