@@ -102,6 +102,92 @@ _GRAM_FCOL_OFF = 64
 _WORKER_VERIFY_CACHE: dict = {}
 
 
+def _sdecode(c: dict, i: int) -> tuple:
+    """Decode simple-lane row ``i`` of the COLUMNAR verify broadcast back
+    into (need, forbid) — each a tuple of (field, term) — exactly the shape
+    ``_simple_required`` produced driver-side (see
+    registry.broadcast_verify_plans: the columnar form exists so workers
+    unpickle buffers, not 10^6 dicts-of-tuples). Decoded lazily per
+    CANDIDATE qid and memoized: a worker only ever pays for queries the
+    gate actually proposed."""
+    flds = c["fields"]
+    out = []
+    for off, farr, tbuf, toff in (
+        (c["need_off"], c["need_f"], c["need_t"], c["need_t_off"]),
+        (c["forb_off"], c["forb_f"], c["forb_t"], c["forb_t_off"]),
+    ):
+        a, b = int(off[i]), int(off[i + 1])
+        out.append(
+            tuple(
+                (flds[farr[j]], tbuf[toff[j] : toff[j + 1]].decode())
+                for j in range(a, b)
+            )
+        )
+    return (out[0], out[1])
+
+
+def _atom_df(fc: int, kind: str, v: str, col_df: dict, jv_pat_df: dict) -> int:
+    """Ungated hit-volume estimate of ONE jv atom against the batch stats.
+    Reference implementation — ``_est_q`` below is the flat inlined form
+    used in the plan build (equivalence-tested, test_join_verify.py)."""
+    from .match import wildcard_to_like
+
+    if kind == "w":
+        # exact probed hit volume of the expanded pattern
+        return jv_pat_df.get((fc, wildcard_to_like(v)), 0)
+    if kind.startswith("wg"):
+        # wildcard-phrase bound: min unigram df over the LITERAL
+        # positions (the pattern position is unconstrained)
+        lits = [w for w in v.split(" ") if not w.startswith("\x01")]
+        return min(col_df.get((fc, w), 0) for w in lits)
+    if kind != "t":
+        n = int(kind[1:])
+        exact = col_df.get((fc + _GRAM_FCOL_OFF * (n - 1), v))
+        if exact is not None:
+            return exact
+        # probe skipped: min-unigram bound over the gram's words
+        return min(col_df.get((fc, w), 0) for w in v.split(" "))
+    return col_df.get((fc, v), 0)
+
+
+def _est_q(jv_specs: dict, col_df: dict, jv_pat_df: dict) -> dict:
+    """Per-query ungated hit-volume estimates for the jv lane decision:
+    sum of ``_atom_df`` over each query's atoms, as ONE flat inlined pass.
+    At a 10^6-query registry the per-atom function-call + genexpr form
+    (`sum(_atom_df(*a) ...)` per query) measured ~13s of one-time driver
+    CPU; inlining the branches and hoisting the dict lookups runs the same
+    arithmetic in a fraction of it. Semantics pinned by
+    test_join_verify.py::test_est_q_equals_atom_df_reference."""
+    from .match import wildcard_to_like
+
+    cget = col_df.get
+    pget = jv_pat_df.get
+    off = _GRAM_FCOL_OFF
+    out: dict[str, int] = {}
+    for q, s in jv_specs.items():
+        tot = 0
+        for fc, kind, v in s[2]:
+            if kind == "t":
+                tot += cget((fc, v), 0)
+            elif kind == "w":
+                tot += pget((fc, wildcard_to_like(v)), 0)
+            elif kind[0] == "w":  # "wg<n>"
+                tot += min(
+                    cget((fc, w), 0)
+                    for w in v.split(" ")
+                    if not w.startswith("\x01")
+                )
+            else:  # "g<n>"
+                exact = cget((fc + off * (int(kind[1:]) - 1), v))
+                tot += (
+                    exact
+                    if exact is not None
+                    else min(cget((fc, w), 0) for w in v.split(" "))
+                )
+        out[q] = tot
+    return out
+
+
 def _jv_structs(
     registry: CompiledRegistry,
     resolve: dict,
@@ -989,26 +1075,6 @@ def percolate(
             fce = fc + _GRAM_FCOL_OFF * (n - 1)
             col_df[(fce, v)] = probed.get((fce, v), 0)
 
-    def _atom_df(fc: int, kind: str, v: str) -> int:
-        from .match import wildcard_to_like
-
-        if kind == "w":
-            # exact probed hit volume of the expanded pattern
-            return art.get("jv_pat_df", {}).get((fc, wildcard_to_like(v)), 0)
-        if kind.startswith("wg"):
-            # wildcard-phrase bound: min unigram df over the LITERAL
-            # positions (the pattern position is unconstrained)
-            lits = [w for w in v.split(" ") if not w.startswith("\x01")]
-            return min(col_df.get((fc, w), 0) for w in lits)
-        if kind != "t":
-            n = int(kind[1:])
-            exact = col_df.get((fc + _GRAM_FCOL_OFF * (n - 1), v))
-            if exact is not None:
-                return exact
-            # probe skipped: min-unigram bound over the gram's words
-            return min(col_df.get((fc, w), 0) for w in v.split(" "))
-        return col_df.get((fc, v), 0)
-
     if jv_specs and "jv_take" in art:
         take = art["jv_take"]
     elif jv_specs:
@@ -1022,9 +1088,7 @@ def percolate(
         #   Level 2 — otherwise take each query whose own hit volume beats
         #   its gated candidate volume (phrases with rare bigrams, absent
         #   terms, ...); the rest keep the rarest-term gate + python lane.
-        est_q = {
-            q: sum(_atom_df(*a) for a in s[2]) for q, s in jv_specs.items()
-        }
+        est_q = _est_q(jv_specs, col_df, art.get("jv_pat_df", {}))
         if len(lit_pdf):
             ldf = lit_pdf[lit_pdf["query_id"].isin(jv_specs.keys())]
             ldf = ldf.assign(
@@ -1358,21 +1422,77 @@ def percolate(
                 cache = _WORKER_VERIFY_CACHE
             st = cache.get(_bc_key)
             if st is None:
+                _prof_bc = bool(os.environ.get("EBP_PROF_WORKER"))
+                if _prof_bc:
+                    import time as _bt
+
+                    _b0 = _bt.perf_counter()
                 val = bc_plans.value
+                if _prof_bc:
+                    _b_val = _bt.perf_counter() - _b0
+                # qid -> columnar row; built once per worker per registry
+                sidx = {q: i for i, q in enumerate(val["simple_cols"]["qids"])}
+                pidx = {q: i for i, q in enumerate(val["plan_cols"]["qids"])}
+                if _prof_bc:
+                    _b_idx = _bt.perf_counter() - _b0 - _b_val
+                    import json as _bj
+
+                    with open(f"/tmp/ebp_wprof_{os.getpid()}.jsonl", "a") as fh:
+                        fh.write(
+                            _bj.dumps(
+                                {
+                                    "pid": os.getpid(),
+                                    "bc_value_s": round(_b_val, 3),
+                                    "idx_build_s": round(_b_idx, 3),
+                                }
+                            )
+                            + "\n"
+                        )
                 while len(cache) >= 2:
                     cache.pop(next(iter(cache)))
-                st = (val, {})
+                # (value, compiled-plan memo, simple index). Simple-lane
+                # rows are NOT memoized as python tuples: materializing a
+                # decoded tuple per candidate qid re-creates, spread over
+                # the first batches, the very ~500MB-per-worker object
+                # graph the columnar form exists to avoid — measured as a
+                # 4-5x slowdown of the first two production batches at 1M
+                # queries (32 workers allocating concurrently). The verify
+                # UDF checks terms straight off the shared buffers instead
+                # (~2-3us per candidate pair, short-circuiting, zero
+                # persistent allocation).
+                st = (val, {}, sidx, pidx)
                 cache[_bc_key] = st
+                # Freeze the freshly built state out of the GC generations.
+                # The columnar broadcast leaves the worker's tracked-object
+                # count SMALL (buffers and strings aren't gc-tracked), so
+                # as the decode/predicate memos grow, CPython's gen2
+                # heuristic (pending > 25% of long-lived) fires full
+                # collections almost continuously over the growing graph —
+                # measured +100s per 20k-doc batch at a 10^6-query registry
+                # (the dict-form broadcast accidentally suppressed this:
+                # its one-burst unpickle pushed long-lived to ~5M objects).
+                # freeze() moves everything alive into the permanent
+                # generation so those scans stay proportional to NEW
+                # objects; the state is worker-lifetime anyway.
+                import gc
+
+                gc.freeze()
             return st
 
-        def _pred(qid, plans, memo):
+        def _pred(qid, pcols, pidx, memo):
+            # plan blobs live in ONE shared buffer (see
+            # broadcast_verify_plans): slice this qid's bytes out lazily —
+            # only candidate qids ever pay an unpickle + predicate compile,
+            # memoized per worker
             import pickle
 
             p = memo.get(qid)
             if p is None:
-                blob = plans.get(qid)
-                if blob is None:
+                i = pidx.get(qid)
+                if i is None:
                     return None
+                off = pcols["off"]
+                blob = pcols["buf"][off[i] : off[i + 1]]
                 p = compile_predicate_fields(pickle.loads(blob))
                 memo[qid] = p
             return p
@@ -1400,9 +1520,22 @@ def percolate(
                 import time as _t
 
                 _t0 = _t.perf_counter()
-            _val, memo = _bc_state()
-            simple = _val["simple"]
-            plans = _val["plans"]
+            import gc
+
+            _val, memo, sidx, pidx = _bc_state()
+            scols = _val["simple_cols"]
+            pcols = _val["plan_cols"]
+            # simple-lane buffers, bound locally for the hot loop
+            _flds = scols["fields"]
+            _noff = scols["need_off"]
+            _nf = scols["need_f"]
+            _nt = scols["need_t"]
+            _ntoff = scols["need_t_off"]
+            _foff = scols["forb_off"]
+            _ff = scols["forb_f"]
+            _ft = scols["forb_t"]
+            _ftoff = scols["forb_t_off"]
+            _g0 = len(memo)
             if _wprof:
                 _t_bc = _t.perf_counter() - _t0
                 _m0 = len(memo)
@@ -1439,33 +1572,51 @@ def percolate(
                 hit = []
                 for qid in qids:
                     try:
-                        req = simple.get(qid)
-                        if req is not None:
-                            # term-conjunction fast lane: set-containment
-                            # checks for required AND forbidden terms, no
-                            # closure compile
-                            need, forbid = req
+                        si = sidx.get(qid)
+                        if si is not None:
+                            # term-conjunction fast lane: containment
+                            # checks straight off the columnar buffers —
+                            # short-circuits on the first missing required
+                            # term, allocates nothing that outlives the
+                            # pair (no closure compile, no decoded memo)
                             ok = True
-                            for f, t in need:
-                                v = fmap.get(f, _EMPTY)
-                                if type(v) is not tuple or t not in v[1]:
+                            for j in range(_noff[si], _noff[si + 1]):
+                                v = fmap.get(_flds[_nf[j]], _EMPTY)
+                                if (
+                                    type(v) is not tuple
+                                    or _nt[_ntoff[j] : _ntoff[j + 1]].decode()
+                                    not in v[1]
+                                ):
                                     ok = False
                                     break
                             if ok:
-                                for f, t in forbid:
-                                    v = fmap.get(f, _EMPTY)
-                                    if type(v) is tuple and t in v[1]:
+                                for j in range(_foff[si], _foff[si + 1]):
+                                    v = fmap.get(_flds[_ff[j]], _EMPTY)
+                                    if (
+                                        type(v) is tuple
+                                        and _ft[_ftoff[j] : _ftoff[j + 1]].decode()
+                                        in v[1]
+                                    ):
                                         ok = False
                                         break
                             if ok:
                                 hit.append(qid)
                             continue
-                        p = _pred(qid, plans, memo)
+                        p = _pred(qid, pcols, pidx, memo)
                         if p is not None and p(fmap):
                             hit.append(qid)
                     except Exception:
                         pass  # per-query error isolation (E10)
                 out.append(hit)
+                if len(memo) - _g0 > 25000:
+                    # the memos grew a lot: freeze the new worker-lifetime
+                    # entries MID-CALL (a cold batch is one huge Arrow call
+                    # per worker — an end-of-call freeze would let gen2
+                    # churn over the growing graph the whole way through;
+                    # see the note in _bc_state). freeze() is list-merge
+                    # cheap, and the 25k step amortizes it to nothing.
+                    gc.freeze()
+                    _g0 = len(memo)
             if _wprof:
                 import json as _json
 

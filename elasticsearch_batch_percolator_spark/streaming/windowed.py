@@ -279,6 +279,13 @@ def windowed_match_counts(
                     cache.pop(next(iter(cache)))
                 st = (bc_plans.value, {})
                 cache[_ck] = st
+                # worker-lifetime state: freeze it out of the GC
+                # generations (see percolate._bc_state — a growing memo
+                # over a small tracked set otherwise fires near-continuous
+                # full gen2 collections)
+                import gc
+
+                gc.freeze()
             plans, memo = st
 
             def pred_of(qid):

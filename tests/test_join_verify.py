@@ -298,3 +298,69 @@ def test_space_bearing_term_value_rejected_and_guarded(spark):
     )
     assert "sp" not in specs  # routed to the python lane
     assert "ok" in specs  # non-vacuous: clean siblings stay jv
+
+
+def test_est_q_equals_atom_df_reference():
+    """The flat inlined jv cost-model pass (_est_q) must equal the per-atom
+    reference (_atom_df) over every atom kind: token, n-gram (with and
+    without an exact probe entry), wildcard, wildcard-gram — on randomized
+    stats dicts including absent keys."""
+    import random
+
+    from elasticsearch_batch_percolator_spark.operators.percolate import (
+        _GRAM_FCOL_OFF,
+        _atom_df,
+        _est_q,
+        _jv_structs,
+    )
+
+    rng = random.Random(20260818)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(300):
+        k = i % 5
+        if k == 0:
+            rows.append((f"q{i}", {"bool": {"must": [
+                {"term": {"content": t}} for t in rng.sample(vocab, 3)]}}))
+        elif k == 1:
+            rows.append((f"q{i}", {"phrase": {"field": "content",
+                         "terms": rng.sample(vocab, rng.randint(2, 3))}}))
+        elif k == 2:
+            rows.append((f"q{i}", {"bool": {
+                "must": [{"term": {"content": rng.choice(vocab)}}],
+                "must_not": [{"term": {"content": rng.choice(vocab)}}]}}))
+        elif k == 3:
+            rows.append((f"q{i}", {"wildcard": {"content": rng.choice(vocab)[:2] + "*"}}))
+        else:
+            rows.append((f"q{i}", {"wildcard_phrase": {"field": "content",
+                "producers": [{"term": {"content": rng.choice(vocab)}},
+                              {"wildcard": {"content": rng.choice(vocab)[:2] + "*"}}]}}))
+    reg = CompiledRegistry.from_rows(rows)
+    specs, _, gram_probe, _ = _jv_structs(
+        reg, {"content": "tokens"}, {"tokens": 0}, set(), set(), ["tokens"]
+    )
+    assert specs, "no jv-eligible queries — test is vacuous"
+    kinds = {k for s in specs.values() for _, k, _ in s[2]}
+    assert {"t"} < kinds, kinds  # several atom kinds exercised
+
+    # randomized stats: some keys present, some absent (df defaults to 0);
+    # HALF the gram atoms get an exact probed entry, half fall back to the
+    # min-unigram bound
+    col_df = {}
+    for w in vocab:
+        if rng.random() < 0.7:
+            col_df[(0, w)] = rng.randint(0, 500)
+    for j, (fc, n, v) in enumerate(sorted(gram_probe)):
+        if j % 2 == 0:
+            col_df[(fc + _GRAM_FCOL_OFF * (n - 1), v)] = rng.randint(0, 50)
+    jv_pat_df = {}
+    for s in specs.values():
+        for _qid, fc, n, _pre, like, _suf, _req in s[5]:
+            if rng.random() < 0.6:
+                jv_pat_df[(fc, like)] = rng.randint(0, 80)
+
+    expected = {
+        q: sum(_atom_df(fc, k, v, col_df, jv_pat_df) for fc, k, v in s[2])
+        for q, s in specs.items()
+    }
+    assert _est_q(specs, col_df, jv_pat_df) == expected

@@ -283,9 +283,26 @@ def test_distributed_registry_compile_equals_driver(spark):
     # the verify broadcast + jv atoms + field set assemble WITHOUT
     # unpickling any plan tree on the driver
     bc = dist.broadcast_verify_plans(qdf.sparkSession)
-    assert set(bc.value["simple"]) | set(bc.value["plans"]) == set(
-        dist.gate_verify_ids()
-    )
+    assert set(bc.value["simple_cols"]["qids"]) | set(
+        bc.value["plan_cols"]["qids"]
+    ) == set(dist.gate_verify_ids())
+    # the plan buffer slices back to per-query blobs that unpickle
+    import pickle as _pickle
+
+    pc = bc.value["plan_cols"]
+    for i, qid in enumerate(pc["qids"]):
+        blob = pc["buf"][pc["off"][i] : pc["off"][i + 1]]
+        # compare against the DRIVER-compiled twin: dereferencing dist's
+        # .plan here would materialize it and void the laziness assert below
+        assert _pickle.loads(blob).to_dict() == driver.queries[qid].plan.to_dict()
+    # columnar round-trip: every simple row decodes back to the driver's
+    # _simple_required tuples
+    from elasticsearch_batch_percolator_spark.operators.percolate import _sdecode
+
+    for i, qid in enumerate(bc.value["simple_cols"]["qids"]):
+        assert _sdecode(bc.value["simple_cols"], i) == _simple_required(
+            driver.queries[qid].plan
+        ), qid
     dist.jv_verify_atoms()
     assert dist.query_fields() == driver.query_fields()
     assert all(cq._plan is None for cq in dist.queries.values())
@@ -513,3 +530,26 @@ def test_from_df_auto_small_stays_serial(spark, monkeypatch):
     ).repartition(4)
     reg = regmod.CompiledRegistry.from_df(qdf)
     assert calls.get("serial") and len(reg) == 10
+
+
+def test_columnar_simple_lane_non_ascii_terms(spark):
+    """The columnar verify broadcast stores terms as ONE utf-8 buffer with
+    byte offsets; non-ASCII terms take the per-term-encode fallback (byte
+    length != char length). End-to-end percolation must round-trip them."""
+    reg = CompiledRegistry.from_rows(
+        [
+            ("uni", {"bool": {"must": [{"term": {"content": "héllo"}},
+                                        {"term": {"content": "wörld"}}]}}),
+            ("neg", {"bool": {"must": [{"term": {"content": "héllo"}}],
+                              "must_not": [{"term": {"content": "日本"}}]}}),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(1, "héllo wörld"), (2, "héllo 日本"), (3, "plain ascii")],
+        "doc_id long, content string",
+    )
+    got = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(spark, docs, reg).matches.collect()
+    }
+    assert got == {(1, "uni"), (1, "neg")}
