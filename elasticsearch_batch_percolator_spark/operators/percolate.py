@@ -1406,6 +1406,26 @@ def percolate(
         # so two registries in one app can alias and the worker cache
         # would serve registry A's plans to registry B's batch.
         _bc_key = (spark.sparkContext.applicationId, registry.verify_bc_token())
+        # query_id -> vid map (vid = unified verify row: simple rows 0..,
+        # then plan rows): candidates join it JVM-side (ONE broadcast hash
+        # table per executor) so no python worker ever builds a 10^6-entry
+        # qid dict or materializes 10^6 qid strings — that build measured
+        # ~47s/worker at 1M queries under 32-way allocation contention.
+        # Hit vids map back to query ids through the SAME DataFrame (the
+        # broadcast exchange is reused within the action).
+        s_qids, p_qids = registry.verify_qid_spaces()
+        _n_simple = len(s_qids)
+        if "vid_sdf" not in art:
+            vid_pdf = pd.DataFrame(
+                {
+                    "query_id": s_qids + p_qids,
+                    "vid": np.arange(_n_simple + len(p_qids), dtype=np.int32),
+                }
+            )
+            art["vid_sdf"] = spark.createDataFrame(
+                vid_pdf, "query_id string, vid int"
+            )
+        vid_sdf = art["vid_sdf"]
 
         def _bc_state():
             # worker-side: unpickled broadcast value + predicate memo,
@@ -1429,12 +1449,6 @@ def percolate(
                     _b0 = _bt.perf_counter()
                 val = bc_plans.value
                 if _prof_bc:
-                    _b_val = _bt.perf_counter() - _b0
-                # qid -> columnar row; built once per worker per registry
-                sidx = {q: i for i, q in enumerate(val["simple_cols"]["qids"])}
-                pidx = {q: i for i, q in enumerate(val["plan_cols"]["qids"])}
-                if _prof_bc:
-                    _b_idx = _bt.perf_counter() - _b0 - _b_val
                     import json as _bj
 
                     with open(f"/tmp/ebp_wprof_{os.getpid()}.jsonl", "a") as fh:
@@ -1442,25 +1456,28 @@ def percolate(
                             _bj.dumps(
                                 {
                                     "pid": os.getpid(),
-                                    "bc_value_s": round(_b_val, 3),
-                                    "idx_build_s": round(_b_idx, 3),
+                                    "bc_value_s": round(
+                                        _bt.perf_counter() - _b0, 3
+                                    ),
                                 }
                             )
                             + "\n"
                         )
                 while len(cache) >= 2:
                     cache.pop(next(iter(cache)))
-                # (value, compiled-plan memo, simple index). Simple-lane
-                # rows are NOT memoized as python tuples: materializing a
-                # decoded tuple per candidate qid re-creates, spread over
-                # the first batches, the very ~500MB-per-worker object
-                # graph the columnar form exists to avoid — measured as a
-                # 4-5x slowdown of the first two production batches at 1M
+                # (value, compiled-plan memo). No qid index of any kind is
+                # built worker-side — candidates arrive as integer vids
+                # (JVM broadcast join, see vid_sdf above). Simple-lane rows
+                # are NOT memoized as python tuples either: materializing a
+                # tuple per candidate vid re-creates, spread over the first
+                # batches, the very ~500MB-per-worker object graph the
+                # columnar form exists to avoid — measured as a 4-5x
+                # slowdown of the first two production batches at 1M
                 # queries (32 workers allocating concurrently). The verify
                 # UDF checks terms straight off the shared buffers instead
                 # (~2-3us per candidate pair, short-circuiting, zero
                 # persistent allocation).
-                st = (val, {}, sidx, pidx)
+                st = (val, {})
                 cache[_bc_key] = st
                 # Freeze the freshly built state out of the GC generations.
                 # The columnar broadcast leaves the worker's tracked-object
@@ -1479,22 +1496,19 @@ def percolate(
                 gc.freeze()
             return st
 
-        def _pred(qid, pcols, pidx, memo):
+        def _pred(vid, i, pcols, memo):
             # plan blobs live in ONE shared buffer (see
-            # broadcast_verify_plans): slice this qid's bytes out lazily —
-            # only candidate qids ever pay an unpickle + predicate compile,
-            # memoized per worker
+            # broadcast_verify_plans): slice plan row ``i``'s bytes out
+            # lazily — only candidate vids ever pay an unpickle +
+            # predicate compile, memoized per worker (int-keyed)
             import pickle
 
-            p = memo.get(qid)
+            p = memo.get(vid)
             if p is None:
-                i = pidx.get(qid)
-                if i is None:
-                    return None
                 off = pcols["off"]
                 blob = pcols["buf"][off[i] : off[i + 1]]
                 p = compile_predicate_fields(pickle.loads(blob))
-                memo[qid] = p
+                memo[vid] = p
             return p
 
         # group candidates per doc: tokens ship ONCE per doc (not once per
@@ -1514,15 +1528,15 @@ def percolate(
         # registries; zero-cost when unset (captured at plan build).
         _wprof = bool(os.environ.get("EBP_PROF_WORKER"))
 
-        @F.pandas_udf(T.ArrayType(T.StringType()))
-        def verify_doc(qid_lists: pd.Series, *tok_series: pd.Series) -> pd.Series:
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def verify_doc(vid_lists: pd.Series, *tok_series: pd.Series) -> pd.Series:
             if _wprof:
                 import time as _t
 
                 _t0 = _t.perf_counter()
             import gc
 
-            _val, memo, sidx, pidx = _bc_state()
+            _val, memo = _bc_state()
             scols = _val["simple_cols"]
             pcols = _val["plan_cols"]
             # simple-lane buffers, bound locally for the hot loop
@@ -1540,8 +1554,8 @@ def percolate(
                 _t_bc = _t.perf_counter() - _t0
                 _m0 = len(memo)
             out = []
-            for row in zip(qid_lists, *tok_series):
-                qids = row[0]
+            for row in zip(vid_lists, *tok_series):
+                vids = row[0]
                 views = []
                 for ci, s in enumerate(row[1:]):
                     if ci in scalar_idx:
@@ -1570,17 +1584,16 @@ def percolate(
                         views.append((tl, set(tl)))
                 fmap = {qf: views[i] for qf, i in qf_to_idx.items()}
                 hit = []
-                for qid in qids:
+                for vid in vids:
                     try:
-                        si = sidx.get(qid)
-                        if si is not None:
+                        if vid < _n_simple:
                             # term-conjunction fast lane: containment
                             # checks straight off the columnar buffers —
                             # short-circuits on the first missing required
                             # term, allocates nothing that outlives the
                             # pair (no closure compile, no decoded memo)
                             ok = True
-                            for j in range(_noff[si], _noff[si + 1]):
+                            for j in range(_noff[vid], _noff[vid + 1]):
                                 v = fmap.get(_flds[_nf[j]], _EMPTY)
                                 if (
                                     type(v) is not tuple
@@ -1590,7 +1603,7 @@ def percolate(
                                     ok = False
                                     break
                             if ok:
-                                for j in range(_foff[si], _foff[si + 1]):
+                                for j in range(_foff[vid], _foff[vid + 1]):
                                     v = fmap.get(_flds[_ff[j]], _EMPTY)
                                     if (
                                         type(v) is tuple
@@ -1600,11 +1613,11 @@ def percolate(
                                         ok = False
                                         break
                             if ok:
-                                hit.append(qid)
+                                hit.append(vid)
                             continue
-                        p = _pred(qid, pcols, pidx, memo)
+                        p = _pred(vid, vid - _n_simple, pcols, memo)
                         if p is not None and p(fmap):
-                            hit.append(qid)
+                            hit.append(vid)
                     except Exception:
                         pass  # per-query error isolation (E10)
                 out.append(hit)
@@ -1628,7 +1641,7 @@ def percolate(
                                 "wall": round(_t.perf_counter() - _t0, 3),
                                 "t_bc": round(_t_bc, 3),
                                 "docs": len(out),
-                                "pairs": int(sum(len(q) for q in qid_lists)),
+                                "pairs": int(sum(len(q) for q in vid_lists)),
                                 "hits": sum(len(h) for h in out),
                                 "memo0": _m0,
                                 "memo1": len(memo),
@@ -1653,19 +1666,28 @@ def percolate(
                 F.broadcast(art["pythonic_sdf"]), "query_id", "left_semi"
             )
         )
+        # map candidates to integer vids JVM-side (inner join: a candidate
+        # qid outside the verify broadcast could never match — same outcome
+        # the python lane's missing-plan lookup produced, minus the python)
+        cand_py = cand_py.join(F.broadcast(vid_sdf), "query_id")
         # collect_SET (not list): defensive dedup inside the shuffle this
         # groupBy already pays, so phase-2 never double-verifies a pair
         to_verify = (
             cand_py.groupBy("doc_id")
-            .agg(F.collect_set("query_id").alias("qids"))
+            .agg(F.collect_set("vid").alias("vids"))
             .join(batch.select("doc_id", *tok_cols), "doc_id")
         )
+        hit_vids = to_verify.select(
+            "doc_id",
+            F.explode(
+                verify_doc(F.col("vids"), *[F.col(tc) for tc in tok_cols])
+            ).alias("vid"),
+        )
+        # hit vids (small) map back through the same broadcast DataFrame
+        # (the exchange is reused within the action)
         parts.append(
-            to_verify.select(
-                "doc_id",
-                F.explode(
-                    verify_doc(F.col("qids"), *[F.col(tc) for tc in tok_cols])
-                ).alias("query_id"),
+            hit_vids.join(F.broadcast(vid_sdf), "vid").select(
+                "doc_id", "query_id"
             )
         )
 

@@ -293,8 +293,15 @@ class CompiledRegistry:
 
         nt_buf, nt_off = _tbuf(need_t)
         ft_buf, ft_off = _tbuf(forb_t)
+        # qid lists deliberately stay OUT of the broadcast value: workers
+        # never see query-id strings. The candidate pipeline maps
+        # query_id -> vid (unified row id: simple rows first, then plan
+        # rows) with a JVM broadcast join — ONE Tungsten hash table per
+        # executor instead of a 10^6-entry python dict (and 1.4M string
+        # allocations) in EVERY worker, which measured ~47s/worker under
+        # 32-way concurrency. verify_qid_spaces() exposes the lists
+        # driver-side for the vid-map build.
         simple_cols = {
-            "qids": s_qids,
             "fields": list(s_fields),
             "need_off": np.asarray(need_off, dtype=np.int64),
             "need_f": np.asarray(need_f, dtype=np.int32),
@@ -323,13 +330,19 @@ class CompiledRegistry:
                 out=p_off[1:],
             )
         plan_cols = {
-            "qids": p_qids,
             "buf": b"".join(p_blobs),
             "off": p_off,
         }
         bc = sc.broadcast({"simple_cols": simple_cols, "plan_cols": plan_cols})
-        self._bc_cache = (key, bc, next(_BC_SEQ))
+        self._bc_cache = (key, bc, next(_BC_SEQ), (s_qids, p_qids))
         return bc
+
+    def verify_qid_spaces(self) -> tuple[list, list]:
+        """(simple_qids, plan_qids) row-aligned with the CURRENT verify
+        broadcast's columnar value — vid = simple row i, or
+        len(simple_qids) + plan row i (driver-side only; workers receive
+        vids via the JVM broadcast join, never qid strings)."""
+        return self._bc_cache[3]
 
     def verify_bc_token(self) -> int:
         """Process-unique token for the CURRENT verify broadcast — the

@@ -283,14 +283,13 @@ def test_distributed_registry_compile_equals_driver(spark):
     # the verify broadcast + jv atoms + field set assemble WITHOUT
     # unpickling any plan tree on the driver
     bc = dist.broadcast_verify_plans(qdf.sparkSession)
-    assert set(bc.value["simple_cols"]["qids"]) | set(
-        bc.value["plan_cols"]["qids"]
-    ) == set(dist.gate_verify_ids())
+    s_qids, p_qids = dist.verify_qid_spaces()
+    assert set(s_qids) | set(p_qids) == set(dist.gate_verify_ids())
     # the plan buffer slices back to per-query blobs that unpickle
     import pickle as _pickle
 
     pc = bc.value["plan_cols"]
-    for i, qid in enumerate(pc["qids"]):
+    for i, qid in enumerate(p_qids):
         blob = pc["buf"][pc["off"][i] : pc["off"][i + 1]]
         # compare against the DRIVER-compiled twin: dereferencing dist's
         # .plan here would materialize it and void the laziness assert below
@@ -299,7 +298,7 @@ def test_distributed_registry_compile_equals_driver(spark):
     # _simple_required tuples
     from elasticsearch_batch_percolator_spark.operators.percolate import _sdecode
 
-    for i, qid in enumerate(bc.value["simple_cols"]["qids"]):
+    for i, qid in enumerate(s_qids):
         assert _sdecode(bc.value["simple_cols"], i) == _simple_required(
             driver.queries[qid].plan
         ), qid
