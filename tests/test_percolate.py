@@ -552,3 +552,44 @@ def test_columnar_simple_lane_non_ascii_terms(spark):
         for r in percolate(spark, docs, reg).matches.collect()
     }
     assert got == {(1, "uni"), (1, "neg")}
+
+
+def test_hot_swap_rebuilds_vid_map(spark):
+    """register/unregister between batches must rebuild the candidate
+    query_id -> vid broadcast map (vids are row positions in the verify
+    broadcast; a stale map would point candidates at the WRONG plan rows
+    after the qid spaces shift). Mixes the simple lane (term conjunction)
+    and the python plan lane (span_near) on both sides of the swap."""
+    reg = CompiledRegistry.from_rows(
+        [
+            ("q_simple", {"bool": {"must": [{"term": {"content": "alpha"}},
+                                            {"term": {"content": "beta"}}]}}),
+            ("q_span", {"span_near": {"clauses": [
+                {"span_term": {"content": "gamma"}},
+                {"span_term": {"content": "delta"}}], "slop": 0,
+                "in_order": True}}),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta zz"), (2, "gamma delta zz"), (3, "epsilon zeta zz")],
+        "doc_id long, content string",
+    )
+    got = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(spark, docs, reg).matches.collect()
+    }
+    assert got == {(1, "q_simple"), (2, "q_span")}
+
+    # hot swap: drop the span query, add one simple + one python-lane
+    # query — both qid spaces shift, so every vid changes meaning
+    reg.unregister("q_span")
+    reg.register("q_eps", {"bool": {"must": [{"term": {"content": "epsilon"}},
+                                             {"term": {"content": "zeta"}}]}})
+    reg.register("q_span2", {"span_near": {"clauses": [
+        {"span_term": {"content": "zeta"}},
+        {"span_term": {"content": "zz"}}], "slop": 0, "in_order": True}})
+    got2 = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(spark, docs, reg).matches.collect()
+    }
+    assert got2 == {(1, "q_simple"), (3, "q_eps"), (3, "q_span2")}
