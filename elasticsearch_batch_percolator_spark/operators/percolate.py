@@ -107,9 +107,12 @@ def _sdecode(c: dict, i: int) -> tuple:
     into (need, forbid) — each a tuple of (field, term) — exactly the shape
     ``_simple_required`` produced driver-side (see
     registry.broadcast_verify_plans: the columnar form exists so workers
-    unpickle buffers, not 10^6 dicts-of-tuples). Decoded lazily per
-    CANDIDATE qid and memoized: a worker only ever pays for queries the
-    gate actually proposed."""
+    unpickle buffers, not 10^6 dicts-of-tuples). REFERENCE IMPLEMENTATION
+    only, pinned by test_percolate.py's columnar round-trip test: the verify
+    UDF deliberately does NOT call it (it checks terms straight off the
+    shared buffers — materializing a tuple per candidate re-creates the
+    object graph the columnar form exists to avoid, measured 4-5x slower
+    cold batches at a 10^6-query registry)."""
     flds = c["fields"]
     out = []
     for off, farr, tbuf, toff in (
