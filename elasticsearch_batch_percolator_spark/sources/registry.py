@@ -37,6 +37,7 @@ gets the exact phase-2 evaluator on surviving pairs only.
 from __future__ import annotations
 
 import json
+import logging
 from dataclasses import dataclass, field
 from itertools import count
 
@@ -60,6 +61,8 @@ from ..plans.query_plan import (
 # sentinel for "metadata not precomputed" (None is a meaningful value for
 # simple_req / jv_req: "plan is not expressible in that lane")
 _UNSET = "?"
+
+_LOG = logging.getLogger(__name__)
 
 # driver-process-unique sequence for verify-plan broadcasts. ``version``
 # alone is NOT a safe worker-side cache key: it is per-registry (set to
@@ -415,17 +418,40 @@ class CompiledRegistry:
         return out
 
     @classmethod
-    def from_rows(cls, rows: list[tuple[str, str | dict]]) -> "CompiledRegistry":
+    def from_rows(
+        cls,
+        rows: list[tuple[str, str | dict]],
+        skip_invalid: bool = False,
+    ) -> "CompiledRegistry":
+        """``skip_invalid`` selects the reference's RECOVERY semantics: a
+        query that fails to parse is warn-logged and skipped, never aborting
+        the bulk load (BatchQueriesLoaderCollector.java:89-90 catches
+        per-query, logs 'failed to add query [id]', and keeps collecting).
+        The API registration path keeps raising (the reference's preIndex
+        validate throws per request, BatchPercolatorQueriesRegistry.java:148)."""
         reg = cls()
         for qid, qjson in rows:
-            reg.register(qid, qjson)
+            try:
+                reg.register(qid, qjson)
+            except Exception as e:
+                if not skip_invalid:
+                    raise
+                _LOG.warning("failed to add query [%s]: %r", qid, e)
         return reg
 
     @classmethod
     def from_df(
-        cls, queries_df: DataFrame, distributed: bool | str = "auto"
+        cls,
+        queries_df: DataFrame,
+        distributed: bool | str = "auto",
+        skip_invalid: bool = False,
     ) -> "CompiledRegistry":
         """Compile a (query_id, query_json) table into a registry.
+
+        ``skip_invalid`` — recovery semantics (see ``from_rows``): a query
+        that fails to parse is warn-logged (driver-side, with its id) and
+        skipped instead of aborting the load, matching
+        BatchQueriesLoaderCollector.java:89-90.
 
         ``distributed`` parallelizes the parse+approximate+flatten work
         across executors (the reference compiles per shard in parallel,
@@ -455,14 +481,26 @@ class CompiledRegistry:
 
         if not distributed:
             rows = queries_df.select("query_id", "query_json").collect()
-            return cls.from_rows([(r["query_id"], r["query_json"]) for r in rows])
+            return cls.from_rows(
+                [(r["query_id"], r["query_json"]) for r in rows],
+                skip_invalid=skip_invalid,
+            )
 
         def compile_part(it):
             for pdf in it:
                 compiled = []
+                skipped = []
                 tmp = cls()
                 for qid, qjson in zip(pdf["query_id"], pdf["query_json"]):
-                    tmp.register(qid, qjson)  # exact driver semantics
+                    try:
+                        tmp.register(qid, qjson)  # exact driver semantics
+                    except Exception as e:
+                        if not skip_invalid:
+                            raise
+                        # warn DRIVER-side (executor logs are easy to
+                        # lose): ship (qid, error) back with the blobs
+                        skipped.append((qid, repr(e)))
+                        continue
                     # blob-backed: the plan/approx trees are pickled HERE
                     # and all planner metadata precomputed, so the driver
                     # assembles the registry — and later the verify
@@ -471,7 +509,7 @@ class CompiledRegistry:
                     # tuples unpickle ~3x faster than per-object REDUCE
                     # opcodes (measured 20ms vs 63ms per 3.5k queries)
                     compiled.append(tmp.queries.pop(qid).to_blob().__reduce__()[1])
-                yield _pd.DataFrame({"blob": [pickle.dumps(compiled)]})
+                yield _pd.DataFrame({"blob": [pickle.dumps((compiled, skipped))]})
 
         reg = cls()
         q = reg.queries
@@ -480,8 +518,11 @@ class CompiledRegistry:
             .mapInPandas(compile_part, "blob binary")
             .collect()
         ):
-            for args in pickle.loads(r["blob"]):
+            compiled, skipped = pickle.loads(r["blob"])
+            for args in compiled:
                 q[args[0]] = _rebuild_cq(*args)
+            for qid, err in skipped:
+                _LOG.warning("failed to add query [%s]: %s", qid, err)
         reg.version = len(q)
         return reg
 
@@ -884,5 +925,11 @@ def save_registry(spark: SparkSession, rows: list[tuple[str, str | dict]], path:
 
 def load_registry(spark: SparkSession, path: str) -> CompiledRegistry:
     """The recovery path: re-read + re-compile every stored query
-    (ShardLifecycleListener.loadQueries, BatchPercolatorQueriesRegistry.java:244-266)."""
-    return CompiledRegistry.from_df(spark.read.parquet(path))
+    (ShardLifecycleListener.loadQueries, BatchPercolatorQueriesRegistry.java:244-266).
+
+    Recovery uses skip-and-warn per-query error semantics: one malformed
+    stored query must not keep the other 224,999 from coming back
+    (BatchQueriesLoaderCollector.java:89-90 logs 'failed to add query [id]'
+    and keeps collecting). API registration, by contrast, raises per
+    request (``register``)."""
+    return CompiledRegistry.from_df(spark.read.parquet(path), skip_invalid=True)

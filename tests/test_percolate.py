@@ -185,6 +185,44 @@ def test_registry_save_load_roundtrip(spark, tmp_path):
     assert got == {(0, "1"), (0, "2")}
 
 
+def test_recovery_skips_malformed_stored_queries(spark, tmp_path):
+    """Recovery semantics: one malformed stored query is warn-logged and
+    skipped, the rest of the registry comes back (the reference's loader
+    catches per query and keeps collecting,
+    BatchQueriesLoaderCollector.java:89-90). API registration still raises
+    (preIndex validate, BatchPercolatorQueriesRegistry.java:148)."""
+    import pytest
+
+    rows = [
+        ("good1", {"term": {"content": "b"}}),
+        ("bad_json", "{not json"),
+        ("bad_type", {"frobnicate": {"content": "x"}}),
+        ("good2", {"bool": {"must": [{"term": {"content": "c"}}]}}),
+    ]
+    path = str(tmp_path / "queries_bad")
+    save_registry(spark, rows, path)
+    reg = load_registry(spark, path)
+    assert sorted(reg.queries) == ["good1", "good2"]
+    docs_df = spark.createDataFrame([(0, "b c")], "doc_id long, content string")
+    got = {
+        (int(r["doc_id"]), r["query_id"])
+        for r in percolate(spark, docs_df, reg).matches.collect()
+    }
+    assert got == {(0, "good1"), (0, "good2")}
+    # the API path (and a non-recovery bulk load) still raises
+    with pytest.raises(Exception):
+        CompiledRegistry.from_rows([("bad_type", {"frobnicate": {}})])
+    # distributed compile honors the same flag: skipped on executors,
+    # warned driver-side, remainder assembled
+    qdf = spark.createDataFrame(
+        [(q, j if isinstance(j, str) else __import__("json").dumps(j))
+         for q, j in rows],
+        "query_id string, query_json string",
+    ).repartition(2)
+    dist = CompiledRegistry.from_df(qdf, distributed=True, skip_invalid=True)
+    assert sorted(dist.queries) == ["good1", "good2"]
+
+
 def test_registry_roundtrip_preserves_highlight_and_nested(spark, tmp_path):
     """RecoveryTests.java analog for round-2 features: a stored percolator
     doc carries its highlight spec and nested plan through save -> reload
