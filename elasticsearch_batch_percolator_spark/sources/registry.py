@@ -513,11 +513,31 @@ class CompiledRegistry:
 
         reg = cls()
         q = reg.queries
-        for r in (
-            queries_df.select("query_id", "query_json")
-            .mapInPandas(compile_part, "blob binary")
-            .collect()
-        ):
+        try:
+            blobs = (
+                queries_df.select("query_id", "query_json")
+                .mapInPandas(compile_part, "blob binary")
+                .collect()
+            )
+        except Exception as e:
+            # distributed compile needs the package importable on
+            # executors (spark-submit --py-files, the shipping config).
+            # A recovery load on a session launched WITHOUT it (auto
+            # flips distributed at >= EBP_DIST_COMPILE_MIN rows) must
+            # still come back: fall back to the driver-side compile the
+            # pre-distributed path always used, with the same
+            # skip_invalid semantics.
+            _LOG.warning(
+                "distributed registry compile failed (%r); "
+                "falling back to driver-side compile",
+                e,
+            )
+            rows = queries_df.select("query_id", "query_json").collect()
+            return cls.from_rows(
+                [(r["query_id"], r["query_json"]) for r in rows],
+                skip_invalid=skip_invalid,
+            )
+        for r in blobs:
             compiled, skipped = pickle.loads(r["blob"])
             for args in compiled:
                 q[args[0]] = _rebuild_cq(*args)

@@ -25,10 +25,13 @@ it.
 Supported query shapes: conjunctions of Term / slop-0-Phrase atoms up to
 the join-verify n-gram cap (must + must_not), bare Terms, MatchAll.
 Wildcards need the per-batch term dictionary and positional queries need
-the evaluator — ``hybrid=True`` runs those through an in-stream
+the evaluator — ``hybrid=True`` runs those (and other token-evaluable
+shapes, e.g. must_not-only bools) through an in-stream
 compiled-predicate Arrow UDF feeding the same windowed aggregate
 (round 4); otherwise they stay on the foreachBatch path
-(percolate_stream).
+(percolate_stream). Range / Nested plans need the full document row and
+are never evaluable from the token stream — they raise (or are skipped
+with ``skip_unsupported``) even under ``hybrid=True``.
 Field names resolve to the single analyzed content column (the
 flat-corpus default, percolate(fields=None)). A doc_id emitted several
 times within one window counts as ONE matched document per query: the
@@ -71,6 +74,45 @@ def _ngrams_expr(n: int) -> str:
     )
 
 
+def _token_evaluable(plan) -> bool:
+    """True iff the compiled predicate evaluates correctly on the stream's
+    (token_list, token_set) field views — every field resolves to the one
+    analyzed content column here. Range needs the raw scalar and Nested
+    needs the array-of-structs children; on a token view both are silently
+    False (eval_py's type guards), so plans containing them must never
+    ride the hybrid python lane — they belong on percolate_stream, where
+    the full document row is in scope."""
+    from ..plans.query_plan import (
+        Bool,
+        MatchAll,
+        MatchNone,
+        Phrase,
+        SpanNear,
+        SpanNot,
+        SpanOr,
+        SpanTerm,
+        Wildcard,
+        WildcardPhrase,
+    )
+
+    if isinstance(
+        plan,
+        (Term, Wildcard, Phrase, WildcardPhrase, SpanTerm, MatchAll, MatchNone),
+    ):
+        return True
+    if isinstance(plan, Bool):
+        return all(
+            _token_evaluable(p)
+            for g in (plan.must, plan.should, plan.must_not, plan.filter)
+            for p in g
+        )
+    if isinstance(plan, (SpanNear, SpanOr)):
+        return all(_token_evaluable(c) for c in plan.clauses)
+    if isinstance(plan, SpanNot):
+        return _token_evaluable(plan.include) and _token_evaluable(plan.exclude)
+    return False  # Range, Nested, anything unknown
+
+
 def _specs(
     registry: CompiledRegistry,
 ) -> tuple[list[tuple], set[int], list[str], list[str]]:
@@ -78,13 +120,23 @@ def _specs(
     (kind, atom, query_id, is_forbid, n_need) where n_need = the query's
     DISTINCT need-atom count. Returns (rows, gram_lengths, matchall,
     unsupported). A query whose need∩forbid atoms overlap can never match
-    and contributes no rows (correctly absent)."""
+    and contributes no rows (correctly absent).
+
+    ``matchall`` holds ONLY verification-free every-doc queries
+    (match_all). An unfilterable-but-CONSTRAINED query (must_not-only
+    bool, top-level range — all-docs candidates that batch percolate runs
+    through phase-2 verify) must not be counted as matching every event:
+    it falls through to the atom logic and lands in ``unsupported``
+    (no positive atom), i.e. the hybrid python lane or a loud error."""
     rows: list[tuple] = []
     grams: set[int] = set()
-    matchall = registry.all_docs_query_ids()
+    all_docs = set(registry.all_docs_query_ids())
+    matchall = sorted(
+        qid for qid in all_docs if not registry.queries[qid].needs_verify
+    )
     unsupported: list[str] = []
     for qid, cq in registry.queries.items():
-        if cq.match_none or qid in matchall:
+        if cq.match_none or (qid in all_docs and not cq.needs_verify):
             continue
         # blob-backed registries precompute jv_req on the executors —
         # avoid unpickling the plan tree here (_jv_requirements covers
@@ -161,7 +213,26 @@ def windowed_match_counts(
     from ..functions.tokenizer import tokenize_ws
 
     rows, grams, matchall, unsupported = _specs(registry)
-    if unsupported and not skip_unsupported and not hybrid:
+    if unsupported and hybrid:
+        # the python lane sees ONLY the content-token views — plans
+        # needing other views (Range scalars, Nested children) would
+        # evaluate silently-False there; keep them loud
+        inexpressible = sorted(
+            qid
+            for qid in unsupported
+            if not _token_evaluable(registry.queries[qid].plan)
+        )
+        if inexpressible and not skip_unsupported:
+            raise ValueError(
+                "not evaluable from the windowed token stream even with "
+                "hybrid=True (range/nested need the full document row — "
+                "use percolate_stream/foreachBatch): "
+                f"{inexpressible[:10]}"
+            )
+        if inexpressible:
+            drop = set(inexpressible)
+            unsupported = [q for q in unsupported if q not in drop]
+    elif unsupported and not skip_unsupported:
         raise ValueError(
             "unsupported for windowed streaming percolation (use "
             "hybrid=True or percolate_stream/foreachBatch): "

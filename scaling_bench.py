@@ -334,6 +334,9 @@ def main() -> None:
 
     def best_of_runs(runs):
         out = dict(runs[0])
+        # copy the nested dict: the best-of record must not mutate run 0's
+        # own cores_used figure in all_runs when a later run wins a metric
+        out["cores_used"] = dict(runs[0].get("cores_used", {}))
         for r in runs[1:]:
             for k, v in r.items():
                 if k == "cores_used":

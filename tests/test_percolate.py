@@ -223,6 +223,26 @@ def test_recovery_skips_malformed_stored_queries(spark, tmp_path):
     assert sorted(dist.queries) == ["good1", "good2"]
 
 
+def test_distributed_compile_falls_back_to_driver_on_executor_failure(
+    spark, monkeypatch
+):
+    """A recovery on a session without --py-files (executors can't import
+    the package) must still load: from_df falls back to the driver-side
+    compile instead of aborting."""
+    from pyspark.sql import DataFrame as _DF
+
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated executor import failure")
+
+    monkeypatch.setattr(_DF, "mapInPandas", boom)
+    qdf = spark.createDataFrame(
+        [("1", '{"term": {"content": "b"}}'), ("2", '{"term": {"content": "c"}}')],
+        "query_id string, query_json string",
+    ).repartition(2)
+    reg = CompiledRegistry.from_df(qdf, distributed=True)
+    assert sorted(reg.queries) == ["1", "2"]
+
+
 def test_registry_roundtrip_preserves_highlight_and_nested(spark, tmp_path):
     """RecoveryTests.java analog for round-2 features: a stored percolator
     doc carries its highlight spec and nested plan through save -> reload
@@ -556,9 +576,9 @@ def test_from_df_auto_small_stays_serial(spark, monkeypatch):
     calls = {}
     orig = regmod.CompiledRegistry.from_rows.__func__
 
-    def spy(cls, rows):
+    def spy(cls, rows, skip_invalid=False):
         calls["serial"] = True
-        return orig(cls, rows)
+        return orig(cls, rows, skip_invalid=skip_invalid)
 
     monkeypatch.setattr(regmod.CompiledRegistry, "from_rows", classmethod(spy))
     qdf = spark.createDataFrame(

@@ -137,6 +137,58 @@ def test_windowed_unsupported_raises(spark):
     assert out.count() == 0
 
 
+def test_windowed_constrained_alldocs_not_counted_as_matchall(spark):
+    """An unfilterable-but-CONSTRAINED query (must_not-only bool) is an
+    all-docs CANDIDATE in batch percolate but still verifies — the
+    windowed plan must not count it for every event. It is unsupported
+    without hybrid (loud), and evaluates exactly through the hybrid
+    python lane."""
+    reg = CompiledRegistry.from_rows([
+        ("neg", {"bool": {"must_not": [{"term": {"content": "fox"}}]}}),
+        ("all", {"match_all": {}}),
+    ])
+    docs = _docs_df(spark, lambda i: 0)  # one window
+    with pytest.raises(ValueError, match="unsupported"):
+        windowed_match_counts(
+            spark, docs, reg, window_duration="10 minutes", watermark=None
+        )
+    out = windowed_match_counts(
+        spark, docs, reg, window_duration="10 minutes", watermark=None,
+        hybrid=True,
+    )
+    got = {r["query_id"]: r["n_docs"] for r in out.collect()}
+    # docs 2 and 4 lack 'fox'; match_all counts all 5
+    assert got == {"neg": 2, "all": 5}
+    # ground truth: batch percolate on the same registry
+    truth = {}
+    for r in percolate(spark, docs.drop("ts"), reg).matches.collect():
+        truth[r["query_id"]] = truth.get(r["query_id"], 0) + 1
+    assert got == truth
+
+
+def test_windowed_hybrid_rejects_range_and_nested(spark):
+    """Range/Nested plans need the full document row — the hybrid token
+    lane would evaluate them silently-False, so they stay loud even under
+    hybrid=True (and are skipped, not miscounted, with skip_unsupported)."""
+    reg = CompiledRegistry.from_rows([
+        ("t", {"term": {"content": "fox"}}),
+        ("rng", {"bool": {"must": [{"term": {"content": "fox"}},
+                                    {"range": {"field": "n", "gte": 1}}]}}),
+    ])
+    docs = _docs_df(spark, lambda i: 0).withColumn("n", F.lit(5))
+    with pytest.raises(ValueError, match="range/nested"):
+        windowed_match_counts(
+            spark, docs, reg, window_duration="10 minutes", watermark=None,
+            hybrid=True,
+        )
+    out = windowed_match_counts(
+        spark, docs, reg, window_duration="10 minutes", watermark=None,
+        hybrid=True, skip_unsupported=True,
+    )
+    got = {r["query_id"]: r["n_docs"] for r in out.collect()}
+    assert got == {"t": 3}  # docs 0,1,3 contain 'fox'; rng skipped, not 5x
+
+
 def test_windowed_stream_watermark_close_and_late_drop(spark, tmp_path):
     src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
     src.mkdir()
