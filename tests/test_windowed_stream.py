@@ -128,6 +128,71 @@ def test_windowed_counts_randomized_vs_python_model(spark):
     assert got
 
 
+def test_windowed_hybrid_randomized_vs_eval_plan(spark):
+    """Randomized registries spanning BOTH lanes — atom-stream shapes plus
+    hybrid-only shapes (must_not-only bools, wildcards, span_near, sloppy
+    phrases) and duplicate doc events — checked against eval_plan on the
+    compiled plans (the engine's own reference evaluator, itself pinned by
+    the Lucene goldens)."""
+    import random
+
+    from elasticsearch_batch_percolator_spark.plans.eval_py import eval_plan
+
+    rng = random.Random(987)
+    vocab = list("abcdefgh")
+    docs = []
+    for i in range(250):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
+        docs.append((i, " ".join(toks), rng.randint(0, 29)))
+    # duplicate events: same doc_id re-emitted in the SAME window
+    dups = [(i, c, m) for i, c, m in docs[:25]]
+    qs = {}
+    for j in range(36):
+        kind = j % 6
+        if kind == 0:
+            qs[f"q{j}"] = {"term": {"content": rng.choice(vocab)}}
+        elif kind == 1:
+            qs[f"q{j}"] = {"bool": {"must": [
+                {"term": {"content": rng.choice(vocab)}},
+                {"term": {"content": rng.choice(vocab)}}]}}
+        elif kind == 2:
+            qs[f"q{j}"] = {"bool": {"must_not": [
+                {"term": {"content": rng.choice(vocab)}}]}}  # all-docs + verify
+        elif kind == 3:
+            qs[f"q{j}"] = {"wildcard": {"content": rng.choice(vocab) + "*"}}
+        elif kind == 4:
+            qs[f"q{j}"] = {"span_near": {"clauses": [
+                {"span_term": {"content": rng.choice(vocab)}},
+                {"span_term": {"content": rng.choice(vocab)}}],
+                "slop": rng.randint(0, 2), "in_order": rng.choice([True, False])}}
+        else:
+            qs[f"q{j}"] = {"phrase": {"field": "content",
+                                      "terms": [rng.choice(vocab), rng.choice(vocab)],
+                                      "slop": rng.randint(1, 2)}}
+    reg = CompiledRegistry.from_rows(list(qs.items()))
+
+    df = spark.createDataFrame(
+        [(i, c, f"2026-02-02 00:{m:02d}:30") for i, c, m in docs + dups],
+        "doc_id long, content string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = windowed_match_counts(
+        spark, df, reg, window_duration="10 minutes", watermark=None,
+        hybrid=True,
+    )
+    got = {(r["window_start"].minute, r["query_id"]): r["n_docs"]
+           for r in out.collect()}
+
+    truth: dict = {}
+    for i, c, m in docs:  # dups add no NEW (window, doc) pairs
+        toks = c.split()
+        for qid in qs:
+            if eval_plan(reg.queries[qid].plan, {"content": toks}):
+                key = (m // 10 * 10, qid)
+                truth[key] = truth.get(key, 0) + 1
+    assert got == truth
+    assert got
+
+
 def test_windowed_unsupported_raises(spark):
     reg = CompiledRegistry.from_rows([("w", {"wildcard": {"content": "fo*"}})])
     docs = _docs_df(spark, lambda i: 0)
