@@ -1008,6 +1008,10 @@ def _q_windowed_hybrid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("h-sloppy", {"phrase": {"field": "content",
                                      "terms": ["fast", "the"], "slop": 2}}),
             ("h-wild", {"wildcard": {"content": "merg*"}}),
+            # must_not-only bool: an all-docs CANDIDATE that still
+            # verifies — must ride the hybrid python lane, never be
+            # counted as match_all (round-4 windowed fix)
+            ("h-neg", {"bool": {"must_not": [{"term": {"content": "row"}}]}}),
         ]
     )
     docs = _docs(spark, sf_dir).select(
@@ -1159,6 +1163,7 @@ WHERE len(list_filter(range(1, len(toks)+1),
   i -> toks[i] = 'fast' AND len(list_filter(range(1, len(toks)+1),
        j -> toks[j] = 'the' AND j - i BETWEEN -1 AND 3)) > 0)) > 0""",
             f"SELECT doc_id, 'h-wild' AS query_id FROM documents WHERE {has_like.format(p='merg%')}",
+            f"SELECT doc_id, 'h-neg' AS query_id FROM documents WHERE NOT ({contains.format(t='row')})",
         ]
     )
     out = {
