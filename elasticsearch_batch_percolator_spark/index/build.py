@@ -44,12 +44,14 @@ from dataclasses import asdict, dataclass, field
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import BM25_B, BM25_K1
-from .codec import BLOCK, encode_postings
+from .codec import BLOCK, encode_postings, varint_encode_lens
 
 BLOCKS_TYPE = T.ArrayType(
     T.StructType(
@@ -296,8 +298,179 @@ def build_index(
                     }
                 )
 
+        _BLOCK_PA = pa.struct(
+            [
+                ("max_doc", pa.int64()),
+                ("max_norm", pa.float64()),
+                ("n", pa.int32()),
+                ("doc_bytes", pa.binary()),
+                ("tf_bytes", pa.binary()),
+                ("norm_bytes", pa.binary()),
+                ("pos_bytes", pa.binary()),
+            ]
+        )
+
+        def _bin_array(buf: np.ndarray, offsets: np.ndarray) -> pa.Array:
+            # contiguous per-block byte ranges → zero-copy BinaryArray from
+            # the single encoded stream (blocks tile the posting space, so
+            # block k ends exactly where block k+1 starts)
+            offs = offsets.astype(np.int32)
+            return pa.Array.from_buffers(
+                pa.binary(),
+                len(offs) - 1,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf.tobytes())],
+            )
+
+        def _encode_one_segment_arrow(s, parts):
+            # parts: list of (doc_ids int64[], flat pa.StringArray, counts int64[])
+            doc_ids = np.concatenate([d for d, _, _ in parts])
+            counts = np.concatenate([c for _, _, c in parts])
+            if not (counts > 0).any():
+                return None
+            flat_ch = pa.chunked_array([f for _, f, _ in parts])
+            enc = pc.dictionary_encode(flat_ch)
+            chunks = enc.chunks if isinstance(enc, pa.ChunkedArray) else [enc]
+            if len(chunks) > 1 and not all(
+                c.dictionary.equals(chunks[0].dictionary) for c in chunks[1:]
+            ):
+                # kernel didn't unify dictionaries across chunks — force it
+                chunks = [pc.dictionary_encode(flat_ch.combine_chunks())]
+            dictionary = chunks[0].dictionary
+            codes = np.concatenate(
+                [c.indices.to_numpy(zero_copy_only=False) for c in chunks]
+            ).astype(np.int64)
+            # remap first-appearance codes to lexicographic ranks (UTF-8 byte
+            # order == code-point order, matching python str comparison)
+            si = pc.sort_indices(dictionary).to_numpy(zero_copy_only=False).astype(np.int64)
+            rank = np.empty(len(si), dtype=np.int64)
+            rank[si] = np.arange(len(si))
+            sorted_dict = pc.take(dictionary, pa.array(si))
+            rcodes = rank[codes]
+            flat_doc = np.repeat(doc_ids, counts)
+            flat_dl = np.repeat(counts, counts)
+            if positions:
+                tot = int(counts.sum())
+                run_off = np.repeat(np.cumsum(counts) - counts, counts)
+                flat_pos = np.arange(tot, dtype=np.int64) - run_off
+            # ONE stable int lexsort by (term rank, doc) — same order as the
+            # object-string lexsort, minus the per-element python compares
+            order = np.lexsort((flat_doc, rcodes))
+            rc = rcodes[order]
+            fd = flat_doc[order]
+            dl = flat_dl[order]
+            if positions:
+                fp = flat_pos[order]
+            pair_change = np.flatnonzero((rc[1:] != rc[:-1]) | (fd[1:] != fd[:-1]))
+            p_starts = np.concatenate([[0], pair_change + 1])
+            p_ends = np.concatenate([pair_change + 1, [len(rc)]])
+            pterm = rc[p_starts]
+            pdoc = fd[p_starts]
+            ptf = (p_ends - p_starts).astype(np.int64)
+            pdl = dl[p_starts]
+            norm = (ptf * (k1 + 1.0)) / (ptf + k1 * (1.0 - b + b * pdl / avgdl))
+            P = len(pterm)
+            t_change = np.flatnonzero(pterm[1:] != pterm[:-1])
+            t_starts = np.concatenate([[0], t_change + 1])
+            t_ends = np.concatenate([t_change + 1, [P]])
+            run_len = (t_ends - t_starts).astype(np.int64)
+            # block boundaries: every `block`-th posting within a term run
+            idx_in_term = np.arange(P, dtype=np.int64) - np.repeat(t_starts, run_len)
+            b_starts = np.flatnonzero(idx_in_term % block == 0)
+            b_ends = np.concatenate([b_starts[1:], [P]])
+            bounds = np.concatenate([b_starts, [P]])
+            n_blk = (b_ends - b_starts).astype(np.int32)
+            blk_maxdoc = pdoc[b_ends - 1].astype(np.int64)
+            blk_maxnorm = np.maximum.reduceat(norm, b_starts)
+            # doc deltas: in-block diffs, absolute at each block start
+            deltas = pdoc.astype(np.int64).copy()
+            deltas[1:] -= pdoc[:-1]
+            deltas[b_starts] = pdoc[b_starts]
+            doc_buf, doc_nb = varint_encode_lens(deltas.astype(np.uint64))
+            tf_buf, tf_nb = varint_encode_lens(ptf.astype(np.uint64))
+            cum_doc = np.concatenate([[0], np.cumsum(doc_nb)])
+            cum_tf = np.concatenate([[0], np.cumsum(tf_nb)])
+            doc_bytes = _bin_array(doc_buf, cum_doc[bounds])
+            tf_bytes = _bin_array(tf_buf, cum_tf[bounds])
+            norm_bytes = _bin_array(
+                np.frombuffer(norm.tobytes(), dtype=np.uint8), bounds * 8
+            )
+            if positions:
+                # delta-encode ALL positions once; deltas reset (absolute) at
+                # every posting start — block slices are byte-identical to
+                # per-block encode_positions because blocks align to postings
+                pb = np.concatenate([[0], np.cumsum(ptf)]).astype(np.int64)
+                pdeltas = fp.copy()
+                pdeltas[1:] -= fp[:-1]
+                pdeltas[pb[:-1]] = fp[pb[:-1]]
+                pos_buf, pos_nb = varint_encode_lens(pdeltas.astype(np.uint64))
+                cum_pos = np.concatenate([[0], np.cumsum(pos_nb)])
+                pos_bytes = _bin_array(pos_buf, cum_pos[pb[bounds]])
+            else:
+                pos_bytes = pa.nulls(len(b_starts), pa.binary())
+            struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(blk_maxdoc, pa.int64()),
+                    pa.array(blk_maxnorm, pa.float64()),
+                    pa.array(n_blk, pa.int32()),
+                    doc_bytes,
+                    tf_bytes,
+                    norm_bytes,
+                    pos_bytes,
+                ],
+                fields=list(_BLOCK_PA),
+            )
+            nbpt = (run_len + block - 1) // block
+            list_offsets = np.concatenate([[0], np.cumsum(nbpt)]).astype(np.int32)
+            blocks_arr = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)
+            term_arr = pc.take(sorted_dict, pa.array(pterm[t_starts]))
+            cf = np.add.reduceat(ptf, t_starts).astype(np.int64)
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.full(len(t_starts), s, dtype=np.int32)),
+                    term_arr.combine_chunks() if isinstance(term_arr, pa.ChunkedArray) else term_arr,
+                    pa.array(run_len, pa.int64()),
+                    pa.array(cf, pa.int64()),
+                    blocks_arr,
+                ],
+                names=["segment_id", "term", "df", "cf", "blocks"],
+            )
+
+        def encode_segments_arrow(batches):
+            # same accumulate-then-encode shape as encode_segments, but the
+            # token strings never materialize as python objects: Arrow
+            # list_flatten + dictionary_encode (C++), int lexsort, and a
+            # single whole-segment varint pass sliced into blocks by offset
+            # arithmetic (encode_postings per term is ~30k tiny-array calls
+            # per segment; this is three big ones)
+            per_seg: dict[int, list] = {}
+            for rb in batches:
+                seg = rb.column(0).to_numpy(zero_copy_only=False)
+                docs = rb.column(1).to_numpy(zero_copy_only=False)
+                toks = rb.column(2)
+                for s in np.unique(seg):
+                    mask = seg == s
+                    if mask.all():
+                        sub_t, sub_d = toks, docs
+                    else:
+                        sub_t = toks.take(pa.array(np.flatnonzero(mask)))
+                        sub_d = docs[mask]
+                    flat = pc.list_flatten(sub_t)
+                    cnts = (
+                        pc.fill_null(pc.list_value_length(sub_t), 0)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    per_seg.setdefault(int(s), []).append((sub_d, flat, cnts))
+            for s in sorted(per_seg):
+                rb = _encode_one_segment_arrow(s, per_seg[s])
+                if rb is not None:
+                    yield rb
+
         t_enc = time.perf_counter()
-        result = staged.mapInPandas(encode_segments, out_schema)
+        if os.environ.get("EBP_INDEX_ENCODER", "arrow") == "pandas":
+            result = staged.mapInPandas(encode_segments, out_schema)
+        else:
+            result = staged.mapInArrow(encode_segments_arrow, out_schema)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         result.write.partitionBy("segment_id").mode("overwrite").parquet(
             os.path.join(out_dir, "postings")

@@ -26,12 +26,19 @@ BLOCK = 128
 _U64 = np.uint64
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128 varint for a uint64 array, vectorized."""
+def varint_encode_lens(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128 varint for a uint64 array, vectorized.
+
+    Returns ``(buf uint8[], nbytes int64[])`` — the encoded stream plus the
+    per-value byte length, so a caller encoding a WHOLE segment in one pass
+    can slice per-block byte ranges with an offset cumsum instead of calling
+    the encoder once per tiny block (the per-call fixed cost dominates at
+    df≈1-5 terms).
+    """
     v = values.astype(np.uint64, copy=True)
     n = len(v)
     if n == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # byte length per value: ceil(bitlen/7), min 1
     nbytes = np.ones(n, dtype=np.int64)
     tmp = v >> _U64(7)
@@ -50,7 +57,13 @@ def varint_encode(values: np.ndarray) -> bytes:
         cont = (nbytes[mask] - 1 > i).astype(np.uint8) << 7
         out[idx] = byte | cont
         rem[mask] >>= _U64(7)
-    return out.tobytes()
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 varint for a uint64 array, vectorized."""
+    buf, _ = varint_encode_lens(values)
+    return buf.tobytes()
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
