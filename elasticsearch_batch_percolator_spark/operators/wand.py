@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..index.build import read_manifest, read_postings, read_term_stats
-from ..index.codec import decode_block
+from ..index.codec import decode_block, varint_decode
 
 
 def _idf(n_docs: int, df: int) -> float:
@@ -76,16 +76,32 @@ def _segment_topk_exhaustive(
 
 
 def _decode_term(blocks) -> tuple[np.ndarray, np.ndarray]:
-    """All blocks of one term → (doc_ids, norms), decoded once."""
+    """All blocks of one term → (doc_ids, norms), ONE varint pass.
+
+    Block payloads concatenate into a single stream (each block's first doc
+    delta is absolute), so one vectorized varint_decode + a per-block
+    prefix subtraction replaces len(blocks) tiny decode_block calls — the
+    same fixed-cost amortization as the build-side whole-segment encoder.
+    tf_bytes are skipped entirely (scoring needs only norms)."""
     if len(blocks) == 1:
         d, _, nr = decode_block(blocks[0])
         return d, nr
-    ds, ns = [], []
-    for blk in blocks:
-        d, _, nr = decode_block(blk)
-        ds.append(d)
-        ns.append(nr)
-    return np.concatenate(ds), np.concatenate(ns)
+
+    def get(b, k):
+        return getattr(b, k) if hasattr(b, k) else b[k]
+
+    ns = np.fromiter((get(b, "n") for b in blocks), dtype=np.int64, count=len(blocks))
+    deltas = varint_decode(
+        b"".join(bytes(get(b, "doc_bytes")) for b in blocks)
+    ).astype(np.int64)
+    ids = np.cumsum(deltas)
+    starts = np.cumsum(ns)[:-1]
+    # undo the cross-block prefix: each block's first value was absolute
+    ids -= np.repeat(np.concatenate([[0], ids[starts - 1]]), ns)
+    norms = np.frombuffer(
+        b"".join(bytes(get(b, "norm_bytes")) for b in blocks), dtype=np.float64
+    )
+    return ids, norms
 
 
 def _segment_topk_batch(
