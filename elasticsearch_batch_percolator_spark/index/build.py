@@ -314,6 +314,12 @@ def build_index(
             # contiguous per-block byte ranges → zero-copy BinaryArray from
             # the single encoded stream (blocks tile the posting space, so
             # block k ends exactly where block k+1 starts)
+            if len(offsets) and int(offsets[-1]) > np.iinfo(np.int32).max:
+                raise ValueError(
+                    "segment payload exceeds 2 GiB (binary offsets are "
+                    "int32) — rebuild with a larger n_segments so each "
+                    "segment's postings fit"
+                )
             offs = offsets.astype(np.int32)
             return pa.Array.from_buffers(
                 pa.binary(),
@@ -515,13 +521,28 @@ def build_index(
 
 
 def _finalize_term_stats(spark: SparkSession, out_dir: str) -> None:
-    """Global (term, df, cf) — a light column scan over all segments."""
+    """Global (term, df, cf) — a light column scan over all segments.
+
+    Output is RANGE-partitioned and sorted by term: term-IN lookups and
+    wildcard ``LIKE 'prefix%'`` scans prune both files and row groups via
+    parquet min/max stats. The old ``coalesce(1)`` single file was a
+    serial write stage (and a non-starter at a 10^12-file corpus whose
+    dictionary alone is billions of rows); file count scales with the
+    dictionary instead — ~4M terms per output task."""
     stats_path = os.path.join(out_dir, "term_stats")
-    (
+    stats = (
         spark.read.parquet(os.path.join(out_dir, "postings"))
         .groupBy("term")
         .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
-        .coalesce(1)
+    )
+    # size from the manifest's per-segment term counts (free upper bound on
+    # the global dictionary) instead of a second aggregation pass
+    manifest = read_manifest(out_dir)
+    n_terms = sum(m.get("terms", 0) for m in manifest.completed.values()) or 1
+    n_files = max(1, math.ceil(n_terms / 4_000_000))
+    (
+        stats.repartitionByRange(n_files, "term")
+        .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(stats_path)
     )
