@@ -57,3 +57,32 @@ def test_block_size_boundary():
     ids = np.arange(n, dtype=np.int64) * 7
     blocks = encode_postings(ids, np.ones(n, dtype=np.int64), np.ones(n), block=128)
     assert [b["n"] for b in blocks] == [128, 128, 128, 1]
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**12), st.integers(1, 1000), st.floats(0.01, 3.0)),
+        min_size=2,
+        max_size=600,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_decode_term_batched_equals_per_block(postings):
+    """operators/wand._decode_term (one varint pass over all blocks) must
+    reproduce per-block decode_block exactly, across block boundaries."""
+    from elasticsearch_batch_percolator_spark.operators.wand import _decode_term
+
+    postings.sort()
+    doc = np.array([p[0] for p in postings], dtype=np.int64)
+    tf = np.array([p[1] for p in postings], dtype=np.int64)
+    nr = np.array([p[2] for p in postings], dtype=np.float64)
+    blocks = encode_postings(doc, tf, nr, block=7)  # tiny block => many blocks
+    got_doc, got_nr = _decode_term(blocks)
+    exp_doc, exp_nr = [], []
+    for b in blocks:
+        d, _, n = decode_block(b)
+        exp_doc.append(d)
+        exp_nr.append(n)
+    assert np.array_equal(got_doc, np.concatenate(exp_doc))
+    assert np.array_equal(got_nr, np.concatenate(exp_nr))
