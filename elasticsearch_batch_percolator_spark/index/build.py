@@ -118,6 +118,7 @@ def build_index(
     lineage: str = "",
     fail_after_segments: int | None = None,
     positions: bool = False,
+    encoder: str | None = None,
 ) -> IndexManifest:
     """Build (or resume) the compressed inverted index for ``docs``
     (doc_id long, tokens array<string>).
@@ -129,7 +130,12 @@ def build_index(
     (delta+varint) — needed only when registered queries include phrases/
     spans that should run index-side (SURVEY.md §7 hard part 2: keep
     positions only where a query needs them; they dominate index size).
+
+    ``encoder``: "arrow" (default; whole-segment vectorized mapInArrow) or
+    "pandas" (the per-term reference path; bit-identical output). Falls
+    back to EBP_INDEX_ENCODER when None.
     """
+    encoder = encoder or os.environ.get("EBP_INDEX_ENCODER", "arrow")
     os.makedirs(out_dir, exist_ok=True)
     manifest = read_manifest(out_dir) if resume else None
     t_start = time.perf_counter()
@@ -324,7 +330,7 @@ def build_index(
             return pa.Array.from_buffers(
                 pa.binary(),
                 len(offs) - 1,
-                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf.tobytes())],
+                [None, pa.py_buffer(offs), pa.py_buffer(buf)],
             )
 
         def _encode_one_segment_arrow(s, parts):
@@ -334,6 +340,14 @@ def build_index(
             if not (counts > 0).any():
                 return None
             flat_ch = pa.chunked_array([f for _, f, _ in parts])
+            if flat_ch.null_count:
+                # the pandas path fails loudly on null token elements
+                # (object lexsort TypeError); match that instead of letting
+                # NaN indices cast to garbage int codes
+                raise ValueError(
+                    "null token elements are not indexable — drop or "
+                    "replace nulls in the tokens array before build_index"
+                )
             enc = pc.dictionary_encode(flat_ch)
             chunks = enc.chunks if isinstance(enc, pa.ChunkedArray) else [enc]
             if len(chunks) > 1 and not all(
@@ -388,7 +402,7 @@ def build_index(
             blk_maxdoc = pdoc[b_ends - 1].astype(np.int64)
             blk_maxnorm = np.maximum.reduceat(norm, b_starts)
             # doc deltas: in-block diffs, absolute at each block start
-            deltas = pdoc.astype(np.int64).copy()
+            deltas = pdoc.copy()
             deltas[1:] -= pdoc[:-1]
             deltas[b_starts] = pdoc[b_starts]
             doc_buf, doc_nb = varint_encode_lens(deltas.astype(np.uint64))
@@ -397,9 +411,7 @@ def build_index(
             cum_tf = np.concatenate([[0], np.cumsum(tf_nb)])
             doc_bytes = _bin_array(doc_buf, cum_doc[bounds])
             tf_bytes = _bin_array(tf_buf, cum_tf[bounds])
-            norm_bytes = _bin_array(
-                np.frombuffer(norm.tobytes(), dtype=np.uint8), bounds * 8
-            )
+            norm_bytes = _bin_array(norm.view(np.uint8), bounds * 8)
             if positions:
                 # delta-encode ALL positions once; deltas reset (absolute) at
                 # every posting start — block slices are byte-identical to
@@ -473,7 +485,7 @@ def build_index(
                     yield rb
 
         t_enc = time.perf_counter()
-        if os.environ.get("EBP_INDEX_ENCODER", "arrow") == "pandas":
+        if encoder == "pandas":
             result = staged.mapInPandas(encode_segments, out_schema)
         else:
             result = staged.mapInArrow(encode_segments_arrow, out_schema)
@@ -513,14 +525,16 @@ def build_index(
 
     if len(manifest.completed) == n_segments:
         t_ts = time.perf_counter()
-        _finalize_term_stats(spark, out_dir)
+        _finalize_term_stats(spark, out_dir, manifest)
         stage["term_stats_s"] = round(time.perf_counter() - t_ts, 3)
         manifest.stage_metrics = stage
         manifest.save(out_dir)
     return manifest
 
 
-def _finalize_term_stats(spark: SparkSession, out_dir: str) -> None:
+def _finalize_term_stats(
+    spark: SparkSession, out_dir: str, manifest: IndexManifest
+) -> None:
     """Global (term, df, cf) — a light column scan over all segments.
 
     Output is RANGE-partitioned and sorted by term: term-IN lookups and
@@ -537,7 +551,6 @@ def _finalize_term_stats(spark: SparkSession, out_dir: str) -> None:
     )
     # size from the manifest's per-segment term counts (free upper bound on
     # the global dictionary) instead of a second aggregation pass
-    manifest = read_manifest(out_dir)
     n_terms = sum(m.get("terms", 0) for m in manifest.completed.values()) or 1
     n_files = max(1, math.ceil(n_terms / 4_000_000))
     (

@@ -83,12 +83,14 @@ def _decode_term(blocks) -> tuple[np.ndarray, np.ndarray]:
     prefix subtraction replaces len(blocks) tiny decode_block calls — the
     same fixed-cost amortization as the build-side whole-segment encoder.
     tf_bytes are skipped entirely (scoring needs only norms)."""
-    if len(blocks) == 1:
-        d, _, nr = decode_block(blocks[0])
-        return d, nr
 
     def get(b, k):
         return getattr(b, k) if hasattr(b, k) else b[k]
+
+    if len(blocks) == 1:
+        b = blocks[0]
+        ids = np.cumsum(varint_decode(bytes(get(b, "doc_bytes"))).astype(np.int64))
+        return ids, np.frombuffer(bytes(get(b, "norm_bytes")), dtype=np.float64)
 
     ns = np.fromiter((get(b, "n") for b in blocks), dtype=np.int64, count=len(blocks))
     deltas = varint_decode(

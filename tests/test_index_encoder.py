@@ -48,7 +48,7 @@ def _collect_index(spark, out_dir):
         blocks = tuple(
             (
                 b["max_doc"],
-                round(b["max_norm"], 12),
+                b["max_norm"],
                 b["n"],
                 bytes(b["doc_bytes"]),
                 bytes(b["tf_bytes"]),
@@ -67,12 +67,8 @@ def test_arrow_encoder_bit_identical(spark, tmp_path, positions, sparse_ids):
     docs = _random_docs(spark, seed=7 + positions + 2 * sparse_ids, n_docs=400,
                         sparse_ids=sparse_ids).cache()
     d_pd, d_ar = str(tmp_path / "pd"), str(tmp_path / "ar")
-    os.environ["EBP_INDEX_ENCODER"] = "pandas"
-    try:
-        build_index(spark, docs, d_pd, n_segments=5, positions=positions)
-    finally:
-        os.environ.pop("EBP_INDEX_ENCODER", None)
-    build_index(spark, docs, d_ar, n_segments=5, positions=positions)
+    build_index(spark, docs, d_pd, n_segments=5, positions=positions, encoder="pandas")
+    build_index(spark, docs, d_ar, n_segments=5, positions=positions, encoder="arrow")
     a, b = _collect_index(spark, d_pd), _collect_index(spark, d_ar)
     assert set(a) == set(b)
     for k in a:
@@ -91,3 +87,18 @@ def test_arrow_encoder_output_sorted_by_term(spark, tmp_path):
     for _, g in pdf.groupby("segment_id"):
         terms = list(g["term"])
         assert terms == sorted(terms)
+
+
+def test_null_token_element_raises(spark, tmp_path):
+    """The arrow encoder must fail loudly on null token elements (the
+    pandas path TypeErrors in its object lexsort) — not cast NaN indices
+    to garbage int codes."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.StringType(), True)),
+        ]
+    )
+    docs = spark.createDataFrame([(0, ["a", None, "b"]), (1, ["b"])], schema)
+    with pytest.raises(Exception, match="null token"):
+        build_index(spark, docs, str(tmp_path / "ix"), n_segments=1)
