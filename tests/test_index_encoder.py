@@ -21,7 +21,11 @@ def _random_docs(spark, seed, n_docs, with_empty=True, sparse_ids=False):
     rng = np.random.default_rng(seed)
     vocab = np.array(
         ["tok%03d" % i for i in range(80)]
-        + ["Zz", "aA", "éacute", "0num", "_und"],
+        + ["Zz", "aA", "éacute", "0num", "_und"]
+        # multi-byte + supplementary-plane: the arrow path sorts by UTF-8
+        # bytes, the pandas path by python str codepoints — identical
+        # orders only because UTF-8 is order-preserving; pin that here
+        + ["ÿ", "Ā", "￿", "\U00010000", "\U0001f600", "日本語"],
         dtype=object,
     )
     rows = []
