@@ -254,6 +254,50 @@ def _q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_appended_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index built over the EVEN doc_ids, then the ODD doc_ids APPENDED as
+    new segments (incremental ingest — the Lucene segment-add model)."""
+    import hashlib
+    import shutil
+
+    from elasticsearch_batch_percolator_spark import __version__
+    from elasticsearch_batch_percolator_spark.index.build import append_index
+
+    tag = hashlib.sha256(f"append:{sf_dir}:{__version__}".encode()).hexdigest()[:12]
+    out = f"/tmp/ebp_index_append_{tag}"
+    m = read_manifest(out)
+    if (
+        m is None
+        or len(m.completed) < m.n_segments
+        or not (m.stage_metrics or {}).get("appends")
+    ):
+        shutil.rmtree(out, ignore_errors=True)
+        docs = _tokens(spark, sf_dir)
+        build_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), out,
+            n_segments=3, lineage=sf_dir,
+        )
+        append_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), out,
+            n_new_segments=2, lineage=f"{sf_dir} (odd half)",
+        )
+    return out
+
+
+def _q_bm25_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental segment append: top-k over an index whose odd-doc_id
+    half arrived AFTER the initial build, via ``append_index``. Scoring
+    contract (Lucene segment-add): norms bake the avgdl FROZEN at the base
+    build (even doc_ids), idf sees the full post-append corpus — the
+    oracle SQL computes exactly that hybrid."""
+    idx = _ensure_appended_index(spark, sf_dir)
+    return topk_from_index(spark, idx, {"q": ["spark", "join"]}, k=10).select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score_r").alias("score_r"),
+    )
+
+
 def _q_wildcard_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4: wildcard query terms through the INDEX search path — the
     pattern expands against the persisted term_stats dictionary (term LIKE
@@ -1078,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_counts": _q_percolate_counts,
         "percolate_auto_fields": _q_percolate_auto_fields,
         "bm25_topk_wand": _q_bm25_topk_wand,
+        "bm25_topk_appended": _q_bm25_topk_appended,
         "wildcard_topk_from_index": _q_wildcard_topk_from_index,
         "wildcard_phrase_from_index": _q_wildcard_phrase_from_index,
         "index_term_stats": _q_index_term_stats,
@@ -1612,6 +1657,33 @@ LIMIT 10
 """,
     }
     out["bm25_topk_wand"] = out["bm25_topk"]  # rank-identity: same oracle
+    # append_index contract: norms use the avgdl FROZEN at the base (even
+    # doc_id) build; idf/df/n span the full post-append corpus
+    out["bm25_topk_appended"] = f"""
+WITH {_TOK_CTES},
+q(term) AS (VALUES ('spark'), ('join')),
+frozen AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl)::DOUBLE FROM dl WHERE doc_id % 2 = 0)
+           / (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS avgdl
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+            * tf.tf * ({K1} + 1) / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN frozen s
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)::BIGINT AS rank,
+       doc_id, round(score, 4) AS score_r
+FROM scored
+ORDER BY rank
+LIMIT 10
+"""
     # wildcard search: the oracle expands 'merg*' against the SAME term
     # dictionary (dfreq = the corpus dict the index persists) in SQL
     out["wildcard_topk_from_index"] = f"""

@@ -78,6 +78,9 @@ class IndexManifest:
     k1: float = BM25_K1
     b: float = BM25_B
     tokenizer: str = "ws"
+    # frozen at first build: a resume or append MUST match (mixed
+    # positional / non-positional segments would break index-side phrases)
+    positions: bool = False
     input_lineage: str = ""
     completed: dict = field(default_factory=dict)  # seg_id(str) -> metrics
     # sparse-id segmentation: doc_id cut points (len n_segments-1) frozen at
@@ -106,6 +109,338 @@ def read_manifest(out_dir: str) -> IndexManifest | None:
         return None
     with open(p) as f:
         return IndexManifest(**json.load(f))
+
+
+def _write_segments(
+    spark: SparkSession,
+    staged: DataFrame,
+    out_dir: str,
+    seg_ids: list[int],
+    manifest: IndexManifest,
+    *,
+    encoder: str,
+    stage: dict,
+    t_start: float,
+    save: bool = True,
+) -> None:
+    """Encode ``staged`` (segment_id, doc_id, tokens) rows into compressed
+    posting segments and record per-segment metrics into the manifest.
+    Shared by build_index and append_index; every scoring stat (avgdl, k1,
+    b, block, positions) comes from the manifest — FROZEN at first build so
+    resumed and appended segments score on the same scale.
+
+    ``save=False`` (the append path) leaves the on-disk manifest untouched:
+    the caller saves once, AFTER updating n_segments/n_docs, so a failed
+    append leaves a clean pre-append manifest and a re-run deterministically
+    overwrites the same segment ids."""
+    avgdl, k1, b = manifest.avgdl, manifest.k1, manifest.b
+    block, positions = manifest.block, bool(manifest.positions)
+    out_schema = T.StructType(
+        [
+            T.StructField("segment_id", T.IntegerType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("df", T.LongType()),
+            T.StructField("cf", T.LongType()),
+            T.StructField("blocks", BLOCKS_TYPE),
+        ]
+    )
+
+    def encode_segments(batches):
+        # accumulate the partition's doc rows per segment (a partition
+        # holds only whole segments — same key, same partition)
+        per_seg: dict[int, list] = {}
+        for pdf in batches:
+            for s, grp in pdf.groupby("segment_id"):
+                per_seg.setdefault(int(s), []).append(
+                    (grp["doc_id"].to_numpy(), grp["tokens"])
+                )
+        for s in sorted(per_seg):
+            doc_arrs, tok_lists = [], []
+            for doc_ids, toks in per_seg[s]:
+                doc_arrs.append(doc_ids)
+                tok_lists.extend(np.asarray(t) for t in toks)
+            doc_ids = np.concatenate(doc_arrs)
+            counts = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            keep = counts > 0
+            if not keep.any():
+                continue
+            # flat occurrence arrays: token, its doc, its in-doc position
+            flat_tok = np.concatenate([t for t, k in zip(tok_lists, keep) if k])
+            flat_doc = np.repeat(doc_ids[keep], counts[keep])
+            flat_dl = np.repeat(counts[keep], counts[keep])
+            if positions:
+                flat_pos = np.concatenate(
+                    [np.arange(c, dtype=np.int64) for c in counts[keep]]
+                )
+            # ONE stable lexsort by (term, doc): runs of equal (term,
+            # doc) are the postings' tf groups; positions stay ascending
+            # within each run (stability + ascending original order)
+            order = np.lexsort((flat_doc, flat_tok))
+            flat_tok = flat_tok[order]
+            flat_doc = flat_doc[order]
+            flat_dl = flat_dl[order]
+            if positions:
+                flat_pos = flat_pos[order]
+            pair_change = np.flatnonzero(
+                (flat_tok[1:] != flat_tok[:-1]) | (flat_doc[1:] != flat_doc[:-1])
+            )
+            p_starts = np.concatenate([[0], pair_change + 1])
+            p_ends = np.concatenate([pair_change + 1, [len(flat_tok)]])
+            term = flat_tok[p_starts]
+            doc = flat_doc[p_starts]
+            tf = (p_ends - p_starts).astype(np.int64)
+            dlv = flat_dl[p_starts]
+            norm = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dlv / avgdl))
+            # term runs over the (term, doc) rows
+            t_change = np.flatnonzero(term[1:] != term[:-1])
+            t_starts = np.concatenate([[0], t_change + 1])
+            t_ends = np.concatenate([t_change + 1, [len(term)]])
+            terms_out, dfs_out, cfs_out, blocks_out = [], [], [], []
+            for ts, te in zip(t_starts, t_ends):
+                gpos = None
+                if positions:
+                    gpos = flat_pos[p_starts[ts] : p_ends[te - 1]]
+                terms_out.append(term[ts])
+                dfs_out.append(int(te - ts))
+                cfs_out.append(int(tf[ts:te].sum()))
+                blocks_out.append(
+                    encode_postings(
+                        doc[ts:te], tf[ts:te], norm[ts:te],
+                        block=block, positions_flat=gpos,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "segment_id": np.full(len(terms_out), s, dtype=np.int32),
+                    "term": terms_out,
+                    "df": dfs_out,
+                    "cf": cfs_out,
+                    "blocks": blocks_out,
+                }
+            )
+
+    _BLOCK_PA = pa.struct(
+        [
+            ("max_doc", pa.int64()),
+            ("max_norm", pa.float64()),
+            ("n", pa.int32()),
+            ("doc_bytes", pa.binary()),
+            ("tf_bytes", pa.binary()),
+            ("norm_bytes", pa.binary()),
+            ("pos_bytes", pa.binary()),
+        ]
+    )
+
+    def _bin_array(buf: np.ndarray, offsets: np.ndarray) -> pa.Array:
+        # contiguous per-block byte ranges → zero-copy BinaryArray from
+        # the single encoded stream (blocks tile the posting space, so
+        # block k ends exactly where block k+1 starts)
+        if len(offsets) and int(offsets[-1]) > np.iinfo(np.int32).max:
+            raise ValueError(
+                "segment payload exceeds 2 GiB (binary offsets are "
+                "int32) — rebuild with a larger n_segments so each "
+                "segment's postings fit"
+            )
+        offs = offsets.astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(),
+            len(offs) - 1,
+            [None, pa.py_buffer(offs), pa.py_buffer(buf)],
+        )
+
+    def _encode_one_segment_arrow(s, parts):
+        # parts: list of (doc_ids int64[], flat pa.StringArray, counts int64[])
+        doc_ids = np.concatenate([d for d, _, _ in parts])
+        counts = np.concatenate([c for _, _, c in parts])
+        if not (counts > 0).any():
+            return None
+        flat_ch = pa.chunked_array([f for _, f, _ in parts])
+        if flat_ch.null_count:
+            # the pandas path fails loudly on null token elements
+            # (object lexsort TypeError); match that instead of letting
+            # NaN indices cast to garbage int codes
+            raise ValueError(
+                "null token elements are not indexable — drop or "
+                "replace nulls in the tokens array before build_index"
+            )
+        enc = pc.dictionary_encode(flat_ch)
+        chunks = enc.chunks if isinstance(enc, pa.ChunkedArray) else [enc]
+        if len(chunks) > 1 and not all(
+            c.dictionary.equals(chunks[0].dictionary) for c in chunks[1:]
+        ):
+            # kernel didn't unify dictionaries across chunks — force it
+            chunks = [pc.dictionary_encode(flat_ch.combine_chunks())]
+        dictionary = chunks[0].dictionary
+        codes = np.concatenate(
+            [c.indices.to_numpy(zero_copy_only=False) for c in chunks]
+        ).astype(np.int64)
+        # remap first-appearance codes to lexicographic ranks (UTF-8 byte
+        # order == code-point order, matching python str comparison)
+        si = pc.sort_indices(dictionary).to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = np.empty(len(si), dtype=np.int64)
+        rank[si] = np.arange(len(si))
+        sorted_dict = pc.take(dictionary, pa.array(si))
+        rcodes = rank[codes]
+        flat_doc = np.repeat(doc_ids, counts)
+        flat_dl = np.repeat(counts, counts)
+        if positions:
+            tot = int(counts.sum())
+            run_off = np.repeat(np.cumsum(counts) - counts, counts)
+            flat_pos = np.arange(tot, dtype=np.int64) - run_off
+        # ONE stable int lexsort by (term rank, doc) — same order as the
+        # object-string lexsort, minus the per-element python compares
+        order = np.lexsort((flat_doc, rcodes))
+        rc = rcodes[order]
+        fd = flat_doc[order]
+        dl = flat_dl[order]
+        if positions:
+            fp = flat_pos[order]
+        pair_change = np.flatnonzero((rc[1:] != rc[:-1]) | (fd[1:] != fd[:-1]))
+        p_starts = np.concatenate([[0], pair_change + 1])
+        p_ends = np.concatenate([pair_change + 1, [len(rc)]])
+        pterm = rc[p_starts]
+        pdoc = fd[p_starts]
+        ptf = (p_ends - p_starts).astype(np.int64)
+        pdl = dl[p_starts]
+        norm = (ptf * (k1 + 1.0)) / (ptf + k1 * (1.0 - b + b * pdl / avgdl))
+        P = len(pterm)
+        t_change = np.flatnonzero(pterm[1:] != pterm[:-1])
+        t_starts = np.concatenate([[0], t_change + 1])
+        t_ends = np.concatenate([t_change + 1, [P]])
+        run_len = (t_ends - t_starts).astype(np.int64)
+        # block boundaries: every `block`-th posting within a term run
+        idx_in_term = np.arange(P, dtype=np.int64) - np.repeat(t_starts, run_len)
+        b_starts = np.flatnonzero(idx_in_term % block == 0)
+        b_ends = np.concatenate([b_starts[1:], [P]])
+        bounds = np.concatenate([b_starts, [P]])
+        n_blk = (b_ends - b_starts).astype(np.int32)
+        blk_maxdoc = pdoc[b_ends - 1].astype(np.int64)
+        blk_maxnorm = np.maximum.reduceat(norm, b_starts)
+        # doc deltas: in-block diffs, absolute at each block start
+        deltas = pdoc.copy()
+        deltas[1:] -= pdoc[:-1]
+        deltas[b_starts] = pdoc[b_starts]
+        doc_buf, doc_nb = varint_encode_lens(deltas.astype(np.uint64))
+        tf_buf, tf_nb = varint_encode_lens(ptf.astype(np.uint64))
+        cum_doc = np.concatenate([[0], np.cumsum(doc_nb)])
+        cum_tf = np.concatenate([[0], np.cumsum(tf_nb)])
+        doc_bytes = _bin_array(doc_buf, cum_doc[bounds])
+        tf_bytes = _bin_array(tf_buf, cum_tf[bounds])
+        norm_bytes = _bin_array(norm.view(np.uint8), bounds * 8)
+        if positions:
+            # delta-encode ALL positions once; deltas reset (absolute) at
+            # every posting start — block slices are byte-identical to
+            # per-block encode_positions because blocks align to postings
+            pb = np.concatenate([[0], np.cumsum(ptf)]).astype(np.int64)
+            pdeltas = fp.copy()
+            pdeltas[1:] -= fp[:-1]
+            pdeltas[pb[:-1]] = fp[pb[:-1]]
+            pos_buf, pos_nb = varint_encode_lens(pdeltas.astype(np.uint64))
+            cum_pos = np.concatenate([[0], np.cumsum(pos_nb)])
+            pos_bytes = _bin_array(pos_buf, cum_pos[pb[bounds]])
+        else:
+            pos_bytes = pa.nulls(len(b_starts), pa.binary())
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(blk_maxdoc, pa.int64()),
+                pa.array(blk_maxnorm, pa.float64()),
+                pa.array(n_blk, pa.int32()),
+                doc_bytes,
+                tf_bytes,
+                norm_bytes,
+                pos_bytes,
+            ],
+            fields=list(_BLOCK_PA),
+        )
+        nbpt = (run_len + block - 1) // block
+        list_offsets = np.concatenate([[0], np.cumsum(nbpt)]).astype(np.int32)
+        blocks_arr = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)
+        term_arr = pc.take(sorted_dict, pa.array(pterm[t_starts]))
+        cf = np.add.reduceat(ptf, t_starts).astype(np.int64)
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.full(len(t_starts), s, dtype=np.int32)),
+                term_arr.combine_chunks() if isinstance(term_arr, pa.ChunkedArray) else term_arr,
+                pa.array(run_len, pa.int64()),
+                pa.array(cf, pa.int64()),
+                blocks_arr,
+            ],
+            names=["segment_id", "term", "df", "cf", "blocks"],
+        )
+
+    def encode_segments_arrow(batches):
+        # same accumulate-then-encode shape as encode_segments, but the
+        # token strings never materialize as python objects: Arrow
+        # list_flatten + dictionary_encode (C++), int lexsort, and a
+        # single whole-segment varint pass sliced into blocks by offset
+        # arithmetic (encode_postings per term is ~30k tiny-array calls
+        # per segment; this is three big ones)
+        per_seg: dict[int, list] = {}
+        for rb in batches:
+            seg = rb.column(0).to_numpy(zero_copy_only=False)
+            docs = rb.column(1).to_numpy(zero_copy_only=False)
+            toks = rb.column(2)
+            for s in np.unique(seg):
+                mask = seg == s
+                if mask.all():
+                    sub_t, sub_d = toks, docs
+                else:
+                    sub_t = toks.take(pa.array(np.flatnonzero(mask)))
+                    sub_d = docs[mask]
+                flat = pc.list_flatten(sub_t)
+                cnts = (
+                    pc.fill_null(pc.list_value_length(sub_t), 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                per_seg.setdefault(int(s), []).append((sub_d, flat, cnts))
+        for s in sorted(per_seg):
+            rb = _encode_one_segment_arrow(s, per_seg[s])
+            if rb is not None:
+                yield rb
+
+    t_enc = time.perf_counter()
+    if encoder == "pandas":
+        result = staged.mapInPandas(encode_segments, out_schema)
+    else:
+        result = staged.mapInArrow(encode_segments_arrow, out_schema)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    result.write.partitionBy("segment_id").mode("overwrite").parquet(
+        os.path.join(out_dir, "postings")
+    )
+    stage["encode_merge_s"] = round(time.perf_counter() - t_enc, 3)
+    if stage["encode_merge_s"] > 0:
+        stage["docs_per_sec"] = round(
+            manifest.n_docs / stage["encode_merge_s"], 1
+        )
+
+    # per-segment metrics (rows/terms/postings) from the written files
+    t_met = time.perf_counter()
+    written = spark.read.parquet(os.path.join(out_dir, "postings")).filter(
+        F.col("segment_id").isin(seg_ids)
+    )
+    metrics = {
+        str(r["segment_id"]): {
+            "terms": int(r["terms"]),
+            "postings": int(r["postings"]),
+            "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        for r in written.groupBy("segment_id")
+        .agg(F.count(F.lit(1)).alias("terms"), F.sum("df").alias("postings"))
+        .collect()
+    }
+    stage["segment_metrics_s"] = round(time.perf_counter() - t_met, 3)
+    elapsed = time.perf_counter() - t_start
+    for s in seg_ids:
+        m = metrics.get(str(s), {"terms": 0, "postings": 0})
+        m["wall_clock_share_s"] = round(elapsed / len(seg_ids), 3)
+        manifest.completed[str(s)] = m
+    manifest.stage_metrics = stage
+    if save:
+        manifest.save(out_dir)
+
 
 
 def build_index(
@@ -175,13 +510,17 @@ def build_index(
             n_segments=n_segments,
             seg_size=seg_size,
             block=block,
+            positions=positions,
             input_lineage=lineage,
             boundaries=boundaries,
         )
         manifest.save(out_dir)
-    # frozen stats from the manifest — a resume MUST score identically
+    # frozen stats from the manifest — a resume MUST score identically,
+    # and MUST keep the original positional choice (a resume called with a
+    # different positions flag would silently mix segment layouts)
     avgdl, seg_size, n_segments = manifest.avgdl, manifest.seg_size, manifest.n_segments
     k1, b = manifest.k1, manifest.b
+    positions = bool(manifest.positions)
     boundaries = list(manifest.boundaries or [])
 
     missing = [s for s in range(n_segments) if str(s) not in manifest.completed]
@@ -218,310 +557,10 @@ def build_index(
             .repartition(n_segments, "segment_id")
         )
 
-        out_schema = T.StructType(
-            [
-                T.StructField("segment_id", T.IntegerType()),
-                T.StructField("term", T.StringType()),
-                T.StructField("df", T.LongType()),
-                T.StructField("cf", T.LongType()),
-                T.StructField("blocks", BLOCKS_TYPE),
-            ]
+        _write_segments(
+            spark, staged, out_dir, missing, manifest,
+            encoder=encoder, stage=stage, t_start=t_start,
         )
-
-        def encode_segments(batches):
-            # accumulate the partition's doc rows per segment (a partition
-            # holds only whole segments — same key, same partition)
-            per_seg: dict[int, list] = {}
-            for pdf in batches:
-                for s, grp in pdf.groupby("segment_id"):
-                    per_seg.setdefault(int(s), []).append(
-                        (grp["doc_id"].to_numpy(), grp["tokens"])
-                    )
-            for s in sorted(per_seg):
-                doc_arrs, tok_lists = [], []
-                for doc_ids, toks in per_seg[s]:
-                    doc_arrs.append(doc_ids)
-                    tok_lists.extend(np.asarray(t) for t in toks)
-                doc_ids = np.concatenate(doc_arrs)
-                counts = np.fromiter(
-                    (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
-                )
-                keep = counts > 0
-                if not keep.any():
-                    continue
-                # flat occurrence arrays: token, its doc, its in-doc position
-                flat_tok = np.concatenate([t for t, k in zip(tok_lists, keep) if k])
-                flat_doc = np.repeat(doc_ids[keep], counts[keep])
-                flat_dl = np.repeat(counts[keep], counts[keep])
-                if positions:
-                    flat_pos = np.concatenate(
-                        [np.arange(c, dtype=np.int64) for c in counts[keep]]
-                    )
-                # ONE stable lexsort by (term, doc): runs of equal (term,
-                # doc) are the postings' tf groups; positions stay ascending
-                # within each run (stability + ascending original order)
-                order = np.lexsort((flat_doc, flat_tok))
-                flat_tok = flat_tok[order]
-                flat_doc = flat_doc[order]
-                flat_dl = flat_dl[order]
-                if positions:
-                    flat_pos = flat_pos[order]
-                pair_change = np.flatnonzero(
-                    (flat_tok[1:] != flat_tok[:-1]) | (flat_doc[1:] != flat_doc[:-1])
-                )
-                p_starts = np.concatenate([[0], pair_change + 1])
-                p_ends = np.concatenate([pair_change + 1, [len(flat_tok)]])
-                term = flat_tok[p_starts]
-                doc = flat_doc[p_starts]
-                tf = (p_ends - p_starts).astype(np.int64)
-                dlv = flat_dl[p_starts]
-                norm = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dlv / avgdl))
-                # term runs over the (term, doc) rows
-                t_change = np.flatnonzero(term[1:] != term[:-1])
-                t_starts = np.concatenate([[0], t_change + 1])
-                t_ends = np.concatenate([t_change + 1, [len(term)]])
-                terms_out, dfs_out, cfs_out, blocks_out = [], [], [], []
-                for ts, te in zip(t_starts, t_ends):
-                    gpos = None
-                    if positions:
-                        gpos = flat_pos[p_starts[ts] : p_ends[te - 1]]
-                    terms_out.append(term[ts])
-                    dfs_out.append(int(te - ts))
-                    cfs_out.append(int(tf[ts:te].sum()))
-                    blocks_out.append(
-                        encode_postings(
-                            doc[ts:te], tf[ts:te], norm[ts:te],
-                            block=block, positions_flat=gpos,
-                        )
-                    )
-                yield pd.DataFrame(
-                    {
-                        "segment_id": np.full(len(terms_out), s, dtype=np.int32),
-                        "term": terms_out,
-                        "df": dfs_out,
-                        "cf": cfs_out,
-                        "blocks": blocks_out,
-                    }
-                )
-
-        _BLOCK_PA = pa.struct(
-            [
-                ("max_doc", pa.int64()),
-                ("max_norm", pa.float64()),
-                ("n", pa.int32()),
-                ("doc_bytes", pa.binary()),
-                ("tf_bytes", pa.binary()),
-                ("norm_bytes", pa.binary()),
-                ("pos_bytes", pa.binary()),
-            ]
-        )
-
-        def _bin_array(buf: np.ndarray, offsets: np.ndarray) -> pa.Array:
-            # contiguous per-block byte ranges → zero-copy BinaryArray from
-            # the single encoded stream (blocks tile the posting space, so
-            # block k ends exactly where block k+1 starts)
-            if len(offsets) and int(offsets[-1]) > np.iinfo(np.int32).max:
-                raise ValueError(
-                    "segment payload exceeds 2 GiB (binary offsets are "
-                    "int32) — rebuild with a larger n_segments so each "
-                    "segment's postings fit"
-                )
-            offs = offsets.astype(np.int32)
-            return pa.Array.from_buffers(
-                pa.binary(),
-                len(offs) - 1,
-                [None, pa.py_buffer(offs), pa.py_buffer(buf)],
-            )
-
-        def _encode_one_segment_arrow(s, parts):
-            # parts: list of (doc_ids int64[], flat pa.StringArray, counts int64[])
-            doc_ids = np.concatenate([d for d, _, _ in parts])
-            counts = np.concatenate([c for _, _, c in parts])
-            if not (counts > 0).any():
-                return None
-            flat_ch = pa.chunked_array([f for _, f, _ in parts])
-            if flat_ch.null_count:
-                # the pandas path fails loudly on null token elements
-                # (object lexsort TypeError); match that instead of letting
-                # NaN indices cast to garbage int codes
-                raise ValueError(
-                    "null token elements are not indexable — drop or "
-                    "replace nulls in the tokens array before build_index"
-                )
-            enc = pc.dictionary_encode(flat_ch)
-            chunks = enc.chunks if isinstance(enc, pa.ChunkedArray) else [enc]
-            if len(chunks) > 1 and not all(
-                c.dictionary.equals(chunks[0].dictionary) for c in chunks[1:]
-            ):
-                # kernel didn't unify dictionaries across chunks — force it
-                chunks = [pc.dictionary_encode(flat_ch.combine_chunks())]
-            dictionary = chunks[0].dictionary
-            codes = np.concatenate(
-                [c.indices.to_numpy(zero_copy_only=False) for c in chunks]
-            ).astype(np.int64)
-            # remap first-appearance codes to lexicographic ranks (UTF-8 byte
-            # order == code-point order, matching python str comparison)
-            si = pc.sort_indices(dictionary).to_numpy(zero_copy_only=False).astype(np.int64)
-            rank = np.empty(len(si), dtype=np.int64)
-            rank[si] = np.arange(len(si))
-            sorted_dict = pc.take(dictionary, pa.array(si))
-            rcodes = rank[codes]
-            flat_doc = np.repeat(doc_ids, counts)
-            flat_dl = np.repeat(counts, counts)
-            if positions:
-                tot = int(counts.sum())
-                run_off = np.repeat(np.cumsum(counts) - counts, counts)
-                flat_pos = np.arange(tot, dtype=np.int64) - run_off
-            # ONE stable int lexsort by (term rank, doc) — same order as the
-            # object-string lexsort, minus the per-element python compares
-            order = np.lexsort((flat_doc, rcodes))
-            rc = rcodes[order]
-            fd = flat_doc[order]
-            dl = flat_dl[order]
-            if positions:
-                fp = flat_pos[order]
-            pair_change = np.flatnonzero((rc[1:] != rc[:-1]) | (fd[1:] != fd[:-1]))
-            p_starts = np.concatenate([[0], pair_change + 1])
-            p_ends = np.concatenate([pair_change + 1, [len(rc)]])
-            pterm = rc[p_starts]
-            pdoc = fd[p_starts]
-            ptf = (p_ends - p_starts).astype(np.int64)
-            pdl = dl[p_starts]
-            norm = (ptf * (k1 + 1.0)) / (ptf + k1 * (1.0 - b + b * pdl / avgdl))
-            P = len(pterm)
-            t_change = np.flatnonzero(pterm[1:] != pterm[:-1])
-            t_starts = np.concatenate([[0], t_change + 1])
-            t_ends = np.concatenate([t_change + 1, [P]])
-            run_len = (t_ends - t_starts).astype(np.int64)
-            # block boundaries: every `block`-th posting within a term run
-            idx_in_term = np.arange(P, dtype=np.int64) - np.repeat(t_starts, run_len)
-            b_starts = np.flatnonzero(idx_in_term % block == 0)
-            b_ends = np.concatenate([b_starts[1:], [P]])
-            bounds = np.concatenate([b_starts, [P]])
-            n_blk = (b_ends - b_starts).astype(np.int32)
-            blk_maxdoc = pdoc[b_ends - 1].astype(np.int64)
-            blk_maxnorm = np.maximum.reduceat(norm, b_starts)
-            # doc deltas: in-block diffs, absolute at each block start
-            deltas = pdoc.copy()
-            deltas[1:] -= pdoc[:-1]
-            deltas[b_starts] = pdoc[b_starts]
-            doc_buf, doc_nb = varint_encode_lens(deltas.astype(np.uint64))
-            tf_buf, tf_nb = varint_encode_lens(ptf.astype(np.uint64))
-            cum_doc = np.concatenate([[0], np.cumsum(doc_nb)])
-            cum_tf = np.concatenate([[0], np.cumsum(tf_nb)])
-            doc_bytes = _bin_array(doc_buf, cum_doc[bounds])
-            tf_bytes = _bin_array(tf_buf, cum_tf[bounds])
-            norm_bytes = _bin_array(norm.view(np.uint8), bounds * 8)
-            if positions:
-                # delta-encode ALL positions once; deltas reset (absolute) at
-                # every posting start — block slices are byte-identical to
-                # per-block encode_positions because blocks align to postings
-                pb = np.concatenate([[0], np.cumsum(ptf)]).astype(np.int64)
-                pdeltas = fp.copy()
-                pdeltas[1:] -= fp[:-1]
-                pdeltas[pb[:-1]] = fp[pb[:-1]]
-                pos_buf, pos_nb = varint_encode_lens(pdeltas.astype(np.uint64))
-                cum_pos = np.concatenate([[0], np.cumsum(pos_nb)])
-                pos_bytes = _bin_array(pos_buf, cum_pos[pb[bounds]])
-            else:
-                pos_bytes = pa.nulls(len(b_starts), pa.binary())
-            struct = pa.StructArray.from_arrays(
-                [
-                    pa.array(blk_maxdoc, pa.int64()),
-                    pa.array(blk_maxnorm, pa.float64()),
-                    pa.array(n_blk, pa.int32()),
-                    doc_bytes,
-                    tf_bytes,
-                    norm_bytes,
-                    pos_bytes,
-                ],
-                fields=list(_BLOCK_PA),
-            )
-            nbpt = (run_len + block - 1) // block
-            list_offsets = np.concatenate([[0], np.cumsum(nbpt)]).astype(np.int32)
-            blocks_arr = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)
-            term_arr = pc.take(sorted_dict, pa.array(pterm[t_starts]))
-            cf = np.add.reduceat(ptf, t_starts).astype(np.int64)
-            return pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.full(len(t_starts), s, dtype=np.int32)),
-                    term_arr.combine_chunks() if isinstance(term_arr, pa.ChunkedArray) else term_arr,
-                    pa.array(run_len, pa.int64()),
-                    pa.array(cf, pa.int64()),
-                    blocks_arr,
-                ],
-                names=["segment_id", "term", "df", "cf", "blocks"],
-            )
-
-        def encode_segments_arrow(batches):
-            # same accumulate-then-encode shape as encode_segments, but the
-            # token strings never materialize as python objects: Arrow
-            # list_flatten + dictionary_encode (C++), int lexsort, and a
-            # single whole-segment varint pass sliced into blocks by offset
-            # arithmetic (encode_postings per term is ~30k tiny-array calls
-            # per segment; this is three big ones)
-            per_seg: dict[int, list] = {}
-            for rb in batches:
-                seg = rb.column(0).to_numpy(zero_copy_only=False)
-                docs = rb.column(1).to_numpy(zero_copy_only=False)
-                toks = rb.column(2)
-                for s in np.unique(seg):
-                    mask = seg == s
-                    if mask.all():
-                        sub_t, sub_d = toks, docs
-                    else:
-                        sub_t = toks.take(pa.array(np.flatnonzero(mask)))
-                        sub_d = docs[mask]
-                    flat = pc.list_flatten(sub_t)
-                    cnts = (
-                        pc.fill_null(pc.list_value_length(sub_t), 0)
-                        .to_numpy(zero_copy_only=False)
-                        .astype(np.int64)
-                    )
-                    per_seg.setdefault(int(s), []).append((sub_d, flat, cnts))
-            for s in sorted(per_seg):
-                rb = _encode_one_segment_arrow(s, per_seg[s])
-                if rb is not None:
-                    yield rb
-
-        t_enc = time.perf_counter()
-        if encoder == "pandas":
-            result = staged.mapInPandas(encode_segments, out_schema)
-        else:
-            result = staged.mapInArrow(encode_segments_arrow, out_schema)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        result.write.partitionBy("segment_id").mode("overwrite").parquet(
-            os.path.join(out_dir, "postings")
-        )
-        stage["encode_merge_s"] = round(time.perf_counter() - t_enc, 3)
-        if stage["encode_merge_s"] > 0:
-            stage["docs_per_sec"] = round(
-                manifest.n_docs / stage["encode_merge_s"], 1
-            )
-
-        # per-segment metrics (rows/terms/postings) from the written files
-        t_met = time.perf_counter()
-        written = spark.read.parquet(os.path.join(out_dir, "postings")).filter(
-            F.col("segment_id").isin(missing)
-        )
-        metrics = {
-            str(r["segment_id"]): {
-                "terms": int(r["terms"]),
-                "postings": int(r["postings"]),
-                "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            }
-            for r in written.groupBy("segment_id")
-            .agg(F.count(F.lit(1)).alias("terms"), F.sum("df").alias("postings"))
-            .collect()
-        }
-        stage["segment_metrics_s"] = round(time.perf_counter() - t_met, 3)
-        elapsed = time.perf_counter() - t_start
-        for s in missing:
-            m = metrics.get(str(s), {"terms": 0, "postings": 0})
-            m["wall_clock_share_s"] = round(elapsed / len(missing), 3)
-            manifest.completed[str(s)] = m
-        manifest.stage_metrics = stage
-        manifest.save(out_dir)
 
     if len(manifest.completed) == n_segments:
         t_ts = time.perf_counter()
@@ -529,6 +568,96 @@ def build_index(
         stage["term_stats_s"] = round(time.perf_counter() - t_ts, 3)
         manifest.stage_metrics = stage
         manifest.save(out_dir)
+    return manifest
+
+
+def append_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n_new_segments: int = 8,
+    encoder: str | None = None,
+    lineage: str = "",
+) -> IndexManifest:
+    """Append NEW documents to a COMPLETE index as additional segments.
+
+    This is how 10^12-file corpora actually arrive: incrementally, as
+    micro-batches — a full rebuild per batch is a non-starter. Appending
+    follows the Lucene segment-add model the reference's shards inherit
+    (new segments join the searcher; collection stats drift until a
+    rebuild): scoring stats (avgdl, k1, b, block, positions) stay FROZEN
+    from the original manifest, because norms bake avgdl at encode time —
+    per-append avgdl would make scores incomparable across segments. idf
+    DOES see the updated ``n_docs`` at query time, exactly as Lucene's
+    collection statistics do when segments are added. ``term_stats`` is
+    refreshed over all segments after the write.
+
+    Caller contract: appended ``doc_id``s are NEW (disjoint from every
+    existing segment) — a re-used id would score as two documents.
+
+    Appended segments get ids ``n_segments .. n_segments+k-1`` and are
+    range-cut on the new batch's own doc_id quantiles (appends need no
+    relation to the original id space). The manifest records each append
+    (rows, segments, lineage) under ``stage_metrics['appends']``; a failed
+    append leaves the manifest untouched and can simply be re-run (segment
+    writes are dynamic-partition overwrites of deterministic ids).
+    """
+    encoder = encoder or os.environ.get("EBP_INDEX_ENCODER", "arrow")
+    manifest = read_manifest(out_dir)
+    if manifest is None:
+        raise ValueError(f"no index manifest at {out_dir} — build_index first")
+    if len(manifest.completed) != manifest.n_segments:
+        raise ValueError(
+            "append requires a COMPLETE index — resume the pending "
+            "build_index first"
+        )
+    t_start = time.perf_counter()
+    stage: dict = dict(manifest.stage_metrics or {})
+
+    row = docs.agg(F.count(F.lit(1)).alias("n")).first()
+    n_new = int(row["n"])
+    if n_new == 0:
+        return manifest
+    first_new = manifest.n_segments
+    k = max(1, min(n_new_segments, n_new))
+    if k > 1:
+        qs = [i / k for i in range(1, k)]
+        cuts = [int(x) for x in docs.stat.approxQuantile("doc_id", qs, 0.001)]
+        seg_col = (
+            sum((F.col("doc_id") > F.lit(int(c))).cast("int") for c in cuts)
+            + F.lit(first_new)
+        ).cast("int")
+    else:
+        seg_col = F.lit(first_new).cast("int")
+    new_ids = list(range(first_new, first_new + k))
+    staged = (
+        docs.withColumn("segment_id", seg_col)
+        .select("segment_id", "doc_id", "tokens")
+        .repartition(k, "segment_id")
+    )
+    _write_segments(
+        spark, staged, out_dir, new_ids, manifest,
+        encoder=encoder, stage=stage, t_start=t_start, save=False,
+    )
+    if stage.get("encode_merge_s"):
+        stage["docs_per_sec"] = round(n_new / stage["encode_merge_s"], 1)
+    manifest.n_segments += k
+    manifest.n_docs += n_new
+    appends = list(stage.get("appends", []))
+    appends.append(
+        {
+            "rows": n_new,
+            "segments": new_ids,
+            "lineage": lineage,
+            "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+    )
+    stage["appends"] = appends
+    t_ts = time.perf_counter()
+    _finalize_term_stats(spark, out_dir, manifest)
+    stage["term_stats_s"] = round(time.perf_counter() - t_ts, 3)
+    manifest.stage_metrics = stage
+    manifest.save(out_dir)
     return manifest
 
 

@@ -1,0 +1,151 @@
+"""Incremental segment append (the Lucene segment-add model).
+
+New document micro-batches join a COMPLETE index as additional segments:
+scoring stats (avgdl/k1/b/block/positions) stay frozen from the original
+manifest (norms bake avgdl at encode time — per-append avgdl would make
+scores incomparable across segments), while idf sees the updated n_docs,
+exactly Lucene's collection-statistics behavior on segment add. Scores
+are checked against an independent python oracle computing BM25 with the
+FROZEN avgdl over the combined corpus.
+"""
+
+import math
+import os
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from elasticsearch_batch_percolator_spark.index.build import (
+    append_index,
+    build_index,
+    read_manifest,
+)
+from elasticsearch_batch_percolator_spark.operators.wand import topk_from_index
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rand_rows(seed, ids, vocab_n=40):
+    rng = np.random.default_rng(seed)
+    vocab = ["w%02d" % i for i in range(vocab_n)]
+    return [
+        (int(d), [vocab[j] for j in rng.integers(0, vocab_n, rng.integers(1, 25))])
+        for d in ids
+    ]
+
+
+def _oracle_topk(all_docs, terms, frozen_avgdl, k=10):
+    """BM25 with FROZEN avgdl (append contract) and live n/df."""
+    n = len(all_docs)
+    tfs = {d: Counter(t) for d, t in all_docs.items()}
+    df = Counter()
+    for c in tfs.values():
+        for t in set(c):
+            df[t] += 1
+    out = {}
+    for d, c in tfs.items():
+        s = 0.0
+        dl = sum(c.values())
+        for t in set(terms):
+            tf = c.get(t, 0)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / frozen_avgdl))
+        if s > 0:
+            out[d] = s
+    return sorted(out.items(), key=lambda kv: (-round(kv[1], 4), kv[0]))[:k]
+
+
+def test_append_scores_match_frozen_avgdl_oracle(spark, tmp_path):
+    base_rows = _rand_rows(1, range(0, 300))
+    new_rows = _rand_rows(2, range(1000, 1150))
+    out = str(tmp_path / "ix")
+    build_index(spark, _docs(spark, base_rows), out, n_segments=4)
+    m0 = read_manifest(out)
+    m = append_index(spark, _docs(spark, new_rows), out, n_new_segments=3)
+    assert m.n_segments == 7 and m.n_docs == 450
+    assert len(m.completed) == 7
+    assert m.avgdl == m0.avgdl  # frozen
+    assert m.stage_metrics["appends"][0]["rows"] == 150
+
+    all_docs = {d: t for d, t in base_rows + new_rows}
+    queries = {"q1": ["w00", "w07"], "q2": ["w13"], "q3": ["w21", "w02", "w33"]}
+    got = topk_from_index(spark, out, queries, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, terms in queries.items():
+        exp = _oracle_topk(all_docs, terms, m0.avgdl, k=10)
+        rows = sorted(by_q[qid])
+        assert [d for _, d, _ in rows] == [d for d, _ in exp], qid
+        for (_, _, s), (_, es) in zip(rows, exp):
+            assert abs(s - es) < 1e-9
+    # appended docs actually appear in results (not just old corpus)
+    assert any(d >= 1000 for rows in by_q.values() for _, d, _ in rows)
+
+
+def test_append_requires_complete_index(spark, tmp_path):
+    out = str(tmp_path / "ix")
+    build_index(
+        spark, _docs(spark, _rand_rows(3, range(60))), out,
+        n_segments=3, fail_after_segments=1,
+    )
+    with pytest.raises(ValueError, match="COMPLETE"):
+        append_index(spark, _docs(spark, _rand_rows(4, range(100, 120))), out)
+    with pytest.raises(ValueError, match="manifest"):
+        append_index(
+            spark, _docs(spark, _rand_rows(4, range(100, 120))),
+            str(tmp_path / "nope"),
+        )
+
+
+def test_append_empty_batch_is_noop(spark, tmp_path):
+    out = str(tmp_path / "ix")
+    build_index(spark, _docs(spark, _rand_rows(5, range(50))), out, n_segments=2)
+    m = append_index(spark, _docs(spark, []), out)
+    assert m.n_segments == 2 and m.n_docs == 50
+
+
+def test_append_preserves_positions_choice(spark, tmp_path):
+    from elasticsearch_batch_percolator_spark.operators.phrase_index import (
+        phrase_docs_from_index,
+    )
+
+    out = str(tmp_path / "ix")
+    base = [(0, ["a", "b", "c"]), (1, ["b", "a"])]
+    build_index(spark, _docs(spark, base), out, n_segments=1, positions=True)
+    # append WITHOUT asking for positions: the manifest's frozen choice wins
+    append_index(spark, _docs(spark, [(100, ["x", "a", "b"])]), out)
+    got = sorted(
+        r["doc_id"] for r in phrase_docs_from_index(spark, out, ["a", "b"]).collect()
+    )
+    assert got == [0, 100]
+
+
+def test_resume_keeps_frozen_positions(spark, tmp_path):
+    """A resume called with a DIFFERENT positions flag must not mix segment
+    layouts — the manifest's frozen choice wins."""
+    out = str(tmp_path / "ix")
+    rows = _rand_rows(6, range(80))
+    build_index(
+        spark, _docs(spark, rows), out,
+        n_segments=4, positions=True, fail_after_segments=2,
+    )
+    build_index(spark, _docs(spark, rows), out, n_segments=4)  # no positions arg
+    pdf = spark.read.parquet(os.path.join(out, "postings")).toPandas()
+    assert set(pdf["segment_id"]) == {0, 1, 2, 3}
+    assert all(
+        b["pos_bytes"] is not None for blocks in pdf["blocks"] for b in blocks
+    )
