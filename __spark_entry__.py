@@ -298,6 +298,28 @@ def _q_bm25_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment compaction (Lucene merge analog): the appended 5-segment
+    index merges into 2 segments at the POSTING level (no retokenize;
+    norms carried verbatim) — top-k must stay bit-identical, so the
+    oracle is exactly ``bm25_topk_appended``'s frozen-avgdl SQL."""
+    import hashlib
+    from elasticsearch_batch_percolator_spark import __version__
+    from elasticsearch_batch_percolator_spark.index.build import compact_index
+
+    src = _ensure_appended_index(spark, sf_dir)
+    tag = hashlib.sha256(f"compact:{sf_dir}:{__version__}".encode()).hexdigest()[:12]
+    dst = f"/tmp/ebp_index_compact_{tag}"
+    m = read_manifest(dst)
+    if m is None or len(m.completed) < m.n_segments:
+        compact_index(spark, src, dst, target_segments=2)
+    return topk_from_index(spark, dst, {"q": ["spark", "join"]}, k=10).select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score_r").alias("score_r"),
+    )
+
+
 def _q_wildcard_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4: wildcard query terms through the INDEX search path — the
     pattern expands against the persisted term_stats dictionary (term LIKE
@@ -1123,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_auto_fields": _q_percolate_auto_fields,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_appended": _q_bm25_topk_appended,
+        "bm25_topk_compacted": _q_bm25_topk_compacted,
         "wildcard_topk_from_index": _q_wildcard_topk_from_index,
         "wildcard_phrase_from_index": _q_wildcard_phrase_from_index,
         "index_term_stats": _q_index_term_stats,
@@ -1684,6 +1707,8 @@ FROM scored
 ORDER BY rank
 LIMIT 10
 """
+    # compaction is a pure posting merge: scores bit-identical → same oracle
+    out["bm25_topk_compacted"] = out["bm25_topk_appended"]
     # wildcard search: the oracle expands 'merg*' against the SAME term
     # dictionary (dfreq = the corpus dict the index persists) in SQL
     out["wildcard_topk_from_index"] = f"""

@@ -661,6 +661,196 @@ def append_index(
     return manifest
 
 
+def compact_index(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_segments: int = 8,
+) -> IndexManifest:
+    """Merge a many-segment index into ``target_segments`` segments at
+    ``dst_dir`` — the Lucene segment-merge analog for the segments
+    ``append_index`` accumulates (the reference's shards inherit Lucene's
+    background merges; a streaming ingest that appends one segment group
+    per micro-batch needs an explicit one here, or query cost grows with
+    batch COUNT instead of corpus size: top-k is a window over
+    n_segments*k survivors and every segment is one verify task).
+
+    Pure posting-level merge — documents are NOT retokenized and scores
+    are bit-identical: norms were baked against the avgdl FROZEN at the
+    base build, so merged postings carry them unchanged; per-term doc
+    lists from the source segments (disjoint doc_ids by the append
+    contract) interleave into one sorted run and re-block. df/cf per term
+    are sums, global term_stats is invariant (re-derived and checkable).
+
+    Compaction writes a COMPLETE new index (postings + term_stats + a
+    fresh manifest, dense segment ids 0..target-1) and leaves ``src_dir``
+    untouched — the commit point is the dst manifest, so a failed compact
+    is simply re-run and the reader flips directories only on success
+    (Lucene's segments_N commit model). Sizing contract matches
+    build_index: pick ``target_segments`` so one merged segment's
+    postings fit an executor.
+
+    Plan shape (scale): ONE broadcast join of the (old→new) segment map
+    onto the posting rows, ONE hash repartition on the new segment id,
+    then a per-partition Arrow pass merges whole segments locally — no
+    token rows, no global groupBy(term); bytes moved ≈ compressed index
+    size. Old segments group CONTIGUOUSLY by id with ~equal postings
+    (greedy cut on the manifest's per-segment posting counts), keeping
+    doc ranges clustered so delta compression survives the merge.
+    """
+    manifest = read_manifest(src_dir)
+    if manifest is None:
+        raise ValueError(f"no index manifest at {src_dir}")
+    if len(manifest.completed) != manifest.n_segments:
+        raise ValueError(
+            "compact requires a COMPLETE index — resume the pending "
+            "build_index first"
+        )
+    t_start = time.perf_counter()
+    old_ids = sorted(int(s) for s in manifest.completed)
+    target = max(1, min(int(target_segments), len(old_ids)))
+    weights = [
+        max(1, int(manifest.completed[str(s)].get("postings", 1)))
+        for s in old_ids
+    ]
+    total = float(sum(weights))
+    mapping, cum, g, in_g = {}, 0.0, 0, 0
+    for i, (s, w) in enumerate(zip(old_ids, weights)):
+        # cut BEFORE adding s when the running sum already covers this
+        # group's quota (contiguous ids, ~equal postings per group) OR
+        # when every remaining segment must seed its own group — the
+        # guard keeps all `target` groups non-empty under skewed weights,
+        # so dst segment ids stay dense 0..target-1 (append_index's
+        # next-id arithmetic relies on that)
+        remaining = len(old_ids) - i
+        if g < target - 1 and in_g > 0 and (
+            cum >= (g + 1) * total / target or remaining < target - g
+        ):
+            g, in_g = g + 1, 0
+        mapping[s] = g
+        in_g += 1
+        cum += w
+    map_df = spark.createDataFrame(
+        [(int(s), int(n)) for s, n in mapping.items()], "segment_id int, new_seg int"
+    )
+    rows = (
+        spark.read.parquet(os.path.join(src_dir, "postings"))
+        .join(F.broadcast(map_df), "segment_id")
+        .select(
+            F.col("new_seg").alias("segment_id"), "term", "df", "cf", "blocks"
+        )
+        .repartition(target, "segment_id")
+    )
+    block, positions = manifest.block, bool(manifest.positions)
+    out_schema = T.StructType(
+        [
+            T.StructField("segment_id", T.IntegerType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("df", T.LongType()),
+            T.StructField("cf", T.LongType()),
+            T.StructField("blocks", BLOCKS_TYPE),
+        ]
+    )
+
+    def merge_segments(batches):
+        from .codec import decode_block, decode_positions
+
+        per_seg: dict[int, dict[str, list]] = {}
+        for pdf in batches:
+            for s, grp in pdf.groupby("segment_id"):
+                terms = per_seg.setdefault(int(s), {})
+                for t, blks in zip(grp["term"], grp["blocks"]):
+                    terms.setdefault(t, []).append(blks)
+        for s in sorted(per_seg):
+            terms_out, dfs_out, cfs_out, blocks_out = [], [], [], []
+            for t in sorted(per_seg[s]):
+                docs_l, tfs_l, norms_l, pos_l = [], [], [], []
+                for blks in per_seg[s][t]:
+                    for b in blks:
+                        d, tf, nm = decode_block(b)
+                        docs_l.append(d)
+                        tfs_l.append(tf)
+                        norms_l.append(nm)
+                        if positions:
+                            pb = b["pos_bytes"] if not hasattr(b, "pos_bytes") else b.pos_bytes
+                            pos_l.append(decode_positions(bytes(pb), tf))
+                doc = np.concatenate(docs_l)
+                tf = np.concatenate(tfs_l)
+                nm = np.concatenate(norms_l)
+                order = np.argsort(doc, kind="stable")
+                doc, tf, nm = doc[order], tf[order], nm[order]
+                pos_flat = None
+                if positions:
+                    # gather each posting's position slice into the new
+                    # order (vectorized: no per-posting python loop)
+                    src_pos = np.concatenate(pos_l) if pos_l else np.empty(0, np.int64)
+                    tf_src = np.concatenate(tfs_l)
+                    starts = (np.cumsum(tf_src) - tf_src)[order]
+                    cnt = tf_src[order]
+                    tot = int(cnt.sum())
+                    run_off = np.repeat(np.cumsum(cnt) - cnt, cnt)
+                    idx = np.repeat(starts, cnt) + (np.arange(tot) - run_off)
+                    pos_flat = src_pos[idx]
+                terms_out.append(t)
+                dfs_out.append(int(len(doc)))
+                cfs_out.append(int(tf.sum()))
+                blocks_out.append(
+                    encode_postings(
+                        doc, tf, nm, block=block, positions_flat=pos_flat
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "segment_id": np.full(len(terms_out), s, dtype=np.int32),
+                    "term": terms_out,
+                    "df": dfs_out,
+                    "cf": cfs_out,
+                    "blocks": blocks_out,
+                }
+            )
+
+    merged = rows.mapInPandas(merge_segments, out_schema)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    os.makedirs(dst_dir, exist_ok=True)
+    merged.write.partitionBy("segment_id").mode("overwrite").parquet(
+        os.path.join(dst_dir, "postings")
+    )
+    written = spark.read.parquet(os.path.join(dst_dir, "postings"))
+    metrics = {
+        str(r["segment_id"]): {
+            "terms": int(r["terms"]),
+            "postings": int(r["postings"]),
+            "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "merged_from": [s for s, n in mapping.items() if n == int(r["segment_id"])],
+        }
+        for r in written.groupBy("segment_id")
+        .agg(F.count(F.lit(1)).alias("terms"), F.sum("df").alias("postings"))
+        .collect()
+    }
+    out = IndexManifest(
+        n_docs=manifest.n_docs,
+        avgdl=manifest.avgdl,
+        n_segments=len(metrics),
+        seg_size=manifest.seg_size,
+        block=block,
+        k1=manifest.k1,
+        b=manifest.b,
+        tokenizer=manifest.tokenizer,
+        positions=positions,
+        input_lineage=f"compact({src_dir}): {manifest.input_lineage}",
+        completed=metrics,
+        stage_metrics={
+            "compacted_from_segments": len(old_ids),
+            "compact_s": round(time.perf_counter() - t_start, 3),
+        },
+    )
+    t_ts = time.perf_counter()
+    _finalize_term_stats(spark, dst_dir, out)
+    out.stage_metrics["term_stats_s"] = round(time.perf_counter() - t_ts, 3)
+    out.save(dst_dir)
+    return out
+
+
 def _finalize_term_stats(
     spark: SparkSession, out_dir: str, manifest: IndexManifest
 ) -> None:
