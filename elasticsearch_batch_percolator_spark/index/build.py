@@ -707,6 +707,58 @@ def compact_index(
             "build_index first"
         )
     t_start = time.perf_counter()
+    mapping, merged = _compact_merged(spark, src_dir, manifest, target_segments)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    os.makedirs(dst_dir, exist_ok=True)
+    merged.write.partitionBy("segment_id").mode("overwrite").parquet(
+        os.path.join(dst_dir, "postings")
+    )
+    written = spark.read.parquet(os.path.join(dst_dir, "postings"))
+    metrics = {
+        str(r["segment_id"]): {
+            "terms": int(r["terms"]),
+            "postings": int(r["postings"]),
+            "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "merged_from": [s for s, n in mapping.items() if n == int(r["segment_id"])],
+        }
+        for r in written.groupBy("segment_id")
+        .agg(F.count(F.lit(1)).alias("terms"), F.sum("df").alias("postings"))
+        .collect()
+    }
+    out = IndexManifest(
+        n_docs=manifest.n_docs,
+        avgdl=manifest.avgdl,
+        n_segments=len(metrics),
+        seg_size=manifest.seg_size,
+        block=manifest.block,
+        k1=manifest.k1,
+        b=manifest.b,
+        tokenizer=manifest.tokenizer,
+        positions=bool(manifest.positions),
+        input_lineage=f"compact({src_dir}): {manifest.input_lineage}",
+        completed=metrics,
+        stage_metrics={
+            "compacted_from_segments": len(mapping),
+            "compact_s": round(time.perf_counter() - t_start, 3),
+        },
+    )
+    t_ts = time.perf_counter()
+    _finalize_term_stats(spark, dst_dir, out)
+    out.stage_metrics["term_stats_s"] = round(time.perf_counter() - t_ts, 3)
+    out.save(dst_dir)
+    return out
+
+
+def _compact_merged(
+    spark: SparkSession,
+    src_dir: str,
+    manifest: IndexManifest,
+    target_segments: int,
+) -> tuple[dict, DataFrame]:
+    """The compaction PLAN: (old→new segment map, merged posting rows).
+
+    Split from compact_index so the physical plan is inspectable
+    (gen_plans.py) without writing an index."""
     old_ids = sorted(int(s) for s in manifest.completed)
     target = max(1, min(int(target_segments), len(old_ids)))
     weights = [
@@ -809,46 +861,7 @@ def compact_index(
                 }
             )
 
-    merged = rows.mapInPandas(merge_segments, out_schema)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    os.makedirs(dst_dir, exist_ok=True)
-    merged.write.partitionBy("segment_id").mode("overwrite").parquet(
-        os.path.join(dst_dir, "postings")
-    )
-    written = spark.read.parquet(os.path.join(dst_dir, "postings"))
-    metrics = {
-        str(r["segment_id"]): {
-            "terms": int(r["terms"]),
-            "postings": int(r["postings"]),
-            "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "merged_from": [s for s, n in mapping.items() if n == int(r["segment_id"])],
-        }
-        for r in written.groupBy("segment_id")
-        .agg(F.count(F.lit(1)).alias("terms"), F.sum("df").alias("postings"))
-        .collect()
-    }
-    out = IndexManifest(
-        n_docs=manifest.n_docs,
-        avgdl=manifest.avgdl,
-        n_segments=len(metrics),
-        seg_size=manifest.seg_size,
-        block=block,
-        k1=manifest.k1,
-        b=manifest.b,
-        tokenizer=manifest.tokenizer,
-        positions=positions,
-        input_lineage=f"compact({src_dir}): {manifest.input_lineage}",
-        completed=metrics,
-        stage_metrics={
-            "compacted_from_segments": len(old_ids),
-            "compact_s": round(time.perf_counter() - t_start, 3),
-        },
-    )
-    t_ts = time.perf_counter()
-    _finalize_term_stats(spark, dst_dir, out)
-    out.stage_metrics["term_stats_s"] = round(time.perf_counter() - t_ts, 3)
-    out.save(dst_dir)
-    return out
+    return mapping, rows.mapInPandas(merge_segments, out_schema)
 
 
 def _finalize_term_stats(

@@ -71,6 +71,17 @@ p6 = grab(cosine_topk_ivf_pruned(spark, ivf_dir, cents, qv, k=10, n_probe=3))
 sections.append(("IVF ANN partition-pruned probe: the index is written partitionBy(centroid_id); the probe's IN-filter appears as PartitionFilters on the scan — unprobed buckets are never read (at 256 buckets an n_probe=8 query touches ~3% of the bytes)", p6))
 
 
+# 7. segment compaction: broadcast old->new segment map join + ONE hash
+# repartition on the new id; whole segments merge locally in the Arrow pass
+from elasticsearch_batch_percolator_spark.index.build import (
+    _compact_merged, append_index, read_manifest,
+)
+docs_tok = eng.docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "tokens")
+append_index(spark, docs_tok, idx, n_new_segments=2)
+p7 = grab(_compact_merged(spark, idx, read_manifest(idx), 2)[1])
+sections.append(("Segment compaction: old segments route to merged ones via a BROADCAST segment-map join (BroadcastHashJoin on the partition column), ONE hash Exchange on the new segment id, then the posting merge runs whole-segment-local in a single ArrowEvalPython/MapInPandas pass — bytes moved ~= compressed index size, no token rows, no groupBy(term)", p7))
+
+
 def trim(s, n=80):
     lines = [l.rstrip() for l in s.splitlines()]
     return "\n".join(lines[:n])
