@@ -406,7 +406,15 @@ def _write_segments(
         result = staged.mapInPandas(encode_segments, out_schema)
     else:
         result = staged.mapInArrow(encode_segments_arrow, out_schema)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # set the overwrite mode on the session that EXECUTES the write:
+    # inside Structured Streaming foreachBatch the batch DataFrame is
+    # bound to a CLONED session whose SQLConf was snapshotted at stream
+    # start — setting it on the caller's session would leave the clone
+    # on STATIC overwrite, and a streaming append would silently wipe
+    # every existing segment partition
+    result.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
     result.write.partitionBy("segment_id").mode("overwrite").parquet(
         os.path.join(out_dir, "postings")
     )
@@ -708,7 +716,12 @@ def compact_index(
         )
     t_start = time.perf_counter()
     mapping, merged = _compact_merged(spark, src_dir, manifest, target_segments)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # on the EXECUTING session — see the foreachBatch-clone note in
+    # _write_segments (compaction writes into a fresh dir, but a re-run
+    # into an existing dst must replace only the partitions it writes)
+    merged.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
     os.makedirs(dst_dir, exist_ok=True)
     merged.write.partitionBy("segment_id").mode("overwrite").parquet(
         os.path.join(dst_dir, "postings")
@@ -725,6 +738,11 @@ def compact_index(
         .agg(F.count(F.lit(1)).alias("terms"), F.sum("df").alias("postings"))
         .collect()
     }
+    if sorted(int(s) for s in metrics) != list(range(len(metrics))):
+        raise AssertionError(
+            f"compaction produced non-dense segment ids {sorted(metrics)} — "
+            "append_index id arithmetic would collide; this is a bug"
+        )
     out = IndexManifest(
         n_docs=manifest.n_docs,
         avgdl=manifest.avgdl,
@@ -760,27 +778,33 @@ def _compact_merged(
     Split from compact_index so the physical plan is inspectable
     (gen_plans.py) without writing an index."""
     old_ids = sorted(int(s) for s in manifest.completed)
-    target = max(1, min(int(target_segments), len(old_ids)))
-    weights = [
-        max(1, int(manifest.completed[str(s)].get("postings", 1)))
-        for s in old_ids
-    ]
+    weights = [int(manifest.completed[str(s)].get("postings", 0)) for s in old_ids]
+    # a segment can be EMPTY (every doc in its range had zero tokens —
+    # the encoder drops them): it contributes no output rows, so groups
+    # and the target are sized on NON-empty segments only, or an
+    # all-empty group would leave a hole in the dst id space and a later
+    # append_index (ids = n_segments..) could collide with a live id
+    n_nonempty = sum(1 for w in weights if w > 0)
+    if n_nonempty == 0:
+        raise ValueError("nothing to compact — the index has no postings")
+    target = max(1, min(int(target_segments), n_nonempty))
     total = float(sum(weights))
     mapping, cum, g, in_g = {}, 0.0, 0, 0
-    for i, (s, w) in enumerate(zip(old_ids, weights)):
+    left = n_nonempty
+    for s, w in zip(old_ids, weights):
         # cut BEFORE adding s when the running sum already covers this
         # group's quota (contiguous ids, ~equal postings per group) OR
-        # when every remaining segment must seed its own group — the
-        # guard keeps all `target` groups non-empty under skewed weights,
-        # so dst segment ids stay dense 0..target-1 (append_index's
-        # next-id arithmetic relies on that)
-        remaining = len(old_ids) - i
-        if g < target - 1 and in_g > 0 and (
-            cum >= (g + 1) * total / target or remaining < target - g
+        # when every remaining non-empty segment must seed its own group
+        # — the guard keeps all `target` groups non-empty under skewed
+        # weights, so dst segment ids stay dense 0..target-1
+        if g < target - 1 and in_g > 0 and w > 0 and (
+            cum >= (g + 1) * total / target or left < target - g
         ):
             g, in_g = g + 1, 0
         mapping[s] = g
-        in_g += 1
+        if w > 0:
+            in_g += 1
+            left -= 1
         cum += w
     map_df = spark.createDataFrame(
         [(int(s), int(n)) for s, n in mapping.items()], "segment_id int, new_seg int"

@@ -1,0 +1,174 @@
+"""Streaming index ingest: micro-batches build, append, and compact a
+persisted inverted index (north_rule: the 10^12-file corpus arrives
+incrementally; the reference's shards do this inside Lucene — segment add
+on index, background merges — RamDirectoryPercolatorIndex.java:50-66 is
+its per-batch index, this module is the durable cross-batch analog).
+
+Layout under ``root``::
+
+    root/CURRENT          name of the active generation ("gen-00000")
+    root/_applied         last successfully applied micro-batch id
+    root/gen-00000/       a complete index dir (build_index layout)
+    root/gen-00001/       the next generation, written by compaction
+
+Semantics:
+- batch 0 ``build_index``s generation 0; later batches ``append_index``
+  into the CURRENT generation (scoring stats frozen at generation
+  creation — the Lucene segment-add contract documented there).
+- when the generation's segment count reaches ``compact_at``, the batch
+  that crossed it ``compact_index``es into a NEW generation dir and
+  flips CURRENT atomically (os.replace) — readers resolving via
+  ``current_index_dir`` see either the old complete index or the new
+  complete index, never a partial one. Old generations are retained
+  (a reader may still hold one); ``prune_generations`` deletes all but
+  CURRENT once readers have moved on.
+- replay-safe: Structured Streaming re-delivers a micro-batch whose
+  foreachBatch succeeded but whose checkpoint commit didn't. ``_applied``
+  records the last applied batch id (written atomically AFTER the index
+  mutation); a replayed batch id <= it is a no-op. A batch that failed
+  MID-append re-runs cleanly because append_index only bumps the
+  manifest after its segment writes land (deterministic ids, dynamic
+  partition overwrite).
+
+Caller contract: the stream carries (doc_id long, tokens array<string>)
+with doc_ids globally unique across batches (append_index's contract).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..index.build import append_index, build_index, compact_index, read_manifest
+
+_GEN = "gen-%05d"
+
+
+def current_index_dir(root: str) -> str | None:
+    """The active generation's index dir, or None before the first batch."""
+    p = os.path.join(root, "CURRENT")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return os.path.join(root, f.read().strip())
+
+
+def _flip_current(root: str, gen_name: str) -> None:
+    tmp = os.path.join(root, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(gen_name)
+    os.replace(tmp, os.path.join(root, "CURRENT"))
+
+
+def _applied_batch(root: str) -> int:
+    p = os.path.join(root, "_applied")
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _mark_applied(root: str, batch_id: int) -> None:
+    tmp = os.path.join(root, "_applied.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(root, "_applied"))
+
+
+def prune_generations(root: str) -> list[str]:
+    """Delete every generation dir except CURRENT; returns what was removed
+    (call once readers have re-resolved — generations are immutable, so
+    'old' can never become active again)."""
+    cur = current_index_dir(root)
+    removed = []
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if name.startswith("gen-") and os.path.isdir(p) and p != cur:
+            shutil.rmtree(p)
+            removed.append(name)
+    return removed
+
+
+def apply_index_batch(
+    spark: SparkSession,
+    root: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    segments_per_batch: int = 8,
+    first_build_segments: int | None = None,
+    compact_at: int | None = None,
+    target_segments: int | None = None,
+    positions: bool = False,
+) -> str | None:
+    """Apply ONE micro-batch to the generation store (the foreachBatch
+    body, exposed for direct use and replay testing). Returns the active
+    generation dir after the batch (None only for a skipped replay with
+    no store yet)."""
+    os.makedirs(root, exist_ok=True)
+    if batch_id <= _applied_batch(root):
+        return current_index_dir(root)  # replayed micro-batch: no-op
+    cur = current_index_dir(root)
+    if cur is None:
+        gen = _GEN % 0
+        build_index(
+            spark, batch_df, os.path.join(root, gen),
+            n_segments=first_build_segments or segments_per_batch,
+            positions=positions, lineage=f"stream batch {batch_id}",
+        )
+        _flip_current(root, gen)
+        cur = os.path.join(root, gen)
+    else:
+        append_index(
+            spark, batch_df, cur,
+            n_new_segments=segments_per_batch,
+            lineage=f"stream batch {batch_id}",
+        )
+        m = read_manifest(cur)
+        if compact_at and m.n_segments >= compact_at:
+            gen_i = int(os.path.basename(cur).split("-")[1]) + 1
+            gen = _GEN % gen_i
+            compact_index(
+                spark, cur, os.path.join(root, gen),
+                target_segments=target_segments or max(1, compact_at // 2),
+            )
+            _flip_current(root, gen)
+            cur = os.path.join(root, gen)
+    _mark_applied(root, batch_id)
+    return cur
+
+
+def index_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    *,
+    segments_per_batch: int = 8,
+    first_build_segments: int | None = None,
+    compact_at: int | None = None,
+    target_segments: int | None = None,
+    positions: bool = False,
+):
+    """Start the ingest: each micro-batch of (doc_id, tokens) rows joins
+    the persisted index (build → append → threshold compaction), queryable
+    at any time via ``topk_from_index(spark, current_index_dir(root), ...)``.
+    Returns the StreamingQuery."""
+
+    def _each(batch_df: DataFrame, batch_id: int) -> None:
+        apply_index_batch(
+            spark, root, batch_df, int(batch_id),
+            segments_per_batch=segments_per_batch,
+            first_build_segments=first_build_segments,
+            compact_at=compact_at,
+            target_segments=target_segments,
+            positions=positions,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_each)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -120,6 +120,31 @@ def test_compact_skewed_weights_keeps_groups_dense(spark, tmp_path):
     assert all(meta["postings"] > 0 for meta in m.completed.values())
 
 
+def test_compact_with_empty_source_segments(spark, tmp_path):
+    """A segment whose docs all had zero tokens writes NO posting rows;
+    its group must not leave a hole in the dst id space (a later append
+    would collide with a live id). Groups size on non-empty segments."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    # dense ids 0..99, seg_size=50: segment 1 (ids 50..99) is all empty
+    rows = _rand_rows(9, range(0, 50)) + [(int(d), []) for d in range(50, 100)]
+    build_index(spark, _docs(spark, rows), src, n_segments=2)
+    # and an appended empty micro-batch segment in the middle of history
+    append_index(spark, _docs(spark, [(200, [])]), src)
+    append_index(spark, _docs(spark, _rand_rows(10, range(300, 340))), src)
+    before = _topk_rows(spark, src, {"q": ["w01", "w05"]})
+
+    m = compact_index(spark, src, dst, target_segments=3)
+    # only 2 source segments have postings -> 2 dense groups, not 3
+    assert sorted(int(s) for s in m.completed) == list(range(m.n_segments))
+    assert all(meta["postings"] > 0 for meta in m.completed.values())
+    assert _topk_rows(spark, dst, {"q": ["w01", "w05"]}) == before
+    # append after compact: no id collision with the surviving groups
+    append_index(spark, _docs(spark, _rand_rows(11, range(500, 520))), dst)
+    got = _topk_rows(spark, dst, {"q": ["w01", "w05"]})
+    assert got
+
+
 def test_compact_requires_complete_index(spark, tmp_path):
     src = str(tmp_path / "src")
     build_index(
