@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import time
 from dataclasses import asdict, dataclass, field
 
@@ -706,6 +707,11 @@ def compact_index(
     (greedy cut on the manifest's per-segment posting counts), keeping
     doc ranges clustered so delta compression survives the merge.
     """
+    if os.path.abspath(dst_dir) == os.path.abspath(src_dir):
+        raise ValueError(
+            "compact dst_dir must differ from src_dir — dst is the commit "
+            "point, src stays readable until the caller flips to dst"
+        )
     manifest = read_manifest(src_dir)
     if manifest is None:
         raise ValueError(f"no index manifest at {src_dir}")
@@ -715,6 +721,12 @@ def compact_index(
             "build_index first"
         )
     t_start = time.perf_counter()
+    # dst is wholly owned by this operation (DataFrame-write overwrite
+    # semantics): clear any partial/orphaned previous compact — dynamic
+    # partition overwrite alone would leave STALE segment partitions
+    # behind when the new grouping produces fewer segments
+    if os.path.exists(dst_dir):
+        shutil.rmtree(dst_dir)
     mapping, merged = _compact_merged(spark, src_dir, manifest, target_segments)
     # on the EXECUTING session — see the foreachBatch-clone note in
     # _write_segments (compaction writes into a fresh dir, but a re-run

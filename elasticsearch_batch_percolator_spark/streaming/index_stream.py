@@ -91,6 +91,22 @@ def prune_generations(root: str) -> list[str]:
     return removed
 
 
+def _batch_in_manifest(cur: str, marker: str) -> bool:
+    """True when this generation already carries the batch — the marker is
+    recorded in the SAME manifest.save as the segment bump (build's
+    input_lineage / append's per-append lineage), so this check is atomic
+    with the index mutation in a way the _applied file cannot be."""
+    m = read_manifest(cur)
+    if m is None:
+        return False
+    if m.input_lineage == marker:
+        return True
+    return any(
+        a.get("lineage") == marker
+        for a in (m.stage_metrics or {}).get("appends", [])
+    )
+
+
 def apply_index_batch(
     spark: SparkSession,
     root: str,
@@ -105,37 +121,66 @@ def apply_index_batch(
 ) -> str | None:
     """Apply ONE micro-batch to the generation store (the foreachBatch
     body, exposed for direct use and replay testing). Returns the active
-    generation dir after the batch (None only for a skipped replay with
-    no store yet)."""
+    generation dir after the batch.
+
+    Exactly-once under crash replay: the `_applied` marker is the fast
+    path, but a crash can land between the index mutation and ANY
+    side-file write — so the decisive dedup is the batch marker stored
+    inside the generation manifest (one atomic save with the segment
+    bump), and the operation ORDER per path closes the remaining windows:
+
+    - build: build (itself resumable on a deterministic dir) → flip →
+      mark. A crash before the flip resumes the build as a no-op; after
+      the flip, the replay sees the marker as the gen's input_lineage.
+    - append: the replay finds the marker in the manifest's appends and
+      skips; a crash MID-append never bumped the manifest, so the re-run
+      overwrites the same deterministic segment ids.
+    - compact: append → compact → mark → flip. Mark-before-flip means a
+      flip that never happened leaves an orphan dst generation; the NEXT
+      batch re-crosses the threshold and re-compacts into that same dir
+      (compact_index clears a stale dst first), converging with all data.
+      Flip-before-mark would instead re-append the batch into the freshly
+      compacted generation, duplicating it — compaction rewrites
+      input_lineage, losing the marker.
+
+    Batch ids come from ONE streaming checkpoint: restarting a stream
+    against an existing root with a FRESH checkpoint resets ids to 0 and
+    breaks the dedup (the standard Structured Streaming idempotent-sink
+    contract — foreachBatch exactly-once always keys on batchId).
+    """
     os.makedirs(root, exist_ok=True)
     if batch_id <= _applied_batch(root):
         return current_index_dir(root)  # replayed micro-batch: no-op
+    marker = f"stream batch {batch_id}"
     cur = current_index_dir(root)
     if cur is None:
         gen = _GEN % 0
         build_index(
             spark, batch_df, os.path.join(root, gen),
             n_segments=first_build_segments or segments_per_batch,
-            positions=positions, lineage=f"stream batch {batch_id}",
+            positions=positions, lineage=marker,
         )
-        _flip_current(root, gen)
         cur = os.path.join(root, gen)
-    else:
+        _flip_current(root, gen)
+        _mark_applied(root, batch_id)
+        return cur
+    if not _batch_in_manifest(cur, marker):
         append_index(
             spark, batch_df, cur,
             n_new_segments=segments_per_batch,
-            lineage=f"stream batch {batch_id}",
+            lineage=marker,
         )
-        m = read_manifest(cur)
-        if compact_at and m.n_segments >= compact_at:
-            gen_i = int(os.path.basename(cur).split("-")[1]) + 1
-            gen = _GEN % gen_i
-            compact_index(
-                spark, cur, os.path.join(root, gen),
-                target_segments=target_segments or max(1, compact_at // 2),
-            )
-            _flip_current(root, gen)
-            cur = os.path.join(root, gen)
+    m = read_manifest(cur)
+    if compact_at and m.n_segments >= compact_at:
+        gen_i = int(os.path.basename(cur).split("-")[1]) + 1
+        gen = _GEN % gen_i
+        compact_index(
+            spark, cur, os.path.join(root, gen),
+            target_segments=target_segments or max(1, compact_at // 2),
+        )
+        _mark_applied(root, batch_id)
+        _flip_current(root, gen)
+        return os.path.join(root, gen)
     _mark_applied(root, batch_id)
     return cur
 

@@ -129,6 +129,69 @@ def test_stream_build_append_compact_matches_batch_api(spark, tmp_path):
     assert _topk(spark, cur) == expected
 
 
+def test_replay_after_lost_applied_marker_is_noop(spark, tmp_path):
+    """Crash window: the append bumped the manifest but the _applied
+    marker write never happened. The replay must dedup via the batch
+    marker INSIDE the manifest (saved atomically with the segment bump),
+    not the side file."""
+    root = str(tmp_path / "ix")
+    b0 = spark.createDataFrame(_rows(6, range(0, 60)), SCHEMA)
+    b1 = spark.createDataFrame(_rows(7, range(1000, 1040)), SCHEMA)
+    apply_index_batch(spark, root, b0, 0, segments_per_batch=2)
+    apply_index_batch(spark, root, b1, 1, segments_per_batch=2)
+    before = _topk(spark, current_index_dir(root))
+    # simulate the crash: roll the side file back to batch 0
+    with open(os.path.join(root, "_applied"), "w") as f:
+        f.write("0")
+    apply_index_batch(spark, root, b1, 1, segments_per_batch=2)
+    m = read_manifest(current_index_dir(root))
+    assert m.n_segments == 4 and m.n_docs == 100
+    assert _topk(spark, current_index_dir(root)) == before
+
+
+def test_replay_after_lost_current_flip_converges(spark, tmp_path):
+    """Crash window: compaction wrote gen-00001 and marked the batch
+    applied, but the CURRENT flip never happened. The orphan generation
+    must not poison anything: the next batch appends to the OLD gen,
+    re-crosses the threshold, and re-compacts into the same dst dir
+    (stale content cleared), ending with every batch exactly once."""
+    root = str(tmp_path / "ix")
+    batches = [
+        _rows(8, range(0, 100)),
+        _rows(9, range(1000, 1060)),
+        _rows(10, range(2000, 2050)),
+    ]
+    dfs = [spark.createDataFrame(b, SCHEMA) for b in batches]
+    apply_index_batch(spark, root, dfs[0], 0, segments_per_batch=2, first_build_segments=2)
+    apply_index_batch(spark, root, dfs[1], 1, segments_per_batch=2, compact_at=4, target_segments=2)
+    assert os.path.basename(current_index_dir(root)) == "gen-00001"
+    # simulate: the flip never landed (roll CURRENT back to gen-00000);
+    # _applied already says batch 1 (mark-before-flip ordering)
+    with open(os.path.join(root, "CURRENT"), "w") as f:
+        f.write("gen-00000")
+    apply_index_batch(spark, root, dfs[2], 2, segments_per_batch=2, compact_at=4, target_segments=2)
+    cur = current_index_dir(root)
+    assert os.path.basename(cur) == "gen-00001"
+    m = read_manifest(cur)
+    assert m.n_docs == 210  # 100 + 60 + 50, each exactly once
+    # replica: all three batches through the batch API, compacted
+    rep0, rep1 = str(tmp_path / "rep0"), str(tmp_path / "rep1")
+    build_index(spark, dfs[0], rep0, n_segments=2)
+    append_index(spark, dfs[1], rep0, n_new_segments=2)
+    append_index(spark, dfs[2], rep0, n_new_segments=2)
+    compact_index(spark, rep0, rep1, target_segments=2)
+    assert _topk(spark, cur) == _topk(spark, rep1)
+
+
+def test_compact_rejects_src_as_dst(spark, tmp_path):
+    import pytest
+
+    src = str(tmp_path / "src")
+    build_index(spark, spark.createDataFrame(_rows(11, range(20)), SCHEMA), src, n_segments=2)
+    with pytest.raises(ValueError, match="differ"):
+        compact_index(spark, src, src)
+
+
 def test_replayed_batch_is_noop(spark, tmp_path):
     root = str(tmp_path / "ix")
     b0 = spark.createDataFrame(_rows(4, range(0, 60)), SCHEMA)
