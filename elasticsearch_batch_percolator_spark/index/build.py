@@ -412,13 +412,22 @@ def _write_segments(
     # bound to a CLONED session whose SQLConf was snapshotted at stream
     # start — setting it on the caller's session would leave the clone
     # on STATIC overwrite, and a streaming append would silently wipe
-    # every existing segment partition
-    result.sparkSession.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "dynamic"
-    )
-    result.write.partitionBy("segment_id").mode("overwrite").parquet(
-        os.path.join(out_dir, "postings")
-    )
+    # every existing segment partition. Restore the prior value after:
+    # leaving dynamic mode on would change the semantics of the USER'S
+    # own partitioned overwrite writes in the same session.
+    sess = result.sparkSession
+    _MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+    prior_mode = sess.conf.get(_MODE_KEY, None)
+    sess.conf.set(_MODE_KEY, "dynamic")
+    try:
+        result.write.partitionBy("segment_id").mode("overwrite").parquet(
+            os.path.join(out_dir, "postings")
+        )
+    finally:
+        if prior_mode is None:
+            sess.conf.unset(_MODE_KEY)
+        else:
+            sess.conf.set(_MODE_KEY, prior_mode)
     stage["encode_merge_s"] = round(time.perf_counter() - t_enc, 3)
     if stage["encode_merge_s"] > 0:
         stage["docs_per_sec"] = round(
@@ -427,7 +436,18 @@ def _write_segments(
 
     # per-segment metrics (rows/terms/postings) from the written files
     t_met = time.perf_counter()
-    written = spark.read.parquet(os.path.join(out_dir, "postings")).filter(
+    postings_dir = os.path.join(out_dir, "postings")
+    if not any(
+        n.startswith("segment_id=") for n in os.listdir(postings_dir)
+    ):
+        # every doc in the corpus had zero tokens: nothing was written,
+        # and a schema-less parquet dir would fail every later read with
+        # an opaque inference error — fail HERE with the actual cause
+        raise ValueError(
+            "no postings were written — every document's tokens array "
+            "is empty; nothing to index"
+        )
+    written = spark.read.parquet(postings_dir).filter(
         F.col("segment_id").isin(seg_ids)
     )
     metrics = {
@@ -639,6 +659,16 @@ def append_index(
     else:
         seg_col = F.lit(first_new).cast("int")
     new_ids = list(range(first_new, first_new + k))
+    # clear any partitions left by a CRASHED previous attempt at these
+    # ids: the re-run's approxQuantile cuts are not guaranteed identical,
+    # and dynamic partition overwrite only rewrites partitions that
+    # receive rows — a segment the re-run leaves empty would otherwise
+    # keep the crashed attempt's postings and double-count its docs
+    for s in new_ids:
+        shutil.rmtree(
+            os.path.join(out_dir, "postings", f"segment_id={s}"),
+            ignore_errors=True,
+        )
     staged = (
         docs.withColumn("segment_id", seg_col)
         .select("segment_id", "doc_id", "tokens")
@@ -663,7 +693,7 @@ def append_index(
     )
     stage["appends"] = appends
     t_ts = time.perf_counter()
-    _finalize_term_stats(spark, out_dir, manifest)
+    _merge_term_stats(spark, out_dir, manifest, new_ids)
     stage["term_stats_s"] = round(time.perf_counter() - t_ts, 3)
     manifest.stage_metrics = stage
     manifest.save(out_dir)
@@ -728,13 +758,10 @@ def compact_index(
     if os.path.exists(dst_dir):
         shutil.rmtree(dst_dir)
     mapping, merged = _compact_merged(spark, src_dir, manifest, target_segments)
-    # on the EXECUTING session — see the foreachBatch-clone note in
-    # _write_segments (compaction writes into a fresh dir, but a re-run
-    # into an existing dst must replace only the partitions it writes)
-    merged.sparkSession.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "dynamic"
-    )
     os.makedirs(dst_dir, exist_ok=True)
+    # dst was just cleared, so static overwrite semantics are fine here —
+    # no session-conf mutation needed (see the foreachBatch-clone note in
+    # _write_segments for why conf flips are hazardous)
     merged.write.partitionBy("segment_id").mode("overwrite").parquet(
         os.path.join(dst_dir, "postings")
     )
@@ -898,6 +925,52 @@ def _compact_merged(
             )
 
     return mapping, rows.mapInPandas(merge_segments, out_schema)
+
+
+def _merge_term_stats(
+    spark: SparkSession,
+    out_dir: str,
+    manifest: IndexManifest,
+    new_seg_ids: list[int],
+) -> None:
+    """Incremental term_stats refresh for an append: aggregate (term, df,
+    cf) over ONLY the new segments (partition-pruned scan) and merge with
+    the existing dictionary — O(batch + dictionary) per micro-batch, where
+    the full rebuild is O(all postings): a streaming ingest doing the
+    latter per batch pays quadratic total work as the index grows.
+
+    The merged result writes to a tmp dir and swaps in (read-before-
+    remove is safe: the lazy old-stats read executes during the tmp
+    write). A crash mid-swap leaves the manifest unsaved, so the batch
+    replays and rebuilds the dictionary."""
+    stats_path = os.path.join(out_dir, "term_stats")
+    new_stats = (
+        spark.read.parquet(os.path.join(out_dir, "postings"))
+        .filter(F.col("segment_id").isin(new_seg_ids))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
+    )
+    if not os.path.exists(stats_path):
+        _finalize_term_stats(spark, out_dir, manifest)
+        return
+    merged = (
+        spark.read.parquet(stats_path)
+        .select("term", "df", "cf")
+        .unionByName(new_stats)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
+    )
+    n_terms = sum(m.get("terms", 0) for m in manifest.completed.values()) or 1
+    n_files = max(1, math.ceil(n_terms / 4_000_000))
+    tmp = stats_path + ".tmp"
+    (
+        merged.repartitionByRange(n_files, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    shutil.rmtree(stats_path)
+    os.rename(tmp, stats_path)
 
 
 def _finalize_term_stats(

@@ -153,36 +153,48 @@ def apply_index_batch(
         return current_index_dir(root)  # replayed micro-batch: no-op
     marker = f"stream batch {batch_id}"
     cur = current_index_dir(root)
-    if cur is None:
-        gen = _GEN % 0
-        build_index(
-            spark, batch_df, os.path.join(root, gen),
-            n_segments=first_build_segments or segments_per_batch,
-            positions=positions, lineage=marker,
-        )
-        cur = os.path.join(root, gen)
-        _flip_current(root, gen)
+    # the batch feeds 2-4 actions (count, quantile cuts, encode/write);
+    # un-persisted, each would re-read the micro-batch from the source
+    batch_df = batch_df.persist()
+    try:
+        if cur is None:
+            if batch_df.limit(1).count() == 0:
+                # an EMPTY first micro-batch (restart / no-data trigger)
+                # must not found the store: build_index on zero rows has
+                # no postings to write and would crash-loop the query
+                _mark_applied(root, batch_id)
+                return None
+            gen = _GEN % 0
+            build_index(
+                spark, batch_df, os.path.join(root, gen),
+                n_segments=first_build_segments or segments_per_batch,
+                positions=positions, lineage=marker,
+            )
+            cur = os.path.join(root, gen)
+            _flip_current(root, gen)
+            _mark_applied(root, batch_id)
+            return cur
+        if not _batch_in_manifest(cur, marker):
+            append_index(
+                spark, batch_df, cur,
+                n_new_segments=segments_per_batch,
+                lineage=marker,
+            )
+        m = read_manifest(cur)
+        if compact_at and m.n_segments >= compact_at:
+            gen_i = int(os.path.basename(cur).split("-")[1]) + 1
+            gen = _GEN % gen_i
+            compact_index(
+                spark, cur, os.path.join(root, gen),
+                target_segments=target_segments or max(1, compact_at // 2),
+            )
+            _mark_applied(root, batch_id)
+            _flip_current(root, gen)
+            return os.path.join(root, gen)
         _mark_applied(root, batch_id)
         return cur
-    if not _batch_in_manifest(cur, marker):
-        append_index(
-            spark, batch_df, cur,
-            n_new_segments=segments_per_batch,
-            lineage=marker,
-        )
-    m = read_manifest(cur)
-    if compact_at and m.n_segments >= compact_at:
-        gen_i = int(os.path.basename(cur).split("-")[1]) + 1
-        gen = _GEN % gen_i
-        compact_index(
-            spark, cur, os.path.join(root, gen),
-            target_segments=target_segments or max(1, compact_at // 2),
-        )
-        _mark_applied(root, batch_id)
-        _flip_current(root, gen)
-        return os.path.join(root, gen)
-    _mark_applied(root, batch_id)
-    return cur
+    finally:
+        batch_df.unpersist()
 
 
 def index_stream(

@@ -96,6 +96,75 @@ def test_append_scores_match_frozen_avgdl_oracle(spark, tmp_path):
     assert any(d >= 1000 for rows in by_q.values() for _, d, _ in rows)
 
 
+def test_append_term_stats_incremental_merge_equals_full_rebuild(spark, tmp_path):
+    """Appends refresh term_stats by merging ONLY the new segments' stats
+    into the existing dictionary (O(batch + dict), not O(all postings));
+    the result must equal the from-scratch rebuild."""
+    from elasticsearch_batch_percolator_spark.index.build import (
+        _finalize_term_stats,
+    )
+
+    out = str(tmp_path / "ix")
+    build_index(spark, _docs(spark, _rand_rows(20, range(0, 150))), out, n_segments=3)
+    append_index(spark, _docs(spark, _rand_rows(21, range(1000, 1080))), out, n_new_segments=2)
+    append_index(spark, _docs(spark, _rand_rows(22, range(2000, 2040))), out, n_new_segments=2)
+    merged = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(os.path.join(out, "term_stats")).collect()
+    }
+    _finalize_term_stats(spark, out, read_manifest(out))  # full rebuild
+    full = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(os.path.join(out, "term_stats")).collect()
+    }
+    assert merged == full and merged
+
+
+def test_append_rerun_clears_stale_partition(spark, tmp_path):
+    """A crashed append's partition for a segment id the re-run leaves
+    empty must not survive (approxQuantile cuts are not guaranteed
+    identical between runs): append pre-clears its target ids."""
+    import shutil
+
+    out = str(tmp_path / "ix")
+    build_index(spark, _docs(spark, _rand_rows(23, range(0, 40))), out, n_segments=2)
+    # simulate the crashed attempt: a stale partition already at id 2
+    post = os.path.join(out, "postings")
+    shutil.copytree(
+        os.path.join(post, "segment_id=0"), os.path.join(post, "segment_id=2")
+    )
+    # re-run appends ONE doc -> k=1 -> only id 2 written; the stale rows
+    # (a full copy of segment 0, duplicating its docs) must be gone
+    append_index(spark, _docs(spark, [(100, ["zz_unique_term"])]), out)
+    rows = (
+        spark.read.parquet(post)
+        .filter("segment_id = 2")
+        .select("term")
+        .collect()
+    )
+    assert [r["term"] for r in rows] == ["zz_unique_term"]
+
+
+def test_build_restores_overwrite_mode_conf(spark, tmp_path):
+    """The index writers flip partitionOverwriteMode to dynamic for their
+    own write but must restore the session's prior value — leaving it on
+    would silently change the user's own partitioned overwrites."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "static")
+        out = str(tmp_path / "ix")
+        build_index(spark, _docs(spark, _rand_rows(24, range(30))), out, n_segments=2)
+        assert spark.conf.get(key).lower() == "static"
+        append_index(spark, _docs(spark, _rand_rows(25, range(100, 120))), out)
+        assert spark.conf.get(key).lower() == "static"
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def test_append_requires_complete_index(spark, tmp_path):
     out = str(tmp_path / "ix")
     build_index(

@@ -192,6 +192,20 @@ def test_compact_rejects_src_as_dst(spark, tmp_path):
         compact_index(spark, src, src)
 
 
+def test_empty_first_batch_skipped_then_builds(spark, tmp_path):
+    """An EMPTY first micro-batch (restart / no-data trigger) must not
+    found the store — and must not crash-loop the stream; the first
+    NON-empty batch builds generation 0."""
+    root = str(tmp_path / "ix")
+    empty = spark.createDataFrame([], SCHEMA)
+    assert apply_index_batch(spark, root, empty, 0, segments_per_batch=2) is None
+    assert current_index_dir(root) is None
+    b1 = spark.createDataFrame(_rows(12, range(0, 50)), SCHEMA)
+    cur = apply_index_batch(spark, root, b1, 1, segments_per_batch=2)
+    assert os.path.basename(cur) == "gen-00000"
+    assert read_manifest(cur).n_docs == 50
+
+
 def test_replayed_batch_is_noop(spark, tmp_path):
     root = str(tmp_path / "ix")
     b0 = spark.createDataFrame(_rows(4, range(0, 60)), SCHEMA)
