@@ -939,20 +939,30 @@ def _merge_term_stats(
     the full rebuild is O(all postings): a streaming ingest doing the
     latter per batch pays quadratic total work as the index grows.
 
-    The merged result writes to a tmp dir and swaps in (read-before-
-    remove is safe: the lazy old-stats read executes during the tmp
-    write). A crash mid-swap leaves the manifest unsaved, so the batch
-    replays and rebuilds the dictionary."""
+    The merged result writes to a tmp dir (with its `_segments.json`
+    inclusion marker — underscore-prefixed, so parquet readers skip it)
+    and swaps in via os.rename: the rename IS the commit, and the marker
+    makes a replay idempotent. Without it, an append that crashed
+    between this swap and the manifest save would re-merge the same
+    batch on replay and double-count its df/cf; with it, the replay sees
+    its segment ids already included and skips. A dictionary without a
+    marker (pre-marker index) falls back to the always-idempotent full
+    rebuild."""
     stats_path = os.path.join(out_dir, "term_stats")
+    included = _ts_included_segments(stats_path)
+    if included is None:
+        # no dictionary yet, or one without an inclusion marker: rebuild
+        # from the postings (idempotent by construction)
+        _finalize_term_stats(spark, out_dir, manifest)
+        return
+    if set(new_seg_ids) <= included:
+        return  # crash replay after the swap: already merged
     new_stats = (
         spark.read.parquet(os.path.join(out_dir, "postings"))
         .filter(F.col("segment_id").isin(new_seg_ids))
         .groupBy("term")
         .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
     )
-    if not os.path.exists(stats_path):
-        _finalize_term_stats(spark, out_dir, manifest)
-        return
     merged = (
         spark.read.parquet(stats_path)
         .select("term", "df", "cf")
@@ -969,8 +979,22 @@ def _merge_term_stats(
         .write.mode("overwrite")
         .parquet(tmp)
     )
+    _write_ts_marker(tmp, included | set(new_seg_ids))
     shutil.rmtree(stats_path)
     os.rename(tmp, stats_path)
+
+
+def _ts_included_segments(stats_path: str) -> set[int] | None:
+    p = os.path.join(stats_path, "_segments.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return set(json.load(f))
+
+
+def _write_ts_marker(stats_path: str, seg_ids: set[int]) -> None:
+    with open(os.path.join(stats_path, "_segments.json"), "w") as f:
+        json.dump(sorted(int(s) for s in seg_ids), f)
 
 
 def _finalize_term_stats(
@@ -1000,6 +1024,10 @@ def _finalize_term_stats(
         .write.mode("overwrite")
         .parquet(stats_path)
     )
+    # inclusion marker for the incremental append-side merge; a crash
+    # between the write above and this marker just downgrades the next
+    # refresh to another full rebuild
+    _write_ts_marker(stats_path, {int(s) for s in manifest.completed})
 
 
 def read_postings(spark: SparkSession, out_dir: str, terms: list[str]) -> DataFrame:

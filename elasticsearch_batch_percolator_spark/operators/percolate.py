@@ -560,6 +560,15 @@ class PercolateResult:
         from ..plans.query_plan import positive_terms
 
         spark = self.docs.sparkSession
+        # score ONLY the queries that matched: the tf join below costs
+        # |docs with term| x |queries with term| pairs, and walking every
+        # registered query's `plan` would unpickle the whole blob-backed
+        # registry on the driver — at a 10^5-query registry both are paid
+        # for results the left-join against matches then throws away
+        matched = {
+            r["query_id"]
+            for r in self.matches.select("query_id").distinct().collect()
+        }
         # (query_id, term) pairs grouped by the tokens COLUMN the field
         # resolves to — fields sharing a column (single-field mode) dedup
         by_col: dict[str, set[tuple[str, str]]] = {}
@@ -567,7 +576,10 @@ class PercolateResult:
             tc for qf, tc in self.resolve.items()
             if self.analyzer_names.get(qf) == "nested"
         }
-        for qid, cq in registry.queries.items():
+        for qid in sorted(matched):
+            cq = registry.queries.get(qid)
+            if cq is None:
+                continue
             for fld, t in sorted(positive_terms(cq.plan)):
                 tc = self.resolve.get(fld)
                 if tc is not None and tc not in nested:

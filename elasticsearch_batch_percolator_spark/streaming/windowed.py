@@ -253,11 +253,6 @@ def windowed_match_counts(
         if slide
         else F.window("ts", window_duration)
     )
-    empty = spark.createDataFrame(
-        [],
-        "window_start timestamp, window_end timestamp, "
-        "query_id string, n_docs long",
-    )
     parts = []
     if rows:
         spec_df = spark.createDataFrame(
@@ -396,7 +391,19 @@ def windowed_match_counts(
         )
 
     if not parts:
-        return empty
+        # derive the empty result FROM the input so its execution mode is
+        # preserved — a createDataFrame([]) would be batch-made, and
+        # returning that to a streaming caller fails their writeStream
+        return (
+            base.filter(F.lit(False))
+            .select(win.alias("win"), F.lit("").alias("query_id"))
+            .select(
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "query_id",
+                F.lit(0).cast("long").alias("n_docs"),
+            )
+        )
     hits = parts[0]
     for p in parts[1:]:
         hits = hits.unionByName(p)

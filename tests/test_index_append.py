@@ -120,6 +120,39 @@ def test_append_term_stats_incremental_merge_equals_full_rebuild(spark, tmp_path
     assert merged == full and merged
 
 
+def test_append_replay_does_not_double_count_term_stats(spark, tmp_path):
+    """Crash window: the merged term_stats swapped in but the manifest
+    save never happened. The replayed append must NOT merge the same
+    segments' stats twice — the _segments.json inclusion marker (written
+    atomically inside the swapped dir) makes the merge idempotent."""
+    import copy
+
+    from elasticsearch_batch_percolator_spark.index.build import (
+        _finalize_term_stats,
+    )
+
+    out = str(tmp_path / "ix")
+    build_index(spark, _docs(spark, _rand_rows(26, range(0, 120))), out, n_segments=3)
+    pre = copy.deepcopy(read_manifest(out))
+    rows = _rand_rows(27, range(1000, 1060))
+    append_index(spark, _docs(spark, rows), out, n_new_segments=2)
+    # simulate the crash: roll the manifest back to its pre-append state
+    # (postings + term_stats keep the completed append's output)
+    pre.save(out)
+    append_index(spark, _docs(spark, rows), out, n_new_segments=2)
+    merged = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(os.path.join(out, "term_stats")).collect()
+    }
+    _finalize_term_stats(spark, out, read_manifest(out))
+    full = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(os.path.join(out, "term_stats")).collect()
+    }
+    assert merged == full
+    assert read_manifest(out).n_docs == 180
+
+
 def test_append_rerun_clears_stale_partition(spark, tmp_path):
     """A crashed append's partition for a segment id the re-run leaves
     empty must not survive (approxQuantile cuts are not guaranteed

@@ -469,3 +469,27 @@ def test_windowed_hybrid_streaming_run(spark, tmp_path):
     # doc 0 "the fox" = transposition (cost 2) -> both match u-sloppy
     assert emitted[(0, "s-term")] == 2
     assert emitted[(0, "u-sloppy")] == 2
+
+
+def test_empty_registry_preserves_streaming_mode(spark, tmp_path):
+    """A registry contributing no lanes must still return a DataFrame in
+    the INPUT's execution mode: a batch-made empty frame would fail a
+    streaming caller's writeStream outright."""
+    reg = CompiledRegistry.from_rows([])
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("doc_id"),
+            F.lit("the fox").alias("content"),
+        )
+    )
+    out = windowed_match_counts(spark, stream, reg)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "window_start", "window_end", "query_id", "n_docs",
+    ]
+    # and batch inputs stay batch
+    docs = _docs_df(spark, lambda i: i)
+    out_b = windowed_match_counts(spark, docs, reg)
+    assert not out_b.isStreaming and out_b.count() == 0
