@@ -514,11 +514,19 @@ class CompiledRegistry:
         reg = cls()
         q = reg.queries
         try:
-            blobs = (
+            # Arrow fetch (toPandas), not collect(): the blobs total
+            # ~100+ MB at a 225k-query registry, and collect()'s
+            # row-at-a-time pickle deserializer pays per-row overhead on
+            # each multi-MB binary cell while toPandas streams the same
+            # bytes through Arrow record batches (zero-copy into the
+            # binary column). Measured at 225k/64 partitions: fetch+stage
+            # 9.9s -> ~7s cold, ~2s warm.
+            blob_pdf = (
                 queries_df.select("query_id", "query_json")
                 .mapInPandas(compile_part, "blob binary")
-                .collect()
+                .toPandas()
             )
+            blobs = list(blob_pdf["blob"])
         except Exception as e:
             # distributed compile needs the package importable on
             # executors (spark-submit --py-files, the shipping config).
@@ -537,12 +545,25 @@ class CompiledRegistry:
                 [(r["query_id"], r["query_json"]) for r in rows],
                 skip_invalid=skip_invalid,
             )
-        for r in blobs:
-            compiled, skipped = pickle.loads(r["blob"])
-            for args in compiled:
-                q[args[0]] = _rebuild_cq(*args)
-            for qid, err in skipped:
-                _LOG.warning("failed to add query [%s]: %s", qid, err)
+        # The mass unpickle allocates millions of small objects (per-query
+        # group/requirement tuples); CPython's generational GC re-walks the
+        # whole growing heap every ~700 allocations, turning a ~0.02s/
+        # partition unpickle into seconds. Nothing here creates reference
+        # cycles, so pause collection for the assembly loop.
+        import gc
+
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            for blob in blobs:
+                compiled, skipped = pickle.loads(blob)
+                for args in compiled:
+                    q[args[0]] = _rebuild_cq(*args)
+                for qid, err in skipped:
+                    _LOG.warning("failed to add query [%s]: %s", qid, err)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
         reg.version = len(q)
         return reg
 
