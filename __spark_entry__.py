@@ -435,6 +435,28 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate-cluster resolution: MinHash-LSH candidate pairs
+    -> connected components (min-label + pointer jumping) -> one canonical
+    survivor per cluster, extended to the whole corpus (un-paired docs are
+    their own canonical singleton). The step the pair emitters stop short
+    of: A~B and B~C retires BOTH B and C even though (A, C) never met in
+    any LSH bucket."""
+    from elasticsearch_batch_percolator_spark.functions.dedup import (
+        dedup_keep_list,
+        minhash_lsh_candidates,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    pairs = minhash_lsh_candidates(toks, n_hashes=16, n_bands=8, shingle_n=3)
+    return dedup_keep_list(_docs(spark, sf_dir), pairs).select(
+        F.col("doc_id").cast("long"),
+        F.col("canonical_id").cast("long"),
+        "cluster_size",
+        "is_canonical",
+    )
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elasticsearch_batch_percolator_spark.functions.dedup import simhash
 
@@ -1113,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_resolve": _q_dedup_resolve,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_ann_ivf": _q_embedding_ann_ivf,
@@ -1392,6 +1415,38 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = da
 JOIN sizes sb ON sb.doc_id = db
 WHERE ni / (sa.n + sb.n - ni) >= 0.2
+""",
+        "dedup_resolve": f"""
+WITH RECURSIVE {sh_ctes},
+sig AS (
+  SELECT doc_id, g.i AS i, min(md5(g.i::VARCHAR || '|' || s)) AS h
+  FROM shx, generate_series(0, 15) AS g(i)
+  GROUP BY doc_id, g.i
+),
+bands AS (
+  SELECT doc_id, (i // 2)::INT AS band, md5(string_agg(h, '|' ORDER BY i)) AS key
+  FROM sig GROUP BY doc_id, (i // 2)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+edges AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, rr.r FROM edges e JOIN reach rr ON rr.id = e.b
+),
+lab AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+fin AS (
+  SELECT d.doc_id AS doc_id, coalesce(l.c, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, canonical_id::BIGINT AS canonical_id,
+       (count(*) OVER (PARTITION BY canonical_id))::BIGINT AS cluster_size,
+       (CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END)::INT AS is_canonical
+FROM fin
 """,
         "dedup_simhash": """
 WITH toks AS (

@@ -243,3 +243,106 @@ def simhash(
         term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def resolve_duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph ->
+    ``(doc_id, canonical_id)`` with canonical = MIN id in the component
+    (the same convention as exact_dedup). Only ids that appear in ``pairs``
+    are returned; use :func:`dedup_keep_list` to extend to a whole corpus.
+
+    The pair emitters (minhash_lsh_candidates, cosine_neardup_pairs, ...)
+    stop at PAIRS; a pipeline that drops duplicates needs one survivor per
+    transitive CLUSTER — A~B and B~C must retire both B and C even though
+    (A, C) was never emitted.
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    ``lbl(v) <- min(lbl(v), min_{u in N(v)} lbl(u), lbl(lbl(v)))``.
+    The neighbor term alone walks the graph (O(diameter) rounds); the
+    lbl(lbl(v)) pointer-jump term contracts label chains geometrically, so
+    rounds are O(log(longest path)) — a 10^6-doc boilerplate chain resolves
+    in ~20 rounds, not 10^6. Each round is two shuffle joins + one groupBy
+    over the edge list, all on the pair-graph (not the corpus), and lineage
+    is truncated per round with localCheckpoint so the plan stays flat.
+    The fixpoint is exact and partitioning-independent; raises RuntimeError
+    if max_rounds is hit before convergence.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # reused every round: scan, don't recompute
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("id"), F.least(F.col("src"), F.col("m")).alias("lbl"))
+    )
+    for _ in range(max_rounds):
+        labels = labels.localCheckpoint()
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "lbl")
+            .groupBy("id")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        jump = labels.select(F.col("id").alias("lbl"), F.col("lbl").alias("jlbl"))
+        new = (
+            labels.join(nbr_min, "id", "left")
+            .join(jump, "lbl", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce("nlbl", "lbl"),
+                    F.coalesce("jlbl", "lbl"),
+                ).alias("new_lbl"),
+                (F.col("lbl")).alias("old_lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("new_lbl") < F.col("old_lbl")).count()
+        labels = new.select("id", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("canonical_id"))
+    raise RuntimeError(
+        f"resolve_duplicate_clusters did not converge in {max_rounds} rounds; "
+        "the pair graph has a longer chain than 2^rounds — raise max_rounds"
+    )
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, canonical_id, cluster_size, is_canonical) over the WHOLE
+    corpus: transitive closure of ``pairs`` decides clusters, every
+    un-paired doc is its own canonical singleton. ``is_canonical`` marks the
+    one survivor (min id) per cluster — `filter("is_canonical = 1")` is the
+    dedup; the non-survivors carry their canonical_id for provenance.
+    """
+    from pyspark.sql import Window
+
+    res = resolve_duplicate_clusters(pairs, id_a=pair_a, id_b=pair_b)
+    # No forced broadcast: the label table is duplicate-count-sized, which at
+    # web scale can be a large fraction of the corpus. AQE picks broadcast
+    # when it actually fits; otherwise this is one hash join keyed on doc_id.
+    base = docs.select(F.col(id_col).alias("doc_id")).join(res, "doc_id", "left")
+    out = base.select(
+        "doc_id", F.coalesce("canonical_id", F.col("doc_id")).alias("canonical_id")
+    )
+    w = Window.partitionBy("canonical_id")
+    return out.select(
+        "doc_id",
+        "canonical_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("canonical_id")).cast("int").alias("is_canonical"),
+    )

@@ -325,3 +325,92 @@ def test_ivf_partitioned_index_prunes(spark, embeddings, tmp_path):
     assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in mem.collect()]
     # sanity: probing reads fewer files than the full index has partitions
     assert len(probe_centroids(cents, q, 3)) == 3
+
+
+def test_resolve_clusters_chain_pointer_jump(spark):
+    """A pure chain 0-1-2-...-19 (diameter 19) must fully contract — the
+    pointer-jump term is what makes this converge well under 19 rounds."""
+    from elasticsearch_batch_percolator_spark.functions.dedup import (
+        resolve_duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in resolve_duplicate_clusters(pairs, max_rounds=10).collect()
+    }
+    assert got == {(i, 0) for i in range(20)}
+
+
+def test_resolve_clusters_vs_union_find(spark):
+    """Random pair graph == a python union-find oracle, exactly."""
+    import random
+
+    from elasticsearch_batch_percolator_spark.functions.dedup import (
+        resolve_duplicate_clusters,
+    )
+
+    rng = random.Random(20260819)
+    n = 300
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(220)})
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # oracle canonical = min member of the component
+    comp = {}
+    for v in range(n):
+        comp.setdefault(find(v), []).append(v)
+    want = {}
+    for members in comp.values():
+        m = min(members)
+        for v in members:
+            want[v] = m
+    touched = {v for e in edges for v in e}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_duplicate_clusters(pairs).collect()
+    }
+    assert set(got) == touched
+    assert got == {v: want[v] for v in touched}
+
+
+def test_dedup_keep_list_covers_corpus(spark):
+    """keep_list extends transitive clusters to the whole corpus: singletons
+    are their own canonical, one is_canonical survivor per cluster."""
+    from elasticsearch_batch_percolator_spark.functions.dedup import dedup_keep_list
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    # clusters {0,1,2} (transitively: 0-1, 1-2) and {5,7}; 3,4,6 singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 7)], "doc_a long, doc_b long"
+    )
+    rows = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup_keep_list(docs, pairs).collect()
+    }
+    assert rows == {
+        0: (0, 3, 1),
+        1: (0, 3, 0),
+        2: (0, 3, 0),
+        3: (3, 1, 1),
+        4: (4, 1, 1),
+        5: (5, 2, 1),
+        6: (6, 1, 1),
+        7: (5, 2, 0),
+    }
