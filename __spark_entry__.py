@@ -192,6 +192,43 @@ def _q_percolate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.matches.select(F.col("doc_id").cast("long").alias("doc_id"), "query_id")
 
 
+_MSM_QUERIES = {
+    "m-2of3": {"bool": {"should": [{"term": {"content": "merge"}},
+                                   {"term": {"content": "table"}},
+                                   {"term": {"content": "spark"}}],
+                        "minimum_should_match": 2}},
+    "m-must": {"bool": {"must": [{"term": {"content": "row"}}],
+                        "should": [{"term": {"content": "join"}},
+                                   {"term": {"content": "filter"}},
+                                   {"term": {"content": "batch"}}],
+                        "minimum_should_match": 2}},
+    "m-all": {"bool": {"should": [{"term": {"content": "column"}},
+                                  {"term": {"content": "vector"}}],
+                       "minimum_should_match": 2}},
+    "m-phrase": {"bool": {"should": [{"phrase": {"field": "content",
+                                                 "terms": ["the", "fast"]}},
+                                     {"term": {"content": "order"}},
+                                     {"term": {"content": "sort"}}],
+                          "minimum_should_match": 2}},
+    "m-not": {"bool": {"must_not": [{"term": {"content": "spark"}}],
+                       "should": [{"term": {"content": "merge"}},
+                                  {"term": {"content": "row"}}],
+                       "minimum_should_match": 2}},
+}
+
+
+def _q_percolate_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match through the full two-phase percolation: >=k of
+    the should clauses must hold (Lucene BooleanQuery.minimumNumberShouldMatch,
+    which the reference honors in its phase-2 query run). Registry shapes
+    cover only-should, must+should (shoulds REQUIRED, not score-only),
+    msm == len(should), a phrase should-clause, and msm under must_not."""
+    reg = CompiledRegistry.from_rows(list(_MSM_QUERIES.items()))
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    res = percolate(spark, docs, reg)
+    return res.matches.select(F.col("doc_id").cast("long").alias("doc_id"), "query_id")
+
+
 def _q_percolate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 count-only mode over the same registered set."""
     reg = CompiledRegistry.from_rows(list(_PERC_QUERIES.items()))
@@ -1165,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_sloppy_lucene": _q_phrase_sloppy_lucene,
         "percolate_batch": _q_percolate_batch,
         "percolate_counts": _q_percolate_counts,
+        "percolate_msm": _q_percolate_msm,
         "percolate_auto_fields": _q_percolate_auto_fields,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_appended": _q_bm25_topk_appended,
@@ -1359,6 +1397,39 @@ SELECT d.doc_id::BIGINT AS doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
 LEFT JOIN m ON m.doc_id = d.doc_id
 GROUP BY d.doc_id
+""",
+        "percolate_msm": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, 'm-2of3' AS query_id FROM toks
+  WHERE (CASE WHEN list_contains(t,'merge') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(t,'table') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(t,'spark') THEN 1 ELSE 0 END) >= 2
+  UNION ALL
+  SELECT doc_id, 'm-must' FROM toks
+  WHERE list_contains(t,'row')
+    AND (CASE WHEN list_contains(t,'join') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(t,'filter') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(t,'batch') THEN 1 ELSE 0 END) >= 2
+  UNION ALL
+  SELECT doc_id, 'm-all' FROM toks
+  WHERE list_contains(t,'column') AND list_contains(t,'vector')
+  UNION ALL
+  SELECT doc_id, 'm-phrase' FROM toks
+  WHERE (CASE WHEN len(list_filter(generate_series(1, len(t) - 1),
+                 i -> t[i] = 'the' AND t[i+1] = 'fast')) > 0
+         THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(t,'order') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(t,'sort') THEN 1 ELSE 0 END) >= 2
+  UNION ALL
+  SELECT doc_id, 'm-not' FROM toks
+  WHERE NOT list_contains(t,'spark')
+    AND list_contains(t,'merge') AND list_contains(t,'row')
+)
+SELECT doc_id::BIGINT AS doc_id, query_id FROM hits
 """,
         "dedup_exact": """
 WITH g AS (

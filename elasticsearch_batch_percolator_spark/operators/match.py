@@ -170,11 +170,19 @@ def match_col(
             cond = cond & match_col(c, token_fields, value_fields)
         for c in plan.must_not:
             cond = cond & ~match_col(c, token_fields, value_fields)
-        if plan.should and not (plan.must or plan.filter):
+        need = plan.effective_msm()
+        if need == 1:
             any_should = F.lit(False)
             for c in plan.should:
                 any_should = any_should | match_col(c, token_fields, value_fields)
             cond = cond & any_should
+        elif need > 1:
+            # minimum_should_match: count satisfied shoulds JVM-side
+            n_hits = None
+            for c in plan.should:
+                h = match_col(c, token_fields, value_fields).cast("int")
+                n_hits = h if n_hits is None else n_hits + h
+            cond = cond & (n_hits >= F.lit(need))
         return cond
 
     raise TypeError(f"cannot build match column for {plan!r}")

@@ -155,8 +155,27 @@ def compile_query(q: str | dict) -> Plan:
                 items = [items]
             return tuple(compile_query(i) for i in items)
 
+        msm = body.get("minimum_should_match", 0)
+        try:
+            msm = int(msm)
+        except (TypeError, ValueError):
+            # ES also accepts percent/combination specs ("75%", "3<90%");
+            # only integer counts are supported here — fail at registration
+            # like the reference's parse-time errors, never silently.
+            raise QueryParseError(
+                f"minimum_should_match must be an integer count, got {msm!r}"
+            )
+        if msm < 0:
+            raise QueryParseError(
+                f"negative minimum_should_match not supported: {msm}"
+            )
         plan = Bool(must=many("must"), should=many("should"),
-                    must_not=many("must_not"), filter=many("filter"))
+                    must_not=many("must_not"), filter=many("filter"),
+                    msm=msm if body.get("should") else 0)
+        if plan.msm > len(plan.should):
+            # Lucene: minimumNumberShouldMatch above the optional-clause
+            # count can never be satisfied
+            return MatchNone()
         if not (plan.must or plan.should or plan.must_not or plan.filter):
             return MatchAll()
         return plan

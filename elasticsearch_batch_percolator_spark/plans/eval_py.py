@@ -227,8 +227,15 @@ def eval_plan(plan: Plan, doc: dict) -> bool:
         for c in plan.must_not:
             if eval_plan(c, doc):
                 return False
-        if plan.should and not (plan.must or plan.filter):
-            return any(eval_plan(c, doc) for c in plan.should)
+        need = plan.effective_msm()
+        if need:
+            hits = 0
+            for c in plan.should:
+                if eval_plan(c, doc):
+                    hits += 1
+                    if hits >= need:
+                        return True
+            return False
         return True
     raise TypeError(f"cannot evaluate {plan!r}")
 
@@ -313,7 +320,7 @@ def compile_predicate_fields(plan: Plan):
         filters = [compile_predicate_fields(c) for c in plan.filter]
         must_nots = [compile_predicate_fields(c) for c in plan.must_not]
         shoulds = [compile_predicate_fields(c) for c in plan.should]
-        need_should = bool(plan.should) and not (plan.must or plan.filter)
+        need_should = plan.effective_msm()
 
         def bool_pred(fm):
             for p in musts:
@@ -326,7 +333,13 @@ def compile_predicate_fields(plan: Plan):
                 if p(fm):
                     return False
             if need_should:
-                return any(p(fm) for p in shoulds)
+                hits = 0
+                for p in shoulds:
+                    if p(fm):
+                        hits += 1
+                        if hits >= need_should:
+                            return True
+                return False
             return True
 
         return bool_pred

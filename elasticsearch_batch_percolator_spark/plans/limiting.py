@@ -65,7 +65,10 @@ def exact_rewrite(plan: Plan) -> Plan | None:
                     return None
                 out.append(e)
             groups[name] = tuple(out)
-        return Bool(**groups)
+        # msm must survive an EXACT rewrite: dropping it widens the plan,
+        # and exact_rewrite's output is used under NOT, where a widened
+        # clause would exclude true matches (unsound).
+        return Bool(msm=plan.msm, **groups)
     return None
 
 
@@ -162,6 +165,7 @@ def _remap_fields(plan: Plan, path: str) -> Plan:
             should=tuple(_remap_fields(c, path) for c in plan.should),
             must_not=tuple(_remap_fields(c, path) for c in plan.must_not),
             filter=tuple(_remap_fields(c, path) for c in plan.filter),
+            msm=plan.msm,
         )
     if isinstance(plan, (SpanNear, SpanOr)):
         from dataclasses import replace as _r

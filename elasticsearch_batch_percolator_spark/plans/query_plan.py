@@ -71,13 +71,27 @@ class WildcardPhrase(Plan):
 
 @dataclass(frozen=True)
 class Bool(Plan):
+    """``msm`` is Lucene's minimumNumberShouldMatch (ES 1.7
+    ``minimum_should_match``, honored by the reference's phase-2
+    BooleanQuery). 0 = default semantics: shoulds are optional when
+    must/filter exist, else >=1 must match. ``effective_msm()`` folds
+    that default in."""
+
     must: tuple[Plan, ...] = ()
     should: tuple[Plan, ...] = ()
     must_not: tuple[Plan, ...] = ()
     filter: tuple[Plan, ...] = ()
+    msm: int = 0
+
+    def effective_msm(self) -> int:
+        if self.msm > 0:
+            return self.msm
+        if self.should and not (self.must or self.filter):
+            return 1
+        return 0
 
     def to_dict(self):
-        return {
+        d = {
             "bool": {
                 "must": [p.to_dict() for p in self.must],
                 "should": [p.to_dict() for p in self.should],
@@ -85,6 +99,9 @@ class Bool(Plan):
                 "filter": [p.to_dict() for p in self.filter],
             }
         }
+        if self.msm:
+            d["bool"]["minimum_should_match"] = self.msm
+        return d
 
 
 @dataclass(frozen=True)

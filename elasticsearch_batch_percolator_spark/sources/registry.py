@@ -870,6 +870,8 @@ def _jv_requirements(plan: Plan) -> tuple | None:
     if a is not None:
         return ((a,), ())
     if isinstance(plan, Bool):
+        if plan.should and plan.msm:
+            return None  # >=k-of-should is not a pure need/forbid shape
         clauses = plan.must + plan.filter
         if clauses:
             need = [_jv_atom(c) for c in clauses]
@@ -888,6 +890,8 @@ def _simple_required(plan: Plan) -> tuple | None:
     are score-only when must/filter present — evaluator semantics). None
     otherwise."""
     if isinstance(plan, Bool):
+        if plan.should and plan.msm:
+            return None  # >=k shoulds are REQUIRED, not score-only
         clauses = plan.must + plan.filter
         if (
             clauses
@@ -943,6 +947,13 @@ def _needs_verify(plan: Plan) -> bool:
     if isinstance(plan, Bool):
         if plan.must_not:
             return True  # groups ignore must_not -> over-approximate
+        if plan.should and plan.msm and (
+            plan.msm > 1 or plan.must or plan.filter
+        ):
+            # phase-1 groups encode >=1-of-group; a >=k-of-should
+            # constraint (or any should requirement alongside must, which
+            # groups drop) is only a superset -> phase 2 must verify
+            return True
         if plan.must or plan.filter:
             # shoulds are optional (score-only) when must/filter present —
             # matching is decided by the must/filter atoms alone

@@ -69,6 +69,11 @@ def _random_plan(rng: random.Random, depth: int):
         return tuple(_random_plan(rng, depth - 1) for _ in range(rng.randint(0, n)))
 
     plan = Bool(must=many(3), should=many(3), must_not=many(2), filter=many(1))
+    if plan.should and rng.random() < 0.3:
+        # minimum_should_match in [1, len(should)] — stays satisfiable
+        # (compile_query normalizes msm > len(should) to MatchNone)
+        plan = Bool(plan.must, plan.should, plan.must_not, plan.filter,
+                    msm=rng.randint(1, len(plan.should)))
     if not (plan.must or plan.should or plan.must_not or plan.filter):
         return Term(FIELD, rng.choice(VOCAB))
     return plan

@@ -57,11 +57,18 @@ def _random_plans(rng, n):
             )
         else:
             sub = _random_plans(rng, rng.randint(1, 2))
+            shoulds = (
+                tuple(Term(FIELD, rng.choice(VOCAB)) for _ in range(rng.randint(1, 3)))
+                if rng.random() < 0.5
+                else ()
+            )
             out.append(
                 Bool(
                     must=tuple(sub),
                     must_not=(Term(FIELD, rng.choice(VOCAB)),) if rng.random() < 0.5 else (),
-                    should=(Term(FIELD, rng.choice(VOCAB)),) if rng.random() < 0.5 else (),
+                    should=shoulds,
+                    # minimum_should_match half the time shoulds exist
+                    msm=rng.randint(1, len(shoulds)) if shoulds and rng.random() < 0.5 else 0,
                 )
             )
     return out

@@ -71,11 +71,18 @@ spans = st.recursive(
 plans = st.recursive(
     st.one_of(leaf, spans),
     lambda inner: st.builds(
-        lambda m, s, mn, f: Bool(tuple(m), tuple(s), tuple(mn), tuple(f)),
+        lambda m, s, mn, f, k: Bool(
+            tuple(m), tuple(s), tuple(mn), tuple(f),
+            # minimum_should_match: only meaningful with shoulds; the
+            # compiler normalizes msm > len(should) to MatchNone, so cap it
+            # here to keep to_dict round-trips comparable.
+            msm=min(k, len(s)) if s else 0,
+        ),
         st.lists(inner, max_size=2),
         st.lists(inner, max_size=2),
         st.lists(inner, max_size=2),
         st.lists(inner, max_size=1),
+        st.integers(0, 2),
     ),
     max_leaves=6,
 )
@@ -153,3 +160,40 @@ def test_limiting_reference_rules():
     assert limiting_filter(sn) == Bool(must=(Term(FIELD, "a"), Term(FIELD, "b")))
     # negated span -> absent
     assert limiting_filter(sn, negated=True) is None
+
+
+def test_compiler_minimum_should_match():
+    from elasticsearch_batch_percolator_spark.plans import MatchNone
+    from elasticsearch_batch_percolator_spark.plans.compiler import QueryParseError
+    import pytest as _pytest
+
+    q = {
+        "bool": {
+            "should": [{"term": {"content": "a"}}, {"term": {"content": "b"}}],
+            "minimum_should_match": 2,
+        }
+    }
+    p = compile_query(q)
+    assert isinstance(p, Bool) and p.msm == 2
+    assert eval_plan(p, {FIELD: ["a", "b"]})
+    assert not eval_plan(p, {FIELD: ["a", "x"]})
+    # round-trips through to_dict
+    assert compile_query(p.to_dict()) == p
+    # Lucene: minimumNumberShouldMatch above the clause count never matches
+    q["bool"]["minimum_should_match"] = 3
+    assert isinstance(compile_query(q), MatchNone)
+    # with must present, msm shoulds become REQUIRED (not score-only)
+    q2 = {
+        "bool": {
+            "must": [{"term": {"content": "m"}}],
+            "should": [{"term": {"content": "a"}}, {"term": {"content": "b"}}],
+            "minimum_should_match": 1,
+        }
+    }
+    p2 = compile_query(q2)
+    assert eval_plan(p2, {FIELD: ["m", "a"]})
+    assert not eval_plan(p2, {FIELD: ["m"]})  # default would match
+    # ES percent specs are parse-time errors here, never silent
+    q2["bool"]["minimum_should_match"] = "75%"
+    with _pytest.raises(QueryParseError):
+        compile_query(q2)
