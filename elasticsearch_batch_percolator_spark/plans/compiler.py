@@ -24,6 +24,7 @@ Accepted DSL (FIXTURES.md §2 + ES-flavored aliases):
 from __future__ import annotations
 
 import json
+import re as _re
 from typing import Any
 
 from .query_plan import (
@@ -66,6 +67,74 @@ def _analyze(text: str) -> list[str]:
     return [t for t in str(text).lower().split(" ") if t]
 
 
+#: accepted DSL spellings for bool minimum_should_match (ES 1.7
+#: BoolQueryParser accepts snake_case and camelCase, with and without
+#: "number")
+_MSM_KEYS = (
+    "minimum_should_match",
+    "minimum_number_should_match",
+    "minimumShouldMatch",
+    "minimumNumberShouldMatch",
+)
+
+
+def calculate_min_should_match(n_optional: int, spec) -> int:
+    """Resolve an ES minimum_should_match spec against the optional-clause
+    count, with ES 1.7 semantics (Queries.calculateMinShouldMatch,
+    elasticsearch-1.7 common/lucene/search/Queries.java — the parser the
+    reference's registered queries go through):
+
+    - integer ``k``: exactly k (k < 0 means ``n_optional + k``)
+    - ``"75%"``: truncate(n * 75 / 100); ``"-25%"`` leaves all but that many
+    - conditional ``"3<90%"``: if n <= 3 all optional clauses are required,
+      else the sub-spec applies; multiple space-separated conditions are
+      evaluated left to right
+    Negative results clamp to 0; a result above ``n_optional`` is the
+    caller's signal for Lucene's unmatchable BooleanQuery.
+    """
+    if isinstance(spec, bool) or spec is None:
+        raise QueryParseError(f"invalid minimum_should_match: {spec!r}")
+    if isinstance(spec, int):
+        return max(n_optional + spec if spec < 0 else spec, 0)
+    if isinstance(spec, float):
+        if not spec.is_integer():
+            raise QueryParseError(
+                f"minimum_should_match must be integral, got {spec!r}"
+            )
+        return calculate_min_should_match(n_optional, int(spec))
+    s = str(spec).strip()
+    try:
+        if "<" in s:
+            # normalize spaces around '<' the way the reference does, then
+            # evaluate space-separated conditions left to right
+            s = _re.sub(r"\s*<\s*", "<", s)
+            result = n_optional  # no condition applies -> all required
+            for cond in s.split():
+                upper_s, _, sub = cond.partition("<")
+                if n_optional <= int(upper_s):
+                    return result
+                result = calculate_min_should_match(n_optional, sub)
+            return result
+        if s.endswith("%"):
+            percent = int(s[:-1])
+            calc = n_optional * percent / 100.0
+            # Java's (int) cast truncates toward zero, as does int() here
+            result = n_optional + int(calc) if calc < 0 else int(calc)
+        else:
+            calc = int(s)
+            result = n_optional + calc if calc < 0 else calc
+    except ValueError:
+        raise QueryParseError(f"invalid minimum_should_match spec: {spec!r}")
+    return max(result, 0)
+
+
+def _msm_from(body: dict, n_optional: int) -> int:
+    for key in _MSM_KEYS:
+        if key in body:
+            return calculate_min_should_match(n_optional, body[key])
+    return 0
+
+
 def compile_query(q: str | dict) -> Plan:
     if isinstance(q, str):
         q = json.loads(q)
@@ -81,9 +150,10 @@ def compile_query(q: str | dict) -> Plan:
         return Term(f, toks[0])
 
     if kind == "match":
+        spec = body
         if "field" in body or ("query" in body and len(body) > 1):
             f = body.get("field") or next(
-                k for k in body if k not in ("query", "operator")
+                k for k in body if k not in ("query", "operator", *_MSM_KEYS)
             )
             v = body.get("query", body.get(f))
             op = body.get("operator", "or")
@@ -100,10 +170,26 @@ def compile_query(q: str | dict) -> Plan:
         if len(toks) == 1:
             return Term(f, toks[0])
         terms = tuple(Term(f, t) for t in toks)
-        return Bool(must=terms) if str(op).lower() == "and" else Bool(should=terms)
+        if str(op).lower() == "and":
+            return Bool(must=terms)
+        # ES 1.7 MatchQueryParser honors minimum_should_match on the
+        # analyzed-disjunction form
+        msm = _msm_from(spec, len(terms))
+        if msm > len(terms):
+            return MatchNone()
+        return Bool(should=terms, msm=msm)
 
     if kind == "terms":
-        f, vals = _field_value(body)
+        # ES 1.7 TermsQueryParser: "minimum_match" is its legacy alias
+        msm_spec = {k: v for k, v in body.items()
+                    if k in _MSM_KEYS or k == "minimum_match"}
+        if "minimum_match" in msm_spec:
+            msm_spec.setdefault("minimum_should_match",
+                                msm_spec.pop("minimum_match"))
+        f, vals = _field_value(
+            {k: v for k, v in body.items() if k not in _MSM_KEYS
+             and k != "minimum_match"}
+        )
         if not isinstance(vals, (list, tuple)):
             raise QueryParseError(f"terms value must be a list: {vals!r}")
         toks = [t for v in vals for t in _analyze(v)]
@@ -111,7 +197,10 @@ def compile_query(q: str | dict) -> Plan:
             return MatchNone()
         if len(toks) == 1:
             return Term(f, toks[0])
-        return Bool(should=tuple(Term(f, t) for t in toks))
+        msm = _msm_from(msm_spec, len(toks))
+        if msm > len(toks):
+            return MatchNone()
+        return Bool(should=tuple(Term(f, t) for t in toks), msm=msm)
 
     if kind == "prefix":
         f, v = _field_value(body)
@@ -155,23 +244,10 @@ def compile_query(q: str | dict) -> Plan:
                 items = [items]
             return tuple(compile_query(i) for i in items)
 
-        msm = body.get("minimum_should_match", 0)
-        try:
-            msm = int(msm)
-        except (TypeError, ValueError):
-            # ES also accepts percent/combination specs ("75%", "3<90%");
-            # only integer counts are supported here — fail at registration
-            # like the reference's parse-time errors, never silently.
-            raise QueryParseError(
-                f"minimum_should_match must be an integer count, got {msm!r}"
-            )
-        if msm < 0:
-            raise QueryParseError(
-                f"negative minimum_should_match not supported: {msm}"
-            )
-        plan = Bool(must=many("must"), should=many("should"),
+        shoulds = many("should")
+        plan = Bool(must=many("must"), should=shoulds,
                     must_not=many("must_not"), filter=many("filter"),
-                    msm=msm if body.get("should") else 0)
+                    msm=_msm_from(body, len(shoulds)) if shoulds else 0)
         if plan.msm > len(plan.should):
             # Lucene: minimumNumberShouldMatch above the optional-clause
             # count can never be satisfied

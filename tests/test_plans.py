@@ -193,7 +193,48 @@ def test_compiler_minimum_should_match():
     p2 = compile_query(q2)
     assert eval_plan(p2, {FIELD: ["m", "a"]})
     assert not eval_plan(p2, {FIELD: ["m"]})  # default would match
-    # ES percent specs are parse-time errors here, never silent
+    # percent spec resolves against the optional-clause count at parse time
     q2["bool"]["minimum_should_match"] = "75%"
+    assert compile_query(q2).msm == 1  # trunc(2 * 0.75)
+    # malformed specs are parse-time errors, never silent
+    q2["bool"]["minimum_should_match"] = "abc%"
     with _pytest.raises(QueryParseError):
         compile_query(q2)
+
+
+def test_minimum_should_match_spec_grammar():
+    """ES 1.7 Queries.calculateMinShouldMatch semantics (the reference's
+    registered queries parse through it): integer, negative, percent,
+    negative percent, and conditional combination forms."""
+    from elasticsearch_batch_percolator_spark.plans.compiler import (
+        calculate_min_should_match as c,
+    )
+
+    assert c(4, 3) == 3
+    assert c(4, "3") == 3
+    assert c(4, -1) == 3
+    assert c(4, "-5") == 0          # clamps at 0
+    assert c(4, "75%") == 3
+    assert c(3, "75%") == 2         # trunc(2.25), toward zero
+    assert c(4, "-25%") == 3        # all but trunc(1.0)
+    assert c(3, "-25%") == 3        # int(-0.75) == 0 (toward zero)
+    assert c(4, "150%") == 6        # > n signals unmatchable upstream
+    # conditional: n <= bound -> ALL required; else sub-spec applies
+    assert c(3, "3<90%") == 3
+    assert c(10, "3<90%") == 9
+    # multiple conditions, left to right (Solr/ES doc example)
+    spec = "2<-25% 9<-3"
+    assert c(2, spec) == 2          # n <= 2: all
+    assert c(8, spec) == 6          # 2 < 8 <= 9: -25% => 8 - trunc(2.0)
+    assert c(12, spec) == 9         # n > 9: -3
+    # camelCase + legacy aliases parse on bool / terms / match
+    b = compile_query({"bool": {"should": [{"term": {"content": "a"}},
+                                           {"term": {"content": "b"}}],
+                                "minimumShouldMatch": 2}})
+    assert b.msm == 2
+    t = compile_query({"terms": {"content": ["a", "b", "c"],
+                                 "minimum_match": 2}})
+    assert t.msm == 2
+    m = compile_query({"match": {"content": {"query": "a b c",
+                                             "minimum_should_match": "67%"}}})
+    assert m.msm == 2
