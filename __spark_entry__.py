@@ -214,6 +214,14 @@ _MSM_QUERIES = {
                        "should": [{"term": {"content": "merge"}},
                                   {"term": {"content": "row"}}],
                        "minimum_should_match": 2}},
+    # ES spec-grammar forms (Queries.calculateMinShouldMatch): 67% of 3 -> 2
+    "m-pct": {"bool": {"should": [{"term": {"content": "merge"}},
+                                  {"term": {"content": "table"}},
+                                  {"term": {"content": "spark"}}],
+                       "minimum_should_match": "67%"}},
+    # conditional: n_optional=3 > 1 -> sub-spec 100% -> all 3 required
+    "m-cond": {"terms": {"content": ["join", "filter", "batch"],
+                         "minimum_match": "1<100%"}},
 }
 
 
@@ -1428,6 +1436,15 @@ hits AS (
   SELECT doc_id, 'm-not' FROM toks
   WHERE NOT list_contains(t,'spark')
     AND list_contains(t,'merge') AND list_contains(t,'row')
+  UNION ALL
+  SELECT doc_id, 'm-pct' FROM toks
+  WHERE (CASE WHEN list_contains(t,'merge') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(t,'table') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(t,'spark') THEN 1 ELSE 0 END) >= 2
+  UNION ALL
+  SELECT doc_id, 'm-cond' FROM toks
+  WHERE list_contains(t,'join') AND list_contains(t,'filter')
+    AND list_contains(t,'batch')
 )
 SELECT doc_id::BIGINT AS doc_id, query_id FROM hits
 """,
