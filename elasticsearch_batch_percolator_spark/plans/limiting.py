@@ -72,6 +72,40 @@ def exact_rewrite(plan: Plan) -> Plan | None:
     return None
 
 
+def _strip_negations(plan: Plan) -> Plan | None:
+    """Monotone-positive restriction of an approximation tree (None = no
+    derivable positive constraint, i.e. matches everything). Dropping a
+    conjunct or a whole should-group only WIDENS the approximation (sound);
+    partially dropping members of a should/msm group would NARROW it
+    (>=k of fewer options), so those are all-or-nothing."""
+    if isinstance(plan, Bool):
+        must = []
+        for c in plan.must + plan.filter:
+            p = _strip_negations(c)
+            if p is not None:
+                must.append(p)
+        should: tuple[Plan, ...] = ()
+        if plan.should:
+            kept = []
+            for c in plan.should:
+                p = _strip_negations(c)
+                if p is None:
+                    kept = None  # one unconstrained disjunct: group vacuous
+                    break
+                kept.append(p)
+            should = tuple(kept) if kept else ()
+        if not (must or should):
+            return None
+        # msm only meaningful while the FULL group survives; a dropped
+        # group must also drop its msm (Bool(msm=k, should=()) would
+        # evaluate to never-match, the opposite of widening)
+        return Bool(must=tuple(must), should=should,
+                    msm=plan.msm if should else 0)
+    if isinstance(plan, _EXACT_ATOMS):
+        return plan
+    return None  # unknown node: treat as unconstrained
+
+
 def limiting_filter(plan: Plan, negated: bool = False) -> Plan | None:
     if negated:
         # an over-approximation under NOT would exclude true matches
@@ -115,7 +149,13 @@ def limiting_filter(plan: Plan, negated: bool = False) -> Plan | None:
         # join (the reference runs the block-join query itself as phase 1,
         # LimitingFilterFactory.java:68-72; our flattened rewrite is the
         # Spark-joinable equivalent). Never exact: phase 2 always verifies.
+        # Only the POSITIVE part of the child approx survives flattening:
+        # child-has-t implies parent-stream-has-t, but child-LACKS-t does
+        # NOT imply the parent stream lacks it (a sibling child may carry
+        # it), so child-scope must_nots must be stripped, not remapped.
         child = limiting_filter(plan.query)
+        if child is not None:
+            child = _strip_negations(child)
         return _remap_fields(child, plan.path) if child is not None else None
 
     if isinstance(plan, Bool):

@@ -159,3 +159,78 @@ def test_percolate_fcol_space_guard(spark):
             spark, docs, reg,
             fields={f"f{i}": (f"t{i}", "ws") for i in range(n)},
         )
+
+
+def test_nested_must_not_limiting_soundness():
+    """Child-scope must_not must NOT survive the flatten-remap: child-lacks-t
+    does not imply the parent stream lacks t (a sibling child may carry it).
+    Regression: the approx used to keep must_not b, excluding doc1 — a true
+    match — from phase 1."""
+    q = {"nested": {"path": "children", "query": {"bool": {
+        "must": [{"term": {"ctoks": "a"}}],
+        "must_not": [{"term": {"ctoks": "b"}}]}}}}
+    plan = compile_query(q)
+    approx = limiting_filter(plan)
+    from elasticsearch_batch_percolator_spark.plans.query_plan import Bool, Term
+
+    assert approx == Bool(must=(Term("children", "a"),))
+    # child1 {a}, child2 {b}: exact TRUE; flattened stream has both tokens
+    doc = {"children": [{"ctoks": ["a"]}, {"ctoks": ["b"]}]}
+    assert eval_plan(plan, doc) is True
+    assert eval_plan(approx, {"children": ["a", "b"]}) is True
+
+
+def test_nested_limiting_superset_randomized():
+    """Randomized nested child-query trees (incl. must_not / should / msm /
+    phrases / wildcards) over random multi-child docs: the flattened approx
+    evaluated on the parent token stream must be a superset of the exact
+    block-join eval."""
+    import random
+
+    rng = random.Random(158556155086072256)
+    vocab = list("abcdef")
+
+    def leaf():
+        k = rng.randrange(4)
+        if k == 0:
+            return {"term": {"ctoks": rng.choice(vocab)}}
+        if k == 1:
+            return {"wildcard": {"field": "ctoks",
+                                 "value": rng.choice(["a*", "?b", "*"])}}
+        if k == 2:
+            return {"phrase": {"field": "ctoks",
+                               "terms": rng.choices(vocab, k=2)}}
+        return {"term": {"ctoks": rng.choice(vocab)}}
+
+    def tree(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return leaf()
+        body = {}
+        for grp in ("must", "should", "must_not"):
+            n = rng.randint(0, 2)
+            if n:
+                body[grp] = [tree(depth - 1) for _ in range(n)]
+        if not body:
+            return leaf()
+        if body.get("should") and rng.random() < 0.4:
+            body["minimum_should_match"] = rng.randint(1, len(body["should"]))
+        return {"bool": body}
+
+    n_checked = 0
+    for _ in range(400):
+        plan = compile_query({"nested": {"path": "children", "query": tree(3)}})
+        approx = limiting_filter(plan)
+        for _ in range(25):
+            children = [
+                {"ctoks": rng.choices(vocab, k=rng.randint(0, 5))}
+                for _ in range(rng.randint(0, 4))
+            ]
+            doc = {"children": children}
+            flat = {"children": [t for c in children for t in c["ctoks"]]}
+            if eval_plan(plan, doc):
+                n_checked += 1
+                assert approx is None or eval_plan(approx, flat), (
+                    f"approx excluded a true nested match\nplan={plan}\n"
+                    f"approx={approx}\ndoc={doc}"
+                )
+    assert n_checked > 200  # the sweep actually exercised true matches
