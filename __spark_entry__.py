@@ -1145,6 +1145,13 @@ def _q_windowed_hybrid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             # verifies — must ride the hybrid python lane, never be
             # counted as match_all (round-4 windowed fix)
             ("h-neg", {"bool": {"must_not": [{"term": {"content": "row"}}]}}),
+            # minimum_should_match: >=k-of-should is not a pure
+            # need/forbid atom shape, so it must route to the hybrid
+            # python lane too
+            ("h-msm", {"bool": {"should": [{"term": {"content": "merge"}},
+                                           {"term": {"content": "table"}},
+                                           {"term": {"content": "spark"}}],
+                                "minimum_should_match": 2}}),
         ]
     )
     docs = _docs(spark, sf_dir).select(
@@ -1301,6 +1308,10 @@ WHERE len(list_filter(range(1, len(toks)+1),
        j -> toks[j] = 'the' AND j - i BETWEEN -1 AND 3)) > 0)) > 0""",
             f"SELECT doc_id, 'h-wild' AS query_id FROM documents WHERE {has_like.format(p='merg%')}",
             f"SELECT doc_id, 'h-neg' AS query_id FROM documents WHERE NOT ({contains.format(t='row')})",
+            f"""SELECT doc_id, 'h-msm' AS query_id FROM documents
+WHERE (CASE WHEN {contains.format(t='merge')} THEN 1 ELSE 0 END
+     + CASE WHEN {contains.format(t='table')} THEN 1 ELSE 0 END
+     + CASE WHEN {contains.format(t='spark')} THEN 1 ELSE 0 END) >= 2""",
         ]
     )
     out = {
