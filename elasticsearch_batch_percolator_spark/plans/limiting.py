@@ -175,7 +175,20 @@ def limiting_filter(plan: Plan, negated: bool = False) -> Plan | None:
         if has_positive:
             if not must_approx:
                 return None  # nothing cheap survived
-            return Bool(must=tuple(must_approx), must_not=tuple(must_not_approx))
+            # minimum_should_match makes shoulds REQUIRED (>=k >= 1), so
+            # the should group becomes a usable >=1-of-group gate; carry
+            # msm=1 so eval/gating know the group is required (>=1 is the
+            # widest sound weakening of >=k). All-or-nothing: one
+            # unapproximable disjunct and the group must be dropped.
+            should_approx: tuple = ()
+            msm_flag = 0
+            if plan.should and plan.effective_msm():
+                sa = [limiting_filter(c) for c in plan.should]
+                if all(a is not None for a in sa):
+                    should_approx = tuple(sa)
+                    msm_flag = 1
+            return Bool(must=tuple(must_approx), should=should_approx,
+                        must_not=tuple(must_not_approx), msm=msm_flag)
         if plan.should:
             approxes = [limiting_filter(c) for c in plan.should]
             if any(a is None for a in approxes):

@@ -921,6 +921,20 @@ def _flatten_groups(approx: Plan) -> list[set[tuple[str, str, str]]] | None:
                 g = _flatten_groups(c)
                 if g is not None:
                     out.extend(g)  # unreducible child dropped — sound
+            if approx.should and approx.effective_msm():
+                # limiting_filter sets msm=1 when the source query's
+                # minimum_should_match makes shoulds REQUIRED alongside
+                # must/filter: >=1-of-union is then a sound extra gate
+                union: set[tuple[str, str, str]] = set()
+                usable = True
+                for c in approx.should:
+                    g = _flatten_groups(c)
+                    if g is None or len(g) == 0:
+                        usable = False  # unconstrained branch: skip group
+                        break
+                    union |= g[0]
+                if usable:
+                    out.append(union)
             return out
         if approx.should:
             union: set[tuple[str, str]] = set()

@@ -238,3 +238,29 @@ def test_minimum_should_match_spec_grammar():
     m = compile_query({"match": {"content": {"query": "a b c",
                                              "minimum_should_match": "67%"}}})
     assert m.msm == 2
+
+
+def test_msm_should_group_gates():
+    """minimum_should_match makes shoulds REQUIRED, so phase 1 gains a
+    >=1-of-union gate group alongside the must groups (wider than >=k:
+    sound; without msm the should group must NOT gate)."""
+    from elasticsearch_batch_percolator_spark.sources.registry import (
+        CompiledRegistry,
+    )
+
+    reg = CompiledRegistry.from_rows([
+        ("msm", {"bool": {"must": [{"term": {"content": "m"}}],
+                          "should": [{"term": {"content": "a"}},
+                                     {"term": {"content": "b"}}],
+                          "minimum_should_match": 1}}),
+        ("plain", {"bool": {"must": [{"term": {"content": "m"}}],
+                            "should": [{"term": {"content": "a"}},
+                                       {"term": {"content": "b"}}]}}),
+    ])
+    g_msm = reg.queries["msm"].groups
+    g_plain = reg.queries["plain"].groups
+    assert {("t", "content", "m")} in g_msm
+    assert {("t", "content", "a"), ("t", "content", "b")} in g_msm
+    assert g_plain == [{("t", "content", "m")}]
+    # both still verify in phase 2 (groups are >=1-of, not >=k-of)
+    assert reg.queries["msm"].needs_verify
