@@ -37,7 +37,12 @@ def _rand_query(rng: random.Random) -> dict:
         return {"bool": {"must": [_rand_query_leaf(rng), _rand_query_leaf(rng)],
                          "must_not": [_rand_query_leaf(rng)]}}
     if kind == 6:
-        return {"bool": {"should": [_rand_query_leaf(rng), _rand_query_leaf(rng)]}}
+        body = {"should": [_rand_query_leaf(rng), _rand_query_leaf(rng)]}
+        if rng.random() < 0.5:
+            body["minimum_should_match"] = 2
+            if rng.random() < 0.5:
+                body["must"] = [_rand_query_leaf(rng)]
+        return {"bool": body}
     return {"span_near": {"clauses": [{"span_term": {f: rng.choice(VOCAB)}},
                                        {"span_term": {f: rng.choice(VOCAB)}}],
                           "slop": rng.randint(0, 2),
