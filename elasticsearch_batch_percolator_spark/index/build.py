@@ -659,16 +659,34 @@ def append_index(
     else:
         seg_col = F.lit(first_new).cast("int")
     new_ids = list(range(first_new, first_new + k))
-    # clear any partitions left by a CRASHED previous attempt at these
-    # ids: the re-run's approxQuantile cuts are not guaranteed identical,
-    # and dynamic partition overwrite only rewrites partitions that
-    # receive rows — a segment the re-run leaves empty would otherwise
-    # keep the crashed attempt's postings and double-count its docs
-    for s in new_ids:
-        shutil.rmtree(
-            os.path.join(out_dir, "postings", f"segment_id={s}"),
-            ignore_errors=True,
-        )
+    # clear EVERY partition left by a CRASHED previous attempt — any
+    # on-disk segment id >= the committed manifest count is orphaned.
+    # A re-run may compute a different k (different n_new_segments or a
+    # smaller batch), so clearing only this run's new_ids would leave the
+    # crashed attempt's higher-id segments serving their docs twice; and
+    # dynamic partition overwrite only rewrites partitions that receive
+    # rows, so an id the re-run leaves empty would keep stale postings.
+    post_dir = os.path.join(out_dir, "postings")
+    if os.path.isdir(post_dir):
+        for name in os.listdir(post_dir):
+            if not name.startswith("segment_id="):
+                continue
+            try:
+                sid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if sid >= first_new:
+                shutil.rmtree(os.path.join(post_dir, name),
+                              ignore_errors=True)
+    # a term_stats marker referencing ids we just orphaned means the
+    # crashed attempt swapped the dictionary before saving the manifest:
+    # drop the marker so _merge_term_stats falls back to the idempotent
+    # full rebuild over the (now-clean) postings
+    ts_marker = os.path.join(out_dir, "term_stats", "_segments.json")
+    if os.path.exists(ts_marker):
+        included = _ts_included_segments(os.path.join(out_dir, "term_stats"))
+        if included is not None and not included <= set(range(first_new)):
+            os.remove(ts_marker)
     staged = (
         docs.withColumn("segment_id", seg_col)
         .select("segment_id", "doc_id", "tokens")

@@ -564,7 +564,13 @@ class PercolateResult:
         # |docs with term| x |queries with term| pairs, and walking every
         # registered query's `plan` would unpickle the whole blob-backed
         # registry on the driver — at a 10^5-query registry both are paid
-        # for results the left-join against matches then throws away
+        # for results the left-join against matches then throws away.
+        # The collect here AND the returned join both consume matches, so
+        # persist it once (released by unpersist(), E11) — otherwise the
+        # whole phase-1/verify pipeline executes twice.
+        if not any(df is self.matches for df in self.cached):
+            self.matches = self.matches.persist()
+            self.cached.append(self.matches)
         matched = {
             r["query_id"]
             for r in self.matches.select("query_id").distinct().collect()

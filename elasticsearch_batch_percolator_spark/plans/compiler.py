@@ -195,11 +195,13 @@ def compile_query(q: str | dict) -> Plan:
         toks = [t for v in vals for t in _analyze(v)]
         if not toks:
             return MatchNone()
-        if len(toks) == 1:
-            return Term(f, toks[0])
         msm = _msm_from(msm_spec, len(toks))
         if msm > len(toks):
             return MatchNone()
+        if len(toks) == 1:
+            # msm <= 1 here; a pure one-clause disjunction requires that
+            # clause regardless of minShouldMatch 0/1, so Term is exact.
+            return Term(f, toks[0])
         return Bool(should=tuple(Term(f, t) for t in toks), msm=msm)
 
     if kind == "prefix":

@@ -317,12 +317,39 @@ def windowed_match_counts(
             fs = cq.fields_fs if cq.fields_fs is not None else fields_of(cq.plan)
             return (b, tuple(sorted(fs)))
 
-        blobs = {qid: _blob(registry.queries[qid]) for qid in unsupported}
-        bc_plans = spark.sparkContext.broadcast(blobs)
+        # the broadcast is CACHED on the registry keyed by (app, version,
+        # unsupported set) — a driver that rebuilds the windowed query per
+        # restart / registry hot-swap would otherwise accumulate one full
+        # plan-blob broadcast per call for the app's lifetime (same leak
+        # highlight_map_col fixes); a stale-keyed predecessor is
+        # unpersisted (not destroyed: an earlier stream may still run it)
+        bc_key = (
+            spark.sparkContext.applicationId,
+            registry.version,
+            tuple(sorted(unsupported)),
+        )
+        cached_bc = getattr(registry, "_unsup_bc_cache", None)
+        if cached_bc is not None and cached_bc[0] == bc_key:
+            bc_plans, tok = cached_bc[1], cached_bc[2]
+        else:
+            if cached_bc is not None:
+                try:
+                    cached_bc[1].unpersist()
+                except Exception:
+                    pass
+            blobs = {qid: _blob(registry.queries[qid]) for qid in unsupported}
+            bc_plans = spark.sparkContext.broadcast(blobs)
+            # process-unique token drawn per broadcast BUILD, fixed while
+            # the cached broadcast is reused (the verify_bc_token pattern:
+            # `version` alone can alias across registries in one app)
+            tok = next(_UNSUP_SEQ)
+            registry._unsup_bc_cache = (bc_key, bc_plans, tok)
         # process-persistent worker cache key (see _WORKER_UNSUP_CACHE):
-        # the plan (and its broadcast) is built once per stream, so the
-        # token is stable across every task and micro-batch of the stream
-        _ck = (spark.sparkContext.applicationId, next(_UNSUP_SEQ))
+        # stable across every task and micro-batch of every stream reusing
+        # this broadcast, so the worker memo actually hits; a hot-swap
+        # builds a new broadcast + token and the len>=2 eviction drops
+        # the stale entry
+        _ck = (bc_key[0], tok)
 
         # NB: no pd.Series annotations — pandas is function-local here and
         # pandas_udf resolves annotation strings at definition time

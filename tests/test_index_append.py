@@ -15,6 +15,7 @@ from collections import Counter
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from elasticsearch_batch_percolator_spark.index.build import (
@@ -251,3 +252,53 @@ def test_resume_keeps_frozen_positions(spark, tmp_path):
     assert all(
         b["pos_bytes"] is not None for blocks in pdf["blocks"] for b in blocks
     )
+
+
+def test_append_rerun_clears_orphaned_higher_ids(spark, tmp_path):
+    """A crashed append may have written MORE segments than the re-run's
+    k (a different n_new_segments or a smaller batch) and may have swapped
+    term_stats before dying pre-manifest-save: the re-run must clear EVERY
+    on-disk id >= the committed count — not just its own targets — and
+    rebuild the tainted dictionary, or the orphans serve docs twice."""
+    import json
+    import shutil
+
+    out = str(tmp_path / "ix")
+    build_index(spark, _docs(spark, _rand_rows(26, range(0, 40))), out, n_segments=2)
+    post = os.path.join(out, "postings")
+    # crashed attempt: segments 2..5 on disk (copies of segment 0), and a
+    # term_stats inclusion marker already claiming them
+    for sid in (2, 3, 4, 5):
+        shutil.copytree(
+            os.path.join(post, "segment_id=0"),
+            os.path.join(post, f"segment_id={sid}"),
+        )
+    with open(os.path.join(out, "term_stats", "_segments.json"), "w") as f:
+        json.dump([0, 1, 2, 3, 4, 5], f)
+    # the re-run computes k=2: ids 2..3 are its targets; 4..5 are orphans
+    # only the committed-count sweep catches
+    m = append_index(
+        spark,
+        _docs(spark, [(100, ["zz_uniq_a"]), (101, ["zz_uniq_b"])]),
+        out,
+        n_new_segments=2,
+    )
+    assert m.n_segments == 4
+    df = spark.read.parquet(post)
+    assert df.filter("segment_id >= 4").count() == 0
+    new_terms = {
+        r["term"] for r in df.filter("segment_id >= 2").select("term").collect()
+    }
+    assert new_terms == {"zz_uniq_a", "zz_uniq_b"}
+    # the tainted dictionary was rebuilt consistent with the clean postings
+    ts = {
+        (r["term"], r["df"])
+        for r in spark.read.parquet(os.path.join(out, "term_stats"))
+        .select("term", "df")
+        .collect()
+    }
+    agg = {
+        (r["term"], r["df"])
+        for r in df.groupBy("term").agg(F.sum("df").cast("long").alias("df")).collect()
+    }
+    assert ts == agg

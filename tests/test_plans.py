@@ -264,3 +264,34 @@ def test_msm_should_group_gates():
     assert g_plain == [{("t", "content", "m")}]
     # both still verify in phase 2 (groups are >=1-of, not >=k-of)
     assert reg.queries["msm"].needs_verify
+
+
+def test_terms_single_token_respects_msm():
+    """ES 1.7 TermsQueryParser ALWAYS builds a BooleanQuery, so an msm
+    above the clause count matches nothing even with one value — the
+    single-token Term collapse must not short-circuit past it. (A match
+    query with one token stays a TermQuery and ignores msm: ES applies
+    applyMinimumShouldMatch only to BooleanQueries.)"""
+    from elasticsearch_batch_percolator_spark.plans.query_plan import (
+        MatchNone,
+        Term,
+    )
+
+    assert isinstance(
+        compile_query({"terms": {"f": ["alpha"], "minimum_match": 2}}),
+        MatchNone,
+    )
+    assert isinstance(
+        compile_query(
+            {"terms": {"f": ["alpha"], "minimum_should_match": 2}}
+        ),
+        MatchNone,
+    )
+    # msm <= clause count: the one-clause disjunction is exactly a Term
+    assert compile_query(
+        {"terms": {"f": ["alpha"], "minimum_match": 1}}
+    ) == Term("f", "alpha")
+    # match: single token -> TermQuery, msm is an ES no-op
+    assert compile_query(
+        {"match": {"f": {"query": "alpha", "minimum_should_match": 2}}}
+    ) == Term("f", "alpha")

@@ -493,3 +493,36 @@ def test_empty_registry_preserves_streaming_mode(spark, tmp_path):
     docs = _docs_df(spark, lambda i: i)
     out_b = windowed_match_counts(spark, docs, reg)
     assert not out_b.isStreaming and out_b.count() == 0
+
+
+def test_windowed_hybrid_broadcast_cached_per_registry_version(spark):
+    """Rebuilding the windowed plan (driver restart / per-batch rebuild)
+    must REUSE the unsupported-plan broadcast for an unchanged registry —
+    one broadcast per call would accumulate for the app's lifetime — and
+    must replace (unpersist) it when the registry version changes."""
+    reg = CompiledRegistry.from_rows([
+        ("s-term", {"term": {"content": "fox"}}),
+        ("u-sloppy", {"phrase": {"field": "content",
+                                 "terms": ["fox", "the"], "slop": 2}}),
+    ])
+    docs = _docs_df(spark, lambda i: i * 7)
+    out1 = windowed_match_counts(
+        spark, docs, reg, window_duration="10 minutes", watermark=None,
+        hybrid=True,
+    )
+    key1, bc1, tok1 = reg._unsup_bc_cache
+    out2 = windowed_match_counts(
+        spark, docs, reg, window_duration="10 minutes", watermark=None,
+        hybrid=True,
+    )
+    key2, bc2, tok2 = reg._unsup_bc_cache
+    assert bc2 is bc1 and tok2 == tok1  # reused, not re-broadcast
+    assert out1.collect() and out2.collect()
+    # a version bump invalidates: new broadcast, new worker token
+    reg.version += 1
+    windowed_match_counts(
+        spark, docs, reg, window_duration="10 minutes", watermark=None,
+        hybrid=True,
+    )
+    key3, bc3, tok3 = reg._unsup_bc_cache
+    assert bc3 is not bc1 and tok3 != tok1
