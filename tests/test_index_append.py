@@ -302,3 +302,72 @@ def test_append_rerun_clears_orphaned_higher_ids(spark, tmp_path):
         for r in df.groupBy("term").agg(F.sum("df").cast("long").alias("df")).collect()
     }
     assert ts == agg
+
+
+@pytest.mark.parametrize("crash_at", ["before_stats_merge", "after_stats_swap"])
+def test_append_crash_then_rerun_converges(spark, tmp_path, crash_at, monkeypatch):
+    """Inject a crash at each append commit window — (a) postings written,
+    dictionary not yet merged; (b) dictionary swapped, manifest not yet
+    saved — then re-run with a DIFFERENT segment count. The re-run must
+    converge to exactly the index a never-crashed append produces
+    (postings aggregate, term_stats, manifest counts): the exactly-once
+    story an incremental 100 TB ingest depends on."""
+    import elasticsearch_batch_percolator_spark.index.build as B
+
+    rows0 = _rand_rows(30, range(0, 40))
+    batch = _rand_rows(31, range(100, 130))
+    # reference: clean build + append, no crash
+    ref = str(tmp_path / "ref")
+    build_index(spark, _docs(spark, rows0), ref, n_segments=2)
+    append_index(spark, _docs(spark, batch), ref, n_new_segments=3)
+
+    out = str(tmp_path / "ix")
+    build_index(spark, _docs(spark, rows0), out, n_segments=2)
+    if crash_at == "before_stats_merge":
+        orig = B._merge_term_stats
+        monkeypatch.setattr(
+            B, "_merge_term_stats",
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected")),
+        )
+        with pytest.raises(RuntimeError, match="injected"):
+            # k=5: the crashed attempt leaves ids 2..6 on disk
+            append_index(spark, _docs(spark, batch), out, n_new_segments=5)
+        monkeypatch.setattr(B, "_merge_term_stats", orig)
+    else:
+        orig_save = B.IndexManifest.save
+        monkeypatch.setattr(
+            B.IndexManifest, "save",
+            lambda self, *a, **k: (_ for _ in ()).throw(RuntimeError("injected")),
+        )
+        with pytest.raises(RuntimeError, match="injected"):
+            append_index(spark, _docs(spark, batch), out, n_new_segments=5)
+        monkeypatch.setattr(B.IndexManifest, "save", orig_save)
+
+    # the recovery re-run uses the reference's segment count
+    m = append_index(spark, _docs(spark, batch), out, n_new_segments=3)
+    m_ref = read_manifest(ref)
+    assert (m.n_segments, m.n_docs) == (m_ref.n_segments, m_ref.n_docs)
+
+    def _agg(path):
+        return {
+            (r["term"], r["df"], r["cf"])
+            for r in spark.read.parquet(os.path.join(path, "postings"))
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.sum("cf").cast("long").alias("cf"),
+            )
+            .collect()
+        }
+
+    def _ts(path):
+        return {
+            (r["term"], r["df"], r["cf"])
+            for r in spark.read.parquet(os.path.join(path, "term_stats"))
+            .select("term", "df", "cf")
+            .collect()
+        }
+
+    assert _agg(out) == _agg(ref)
+    assert _ts(out) == _ts(ref)
+    assert _ts(out) == _agg(out)  # dictionary consistent with postings
