@@ -250,6 +250,21 @@ def main() -> None:
         pool.map(_mp_probe_burn, range(CPUS))
     mp_probe_s = round(time.perf_counter() - t0, 3)
 
+    # memory-BANDWIDTH calibration: the register-only burns above miss bus
+    # contention entirely (observed 2026-08-20: cpu/mp probes quiet-normal
+    # while the 200MB random-gather ran 2.5-4.6x slower and bus-bound
+    # percolation dipped with it). One task of scaling_bench's membw
+    # control (~2s quiet): percolate/shuffle numbers should be read
+    # against it the way CPU numbers are read against cpu_probe_s.
+    import numpy as np
+
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(12345)
+    arr = rng.integers(0, 1 << 30, size=25_000_000, dtype=np.int64)
+    int(arr[rng.permutation(arr.size)].sum() & 0x7FFFFFFF)
+    membw_probe_s = round(time.perf_counter() - t0, 3)
+    del arr
+
     print(
         json.dumps(
             {
@@ -258,6 +273,7 @@ def main() -> None:
                 "unit": "sec",
                 "cpu_probe_s": cpu_probe_s,
                 "mp_probe_s": mp_probe_s,
+                "membw_probe_s": membw_probe_s,
                 "bench_reps": REPS,
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "reps": all_reps,
