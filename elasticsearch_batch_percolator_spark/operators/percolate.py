@@ -696,10 +696,25 @@ def percolate(
     analyzers = {"ws": tokenize_ws, "code": tokenize_code}
     qfields = sorted(registry.query_fields())
 
+    # document ids: numeric ids ride as long (compact join/group keys);
+    # anything else stays string — the reference's _id is a string
+    # (BatchPercolatorService percolates arbitrary ES doc ids), so a
+    # string-keyed corpus must not die in an implicit bigint cast. The
+    # type is threaded through the empty-frame schemas below; every
+    # other consumer (joins, groupBys, highlight, scoring) takes the
+    # column's type as-is.
+    from pyspark.sql.types import NumericType as _NumT
+
+    id_t = (
+        "long"
+        if isinstance(docs.schema[id_col].dataType, _NumT)
+        else "string"
+    )
+
     if fields is None:
         tok = tokenizer or tokenize_ws
         batch = docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(id_col).cast(id_t).alias("doc_id"),
             F.col(content_col).alias("content"),
             tok(content_col).alias("tokens"),
         )
@@ -709,7 +724,7 @@ def percolate(
         nested_cols = set()
         scalar_cols = set()
     else:
-        sel = [F.col(id_col).cast("long").alias("doc_id")]
+        sel = [F.col(id_col).cast(id_t).alias("doc_id")]
         resolve, content_of, analyzer_names = {}, {}, {}
         nested_cols: set[str] = set()
         scalar_cols: set[str] = set()
@@ -911,7 +926,7 @@ def percolate(
         _prof('batch_terms plan')
     else:
         batch_terms = spark.createDataFrame(
-            [], "doc_id long, fcol tinyint, term string"
+            [], f"doc_id {id_t}, fcol tinyint, term string"
         )
 
     # ---- join-verify lane eligibility (phase 2, decided during phase 1) --
@@ -1290,7 +1305,7 @@ def percolate(
     # doc, an unbounded multiplier). The no-dedup variant only "improved"
     # N->4N efficiency by making the small configuration slower.
     if not parts_cand:
-        candidates = spark.createDataFrame([], "doc_id long, query_id string")
+        candidates = spark.createDataFrame([], f"doc_id {id_t}, query_id string")
     else:
         candidates = parts_cand[0].select("doc_id", "query_id")
         for p in parts_cand[1:]:
@@ -1947,7 +1962,7 @@ def percolate(
         )
 
     if not parts:
-        parts = [spark.createDataFrame([], "doc_id long, query_id string")]
+        parts = [spark.createDataFrame([], f"doc_id {id_t}, query_id string")]
     matches = parts[0]
     for p in parts[1:]:
         matches = matches.unionByName(p)

@@ -651,3 +651,49 @@ def test_hot_swap_rebuilds_vid_map(spark):
         for r in percolate(spark, docs, reg).matches.collect()
     }
     assert got2 == {(1, "q_simple"), (3, "q_eps"), (3, "q_span2")}
+
+
+def test_string_doc_ids_supported(spark):
+    """The reference percolates arbitrary ES doc ids (_id is a string,
+    BatchPercolatorService.java:131-178) — a string-keyed corpus must
+    produce the same matches as the same corpus under numeric ids, not
+    die in an implicit bigint cast. Exercises phase 1 + both verify
+    lanes (pure-term jv conjunction AND a positional python-lane query)
+    and the all-docs/match_all channel."""
+    queries = {
+        "t": {"term": {"content": "fox"}},
+        "conj": {"bool": {"must": [{"term": {"content": "fox"}},
+                                   {"term": {"content": "jumps"}}],
+                          "must_not": [{"term": {"content": "wolf"}}]}},
+        "ph": {"phrase": {"field": "content", "terms": ["quick", "fox"], "slop": 1}},
+        "all": {"match_all": {}},
+    }
+    docs = [
+        ("doc-a", "the quick brown fox jumps"),
+        ("doc-b", "fox wolf jumps"),
+        ("doc-c", "nothing here"),
+    ]
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    sdf = spark.createDataFrame(docs, "doc_id string, content string")
+    res = percolate(spark, sdf, reg)
+    assert res.matches.schema["doc_id"].dataType.simpleString() == "string"
+    got = {(r["doc_id"], r["query_id"]) for r in res.matches.collect()}
+    assert got == {
+        ("doc-a", "t"), ("doc-a", "conj"), ("doc-a", "ph"), ("doc-a", "all"),
+        ("doc-b", "t"), ("doc-b", "all"),
+        ("doc-c", "all"),
+    }
+    # downstream response shapes take the string key as-is
+    scored = res.with_scores(reg).collect()
+    assert {r["doc_id"] for r in scored} == {"doc-a", "doc-b", "doc-c"}
+    per_doc = {r["doc_id"]: len(r["matched_queries"])
+               for r in res.per_doc().collect()}
+    assert per_doc == {"doc-a": 4, "doc-b": 2, "doc-c": 1}
+    # numeric relabel of the same corpus matches 1:1
+    relabel = {"doc-a": 0, "doc-b": 1, "doc-c": 2}
+    ndf = spark.createDataFrame(
+        [(relabel[d], c) for d, c in docs], "doc_id long, content string"
+    )
+    ngot = {(int(r["doc_id"]), r["query_id"])
+            for r in percolate(spark, ndf, reg).matches.collect()}
+    assert ngot == {(relabel[d], q) for d, q in got}
