@@ -641,7 +641,14 @@ def append_index(
             "build_index first"
         )
     t_start = time.perf_counter()
-    stage: dict = dict(manifest.stage_metrics or {})
+    # stage metrics describe THIS invocation (manifest contract: stages
+    # not run report nothing) — carry only the cumulative append history
+    # forward, not the base build's wall clocks
+    stage: dict = {
+        k: v
+        for k, v in (manifest.stage_metrics or {}).items()
+        if k == "appends"
+    }
 
     row = docs.agg(F.count(F.lit(1)).alias("n")).first()
     n_new = int(row["n"])
@@ -967,6 +974,11 @@ def _merge_term_stats(
     marker (pre-marker index) falls back to the always-idempotent full
     rebuild."""
     stats_path = os.path.join(out_dir, "term_stats")
+    if not os.path.exists(stats_path) and os.path.exists(stats_path + ".old"):
+        # crash landed between the swap's two renames: the previous
+        # generation is intact under `.old` — restore it and re-merge
+        # (idempotent via the inclusion marker)
+        os.rename(stats_path + ".old", stats_path)
     included = _ts_included_segments(stats_path)
     if included is None:
         # no dictionary yet, or one without an inclusion marker: rebuild
@@ -998,8 +1010,23 @@ def _merge_term_stats(
         .parquet(tmp)
     )
     _write_ts_marker(tmp, included | set(new_seg_ids))
-    shutil.rmtree(stats_path)
-    os.rename(tmp, stats_path)
+    # two-rename swap, not rmtree-then-rename: a concurrent reader (the
+    # index is advertised queryable during appends) must never observe a
+    # missing dictionary for the full duration of a recursive delete.
+    # The unreadable window is now the microseconds between the two
+    # renames; a crash inside it leaves `.old` on disk, and the next
+    # append (or read) path can still see a consistent tree — `.old` is
+    # swept here, and replay is idempotent via the _segments.json marker.
+    old = stats_path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(stats_path, old)
+    try:
+        os.rename(tmp, stats_path)
+    except Exception:
+        os.rename(old, stats_path)  # restore the previous generation
+        raise
+    shutil.rmtree(old)
 
 
 def _ts_included_segments(stats_path: str) -> set[int] | None:

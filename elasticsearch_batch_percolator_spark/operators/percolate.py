@@ -101,6 +101,15 @@ _GRAM_FCOL_OFF = 64
 # releases the old value instead of accumulating.
 _WORKER_VERIFY_CACHE: dict = {}
 
+# True after any worker-side gc.freeze() that ran while an Arrow batch was
+# in flight: freeze() pins the WHOLE live graph, including that batch's
+# pandas transients (which participate in reference cycles and would
+# otherwise never be collected). The next verify call unfreezes and
+# collects the now-dead batch, bounding the frozen-transient pin to at
+# most one batch per worker; the memo then lives in (large) gen2, where
+# CPython's 25%-of-long-lived heuristic keeps full collections rare.
+_WORKER_FREEZE_PENDING: list = [False]
+
 
 def _sdecode(c: dict, i: int) -> tuple:
     """Decode simple-lane row ``i`` of the COLUMNAR verify broadcast back
@@ -382,7 +391,10 @@ def _bt_prune_sets(
     def build() -> bool:
         nonlocal n_terms, n_pats
         for q in registry.queries.values():
-            if not q.groups:
+            # match_none guarded explicitly (parity with flat_groups /
+            # gates_pdf): register() gives these groups=None today, but a
+            # never-matching query must not widen the prune closure
+            if q.match_none or not q.groups:
                 continue
             for g in q.groups:
                 for kind, f, v in g:
@@ -582,11 +594,21 @@ class PercolateResult:
             tc for qf, tc in self.resolve.items()
             if self.analyzer_names.get(qf) == "nested"
         }
+        import pickle as _pickle
+
         for qid in sorted(matched):
             cq = registry.queries.get(qid)
             if cq is None:
                 continue
-            for fld, t in sorted(positive_terms(cq.plan)):
+            # transient unpickle for blob-backed queries: the `plan`
+            # property would CACHE the tree on the CompiledQuery, pinning
+            # one live tree per matched query on the driver for the
+            # registry's lifetime (defeating the blob-backed design);
+            # positive_terms only needs it for this pass
+            plan = cq._plan
+            if plan is None and cq.plan_blob is not None:
+                plan = _pickle.loads(cq.plan_blob)
+            for fld, t in sorted(positive_terms(plan)):
                 tc = self.resolve.get(fld)
                 if tc is not None and tc not in nested:
                     by_col.setdefault(tc, set()).add((qid, t))
@@ -1018,13 +1040,17 @@ def percolate(
             }
             # registry.gates keys by (query_field, term): project through
             # resolve (fields outside every gate group have no column
-            # index — skip them)
+            # index — skip them). One pass over col_df grouped by fcol,
+            # then one pass per field over ITS terms — the per-field scan
+            # of the whole col_df was O(fields x batch vocabulary)
+            by_fc: dict[int, list] = {}
+            for (ci, t), d in col_df.items():
+                by_fc.setdefault(ci, []).append((t, d))
             term_df = {
-                (qf, t): col_df.get((col_idx[tc], t), 0)
+                (qf, t): d
                 for qf, tc in resolve.items()
                 if tc in col_idx
-                for (ci, t) in col_df
-                if ci == col_idx[tc]
+                for t, d in by_fc.get(col_idx[tc], ())
             }
         if term_df:
             tdf_pdf = pd.DataFrame(
@@ -1474,8 +1500,10 @@ def percolate(
                 )
 
                 cache = _pm._WORKER_VERIFY_CACHE
+                fpend = _pm._WORKER_FREEZE_PENDING
             except ImportError:  # package not shipped: per-task fallback
                 cache = _WORKER_VERIFY_CACHE
+                fpend = _WORKER_FREEZE_PENDING
             st = cache.get(_bc_key)
             if st is None:
                 _prof_bc = bool(os.environ.get("EBP_PROF_WORKER"))
@@ -1530,7 +1558,8 @@ def percolate(
                 import gc
 
                 gc.freeze()
-            return st
+                fpend[0] = True  # this call's transients are pinned too
+            return st, fpend
 
         def _pred(vid, i, pcols, memo):
             # plan blobs live in ONE shared buffer (see
@@ -1572,7 +1601,16 @@ def percolate(
                 _t0 = _t.perf_counter()
             import gc
 
-            _val, memo = _bc_state()
+            (_val, memo), _fpend = _bc_state()
+            if _fpend[0]:
+                # a prior call's freeze pinned that call's Arrow batch;
+                # its transients are dead now — unpin everything, collect
+                # their cycles, and leave the memo in gen2 (large
+                # long-lived count => rare full collections). A cold
+                # growth phase below re-freezes and re-arms the flag.
+                gc.unfreeze()
+                gc.collect()
+                _fpend[0] = False
             scols = _val["simple_cols"]
             pcols = _val["plan_cols"]
             # simple-lane buffers, bound locally for the hot loop
@@ -1666,6 +1704,7 @@ def percolate(
                     # cheap, and the 25k step amortizes it to nothing.
                     gc.freeze()
                     _g0 = len(memo)
+                    _fpend[0] = True  # next call unpins this batch
             if _wprof:
                 import json as _json
 

@@ -227,6 +227,17 @@ class CompiledRegistry:
         cached = getattr(self, "_bc_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
+        if cached is not None:
+            # hot-swap (version bump) or new app: release the stale
+            # broadcast's executor/driver storage instead of leaking one
+            # full plan-blob broadcast per swap (the highlight/windowed
+            # caches unpersist the same way). unpersist, NOT destroy: an
+            # in-flight batch planned against the old broadcast may still
+            # re-ship it from the driver on a task retry.
+            try:
+                cached[1].unpersist()
+            except Exception:
+                pass
         import pickle
 
         import numpy as np
@@ -473,10 +484,14 @@ class CompiledRegistry:
         import pandas as _pd
 
         if distributed == "auto":
+            # bounded probe: "are there >= MIN rows?" needs a limit(MIN)
+            # scan, not a full count — a filtered parquet/Iceberg source
+            # would otherwise pay one whole-table count action before any
+            # compile work
+            min_rows = int(os.environ.get("EBP_DIST_COMPILE_MIN", "20000"))
             distributed = (
                 queries_df.rdd.getNumPartitions() > 1
-                and queries_df.count()
-                >= int(os.environ.get("EBP_DIST_COMPILE_MIN", "20000"))
+                and queries_df.limit(min_rows).count() >= min_rows
             )
 
         if not distributed:

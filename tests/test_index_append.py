@@ -371,3 +371,35 @@ def test_append_crash_then_rerun_converges(spark, tmp_path, crash_at, monkeypatc
     assert _agg(out) == _agg(ref)
     assert _ts(out) == _ts(ref)
     assert _ts(out) == _agg(out)  # dictionary consistent with postings
+
+
+def test_term_stats_swap_crash_between_renames_recovers(spark, tmp_path):
+    """The two-rename term_stats swap has a microsecond window where the
+    live dictionary is parked at `.old`: a crash there must be healed by
+    the next append (restore `.old`, re-merge idempotently) and converge
+    to the full-rebuild dictionary."""
+    from elasticsearch_batch_percolator_spark.index.build import (
+        _finalize_term_stats,
+    )
+
+    out = str(tmp_path / "ix")
+    build_index(spark, _docs(spark, _rand_rows(31, range(0, 120))), out, n_segments=3)
+    rows = _rand_rows(32, range(1000, 1060))
+    append_index(spark, _docs(spark, rows), out, n_new_segments=2)
+    # simulate a crash caught between rename(stats, old) and
+    # rename(tmp, stats) DURING a later append: stats missing, .old live
+    stats = os.path.join(out, "term_stats")
+    os.rename(stats, stats + ".old")
+    rows2 = _rand_rows(33, range(2000, 2040))
+    append_index(spark, _docs(spark, rows2), out, n_new_segments=1)
+    assert not os.path.exists(stats + ".old")
+    merged = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(stats).collect()
+    }
+    _finalize_term_stats(spark, out, read_manifest(out))
+    full = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(stats).collect()
+    }
+    assert merged == full and merged
