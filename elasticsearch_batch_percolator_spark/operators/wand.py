@@ -360,6 +360,15 @@ def topk_from_index(
     dedups, so a term matched both literally and by a pattern scores
     once).
 
+    A repeated LITERAL term in a pattern-free query scores once per
+    occurrence (query term frequency): Lucene's BooleanQuery sums every
+    clause, and the join scorer (``Engine.score`` over per-occurrence
+    query rows) does the same, so ``["a", "a", "b"]`` weights ``a``
+    twice. All three algorithms apply the same qtf weighting — the
+    batch scorer by per-occurrence accumulation, wand/exhaustive via a
+    per-query ``qtf * idf`` weight map (a uniform scale also scales the
+    WAND block upper bounds, so pruning stays exact).
+
     One parquet scan covers all queries' terms (IN-list pushdown); each
     segment scores every query locally; global top-k is a window over
     n_segments*k survivors.
@@ -398,10 +407,22 @@ def topk_from_index(
         scorer = _segment_topk_wand if algorithm == "wand" else _segment_topk_exhaustive
         rows = []
         for qid, terms in q_broadcast.items():
-            tb = {t: by_term[t] for t in terms if t in by_term}
-            if not tb:
+            # qtf weighting: the batch scorer accumulates one idf*norm
+            # contribution per OCCURRENCE; the dict-keyed scorers see each
+            # term once, so fold multiplicity into the per-query weight map
+            qtf: dict[str, int] = {}
+            for t in terms:
+                if t in by_term:
+                    qtf[t] = qtf.get(t, 0) + 1
+            if not qtf:
                 continue
-            for d, s in scorer(tb, idfs, k, round_to):
+            tb = {t: by_term[t] for t in qtf}
+            wts = (
+                {t: idfs[t] * c for t, c in qtf.items()}
+                if any(c > 1 for c in qtf.values())
+                else idfs
+            )
+            for d, s in scorer(tb, wts, k, round_to):
                 rows.append((qid, d, s))
         return pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
 

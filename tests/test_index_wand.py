@@ -78,6 +78,42 @@ def test_rank_identity_vs_join_scorer(spark, index_dir, engine, algorithm):
         assert abs(s - es) < 1e-9, f"{key}: score {s} != {es}"
 
 
+@pytest.mark.parametrize("algorithm", ["auto", "wand", "exhaustive"])
+def test_duplicate_query_terms_score_per_occurrence(spark, index_dir, engine, algorithm):
+    """A repeated literal query term weights by its multiplicity (Lucene
+    BooleanQuery sums every clause): every index algorithm must agree with
+    the join scorer, which scores per (query_id, term) OCCURRENCE row.
+    Mixed queries like [a, a, b] re-rank under qtf weighting, so this
+    pins ordering, not just a uniform score scale."""
+    queries = {
+        "d1": ["spark", "spark"],
+        "d2": ["spark", "spark", "join"],
+        "d3": ["the", "the", "the", "fox"],
+        "d4": ["merge", "sort", "merge", "hash", "join", "merge"],
+    }
+    got = {
+        (r["query_id"], r["rank"]): (int(r["doc_id"]), float(r["score"]))
+        for r in topk_from_index(
+            spark, index_dir, queries, k=10, algorithm=algorithm
+        ).collect()
+    }
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries.items() for t in ts],
+        "query_id string, term string",
+    )
+    from elasticsearch_batch_percolator_spark.operators.bm25 import bm25_topk
+
+    exp = {
+        (r["query_id"], r["rank"]): (int(r["doc_id"]), float(r["score"]))
+        for r in bm25_topk(engine.score(qdf), 10).collect()
+    }
+    assert set(got) == set(exp)
+    for key, (d, s) in got.items():
+        ed, es = exp[key]
+        assert d == ed, f"{key}: doc {d} != {ed}"
+        assert abs(s - es) < 1e-9, f"{key}: score {s} != {es}"
+
+
 def test_wand_equals_exhaustive_random():
     """Property: BMW pruning never changes the result (random postings)."""
     rng = np.random.default_rng(42)
