@@ -39,11 +39,15 @@ def tokenize_ws(col: Column | str) -> Column:
     return F.array_remove(F.split(F.lower(c), " ", -1), "")
 
 
-# every printable ASCII char outside [a-z0-9_] + control whitespace,
-# mapped to ' ' by translate() — a char-table lookup, ~7x faster than the
-# java.util.regex split on TOKEN_PATTERN at 10^7-token scale
+# every ASCII char outside [a-z0-9_] — printable punctuation plus the FULL
+# control range \x00-\x1f and DEL \x7f (not just the whitespace controls:
+# a stray NUL or ESC in misclassified binary content must split tokens
+# exactly as the regex oracle does) — mapped to ' ' by translate(), a
+# char-table lookup ~7x faster than the java.util.regex split on
+# TOKEN_PATTERN at 10^7-token scale
 _SEPARATORS = (
-    "\t\n\r\x0b\x0c !\"#$%&'()*+,-./:;<=>?@[\\]^`{|}~"
+    "".join(chr(c) for c in range(0x20))
+    + " !\"#$%&'()*+,-./:;<=>?@[\\]^`{|}~\x7f"
 )
 
 

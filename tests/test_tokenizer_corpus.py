@@ -43,6 +43,11 @@ def test_tokenize_code_fast_equals_regex_reference(spark):
         ("",),
         ("   ",),
         ("snake_case CamelCase UPPER_CASE123",),
+        # full ASCII control range + DEL are separators too (stray bytes
+        # from misclassified binary content must split exactly like the
+        # regex oracle — the equivalence claim covers ALL ASCII)
+        ("a\x00b\x01c\x08d\x0ee\x1ff\x7fg",),
+        ("tok\x00\x07\x1b\x7f tok2",),
     ]
     df = spark.createDataFrame(samples, "content string").union(
         synth_corpus(spark, 100, partitions=2).select("content")
