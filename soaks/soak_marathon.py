@@ -36,8 +36,10 @@ for it in range(rounds):
     seed = base.randrange(1 << 63)
     rng = random.Random(seed)
     gen = rng.choice(["mf", "rich"])
-    nq = rng.choice([150, 300, 600, 1000])
-    nd = rng.choice([80, 150, 300])
+    nq = rng.choice(
+        [int(x) for x in os.environ.get("NQ_CHOICES", "150,300,600,1000").split(",")])
+    nd = rng.choice(
+        [int(x) for x in os.environ.get("ND_CHOICES", "80,150,300").split(",")])
     jv = rng.choice(["auto", "force", "off"])
     os.environ["EBP_SIMPLE_JOIN_VERIFY"] = jv
     str_ids = rng.random() < 0.3
