@@ -81,16 +81,72 @@ class HighlightSpec:
         )
 
 
-def _wildcards_of(plan: Plan) -> set[tuple[str, str]]:
-    """(field, pattern) wildcard atoms contributing positively."""
-    from ..plans.query_plan import Bool, SpanNear, SpanNot, SpanOr, WildcardPhrase
+class _FuzzyMatcher:
+    """``.match(token)`` shim so fuzzy atoms slot into the pattern list the
+    unit matcher truth-tests (wildcard/regexp atoms are compiled regexes
+    there). Picklable: broadcast inside highlight programs."""
+
+    __slots__ = ("value", "fz", "pfx")
+
+    def __init__(self, value: str, fz: int, pl: int):
+        self.value = value
+        self.fz = fz
+        self.pfx = value[:pl]
+
+    def match(self, tok: str) -> bool:
+        from ..plans.eval_py import within_edits
+
+        return tok.startswith(self.pfx) and within_edits(
+            tok, self.value, self.fz
+        )
+
+    def __reduce__(self):
+        return (_FuzzyMatcher, (self.value, self.fz, len(self.pfx)))
+
+
+def _compile_matcher(kind: str, payload):
+    """(kind, payload) pattern atom -> object with ``.match(token)``."""
+    if kind == "w":
+        return wildcard_regex(payload)
+    if kind == "r":
+        from ..plans.eval_py import regexp_regex
+
+        return regexp_regex("^(?:" + payload + ")$")
+    value, fz, pl = payload
+    return _FuzzyMatcher(value, fz, pl)
+
+
+def _wildcards_of(plan: Plan) -> set[tuple[str, str, object]]:
+    """(field, kind, payload) multi-term atoms contributing positively:
+    kind 'w' wildcard pattern, 'r' regexp pattern, 'f' fuzzy
+    (value, fuzziness, prefix_length) — each highlights the tokens it
+    matches, mirroring Lucene highlighting of MultiTermQuery expansions."""
+    from ..plans.query_plan import (
+        Bool,
+        Fuzzy,
+        Regexp,
+        SpanNear,
+        SpanNot,
+        SpanOr,
+        WildcardPhrase,
+    )
 
     if isinstance(plan, Wildcard):
-        return {(plan.field, plan.pattern)}
+        return {(plan.field, "w", plan.pattern)}
+    if isinstance(plan, Regexp):
+        return {(plan.field, "r", plan.pattern)}
+    if isinstance(plan, Fuzzy):
+        return {
+            (plan.field, "f", (plan.value, plan.fuzziness, plan.prefix_length))
+        }
     if isinstance(plan, WildcardPhrase):
-        return {(p.field, p.pattern) for p in plan.producers if isinstance(p, Wildcard)}
+        return {
+            (p.field, "w", p.pattern)
+            for p in plan.producers
+            if isinstance(p, Wildcard)
+        }
     if isinstance(plan, Bool):
-        out: set[tuple[str, str]] = set()
+        out: set[tuple[str, str, object]] = set()
         for g in (plan.must, plan.should, plan.filter):
             for c in g:
                 out |= _wildcards_of(c)
@@ -237,13 +293,15 @@ def highlight_map_col(
                 continue
             if spec.require_field_match:
                 flits = {t for fld, t in lits if fld == f}
-                fpats = [p for fld, p in wilds if fld == f]
+                fpats = [(k, p) for fld, k, p in wilds if fld == f]
             else:
                 flits = {t for _, t in lits}
-                fpats = [p for _, p in wilds]
+                fpats = [(k, p) for _, k, p in wilds]
             if flits or fpats:
-                # regexes compile ONCE here (driver), not per row per field
-                per_field[f] = (flits, [wildcard_regex(p) for p in fpats])
+                # matchers compile ONCE here (driver), not per row per field
+                per_field[f] = (
+                    flits, [_compile_matcher(k, p) for k, p in fpats]
+                )
         programs[qid] = {
             "fields": per_field,
             "pre": spec.pre_tag,
@@ -328,7 +386,7 @@ def highlight_col(
         terms_by_q = {
             qid: (
                 {t for _, t in positive_terms(q.plan)},
-                [wildcard_regex(p) for _, p in _wildcards_of(q.plan)],
+                [_compile_matcher(k, p) for _, k, p in _wildcards_of(q.plan)],
             )
             for qid, q in registry.queries.items()
         }

@@ -27,12 +27,15 @@ from pyspark.sql import types as T
 from ..plans.eval_py import eval_plan
 from ..plans.query_plan import (
     Bool,
+    Exists,
+    Fuzzy,
     MatchAll,
     MatchNone,
     Nested,
     Phrase,
     Plan,
     Range,
+    Regexp,
     SpanNear,
     SpanNot,
     SpanOr,
@@ -111,6 +114,30 @@ def match_col(
     if isinstance(plan, Wildcard):
         like = wildcard_to_like(plan.pattern)
         return F.exists(token_fields[plan.field], lambda t: t.like(like))
+
+    if isinstance(plan, Fuzzy):
+        # threshold form short-circuits the DP past ``fuzziness`` (returns
+        # -1 above it); prefix_length via startswith — exact Lucene
+        # semantics because equal prefixes strip from the edit distance
+        v, fz, pl = plan.value, plan.fuzziness, plan.prefix_length
+
+        def fuzz_pred(t: Column) -> Column:
+            cond = F.levenshtein(t, F.lit(v), fz) >= 0
+            if pl:
+                cond = t.startswith(v[:pl]) & cond
+            return cond
+
+        return F.exists(token_fields[plan.field], fuzz_pred)
+
+    if isinstance(plan, Regexp):
+        rx = "^(?:" + plan.pattern + ")$"  # whole-term, Lucene RegexpQuery
+        return F.exists(token_fields[plan.field], lambda t: t.rlike(rx))
+
+    if isinstance(plan, Exists):
+        if plan.field in token_fields:
+            return F.size(token_fields[plan.field]) > 0
+        c = value_fields[plan.field]
+        return c.isNotNull() & ~F.isnan(c.cast("double"))
 
     if isinstance(plan, Range):
         c = value_fields[plan.field]

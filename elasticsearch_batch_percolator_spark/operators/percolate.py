@@ -411,7 +411,18 @@ def _bt_prune_sets(
                                 return False
                     else:
                         s = pats.setdefault(fc, set())
-                        p = wildcard_to_like(v)
+                        if kind == "w":
+                            p = wildcard_to_like(v)
+                        elif kind == "r":
+                            # no sound LIKE superset of a regex: keep the
+                            # whole column (pruning would silently drop
+                            # matchable tokens before the expansion join)
+                            p = "%"
+                        else:  # fuzzy f{fz}.{pl}: edits may change any
+                            # char past the required prefix — prefix% is
+                            # the only sound LIKE superset ('%' at pl=0)
+                            pl = int(kind[1:].split(".")[1])
+                            p = wildcard_to_like(v[:pl]) + "%" if pl else "%"
                         if p not in s:
                             s.add(p)
                             n_pats += 1
@@ -1259,19 +1270,22 @@ def percolate(
     if "gates_sdf" not in art:
         fcol_of = {f: col_idx[tc] for f, tc in resolve.items() if tc in col_idx}
 
-        def _map_gate_pdf(src: "pd.DataFrame", val_col: str) -> "pd.DataFrame":
+        def _map_gate_pdf(
+            src: "pd.DataFrame", val_col: str, extra: tuple = ()
+        ) -> "pd.DataFrame":
             if not len(src):
                 return src
             out = src[~src["query_id"].isin(jv_qids)] if jv_qids else src
             out = out.assign(fcol=out["field"].map(fcol_of))
             out = out.dropna(subset=["fcol"])
-            return pd.DataFrame(
-                {
-                    "query_id": out["query_id"].to_numpy(),
-                    "fcol": out["fcol"].to_numpy(dtype="int8"),
-                    val_col: out[val_col].to_numpy(),
-                }
-            )
+            cols = {
+                "query_id": out["query_id"].to_numpy(),
+                "fcol": out["fcol"].to_numpy(dtype="int8"),
+                val_col: out[val_col].to_numpy(),
+            }
+            for c in extra:
+                cols[c] = out[c].to_numpy()
+            return pd.DataFrame(cols)
 
         gpdf = _map_gate_pdf(lit_pdf, "term")
         if len(gpdf):
@@ -1280,10 +1294,12 @@ def percolate(
             )
         else:
             art["gates_sdf"] = None
-        ppdf = _map_gate_pdf(pat_pdf, "pattern")
+        ppdf = _map_gate_pdf(pat_pdf, "pattern", ("pkind", "fz", "pfx"))
         if len(ppdf):
             art["patterns_sdf"] = spark.createDataFrame(
-                ppdf, "query_id string, fcol tinyint, pattern string"
+                ppdf,
+                "query_id string, fcol tinyint, pattern string, "
+                "pkind string, fz int, pfx string",
             )
         else:
             art["patterns_sdf"] = None
@@ -1311,9 +1327,23 @@ def percolate(
             batch_terms.join(F.broadcast(art["gates_sdf"]), ["fcol", "term"])
         )
     if art["patterns_sdf"] is not None:
+        # pkind-dispatched multi-term expansion, all JVM-side: wildcard via
+        # LIKE, regexp via RLIKE (pattern pre-anchored), fuzzy via
+        # levenshtein + required-prefix (the reference's
+        # automaton-over-index-terms family, WildcardTermsProducer:26-53 /
+        # Lucene Fuzzy/RegexpQuery rewriting over the term dictionary)
         expanded = (
             term_dict.join(F.broadcast(art["patterns_sdf"]), "fcol")
-            .filter(F.expr("term LIKE pattern"))
+            .filter(
+                ((F.col("pkind") == "like") & F.expr("term LIKE pattern"))
+                | ((F.col("pkind") == "re") & F.expr("term RLIKE pattern"))
+                | (
+                    (F.col("pkind") == "fz")
+                    & F.expr("startswith(term, pfx)")
+                    & (F.levenshtein(F.col("term"), F.col("pattern"))
+                       <= F.col("fz"))
+                )
+            )
             .select("query_id", "fcol", "term")
         )
         parts_cand.append(batch_terms.join(F.broadcast(expanded), ["fcol", "term"]))

@@ -29,12 +29,15 @@ from typing import Any
 
 from .query_plan import (
     Bool,
+    Exists,
+    Fuzzy,
     MatchAll,
     MatchNone,
     Nested,
     Phrase,
     Plan,
     Range,
+    Regexp,
     SpanNear,
     SpanNot,
     SpanOr,
@@ -208,6 +211,84 @@ def compile_query(q: str | dict) -> Plan:
         f, v = _field_value(body)
         return Wildcard(f, str(v).lower() + "*")
 
+    if kind == "fuzzy":
+        # ES spellings: {"fuzzy": {"field": f, "value": v, "fuzziness": ..}}
+        # / {"fuzzy": {f: v}} / {"fuzzy": {f: {"value": v, "fuzziness": ..}}}
+        f, v = _field_value(body)
+        opts = body
+        if isinstance(v, dict):
+            opts = v
+            v = v.get("value", v.get("term"))
+        if v is None:
+            raise QueryParseError(f"fuzzy needs a value: {body!r}")
+        val = str(v).lower()
+        fz = resolve_fuzziness(
+            opts.get("fuzziness", body.get("fuzziness", "AUTO")), len(val)
+        )
+        pl = int(opts.get("prefix_length", body.get("prefix_length", 0)))
+        if fz == 0:
+            return Term(f, val)  # distance 0 == exact term
+        return Fuzzy(f, val, fz, pl)
+
+    if kind == "regexp":
+        f, v = _field_value(body)
+        if isinstance(v, dict):
+            v = v.get("value")
+        if v is None:
+            raise QueryParseError(f"regexp needs a value: {body!r}")
+        # the PATTERN is not lowercased (char classes / escapes like \W are
+        # case-significant); indexed terms are analyzer-lowercased, so
+        # uppercase literals in a pattern simply never match — ES behaves
+        # the same for analyzed fields.
+        return Regexp(f, str(v))
+
+    if kind == "exists":
+        if "field" not in body:
+            raise QueryParseError(f"exists needs a field: {body!r}")
+        return Exists(body["field"])
+
+    if kind == "constant_score":
+        # non-scoring wrapper -> Bool FILTER (Q5 filter-context semantics);
+        # the wrapped query's boost-as-score is not modeled (matching is
+        # identical; percolation responses carry BM25 scores only when
+        # with_scores is on)
+        inner = body.get("filter", body.get("query"))
+        if inner is None:
+            raise QueryParseError(f"constant_score needs filter/query: {body!r}")
+        return Bool(filter=(compile_query(inner),))
+
+    if kind == "match_phrase_prefix":
+        f, v = _field_value(body, "query")
+        toks = _analyze(v)
+        if not toks:
+            return MatchNone()
+        # last analyzed token becomes a prefix producer; wildcard chars in
+        # the token itself keep their wildcard meaning (our Wildcard has no
+        # escape syntax) — a documented over-match for tokens containing
+        # literal * / ?
+        last = Wildcard(f, toks[-1] + "*")
+        if len(toks) == 1:
+            return last
+        return WildcardPhrase(
+            f, tuple(Term(f, t) for t in toks[:-1]) + (last,)
+        )
+
+    if kind in ("query_string", "simple_query_string"):
+        qtext = body.get("query") if isinstance(body, dict) else body
+        if qtext is None:
+            raise QueryParseError(f"query_string needs query: {body!r}")
+        return parse_query_string(
+            str(qtext),
+            default_field=body.get("default_field", DEFAULT_FIELD)
+            if isinstance(body, dict)
+            else DEFAULT_FIELD,
+            default_operator=str(
+                body.get("default_operator", "or")
+            ).lower()
+            if isinstance(body, dict)
+            else "or",
+        )
+
     if kind in ("phrase", "match_phrase"):
         if "terms" in body:
             f = body.get("field", DEFAULT_FIELD)
@@ -289,3 +370,267 @@ def compile_query(q: str | dict) -> Plan:
         return Range(f, gte=spec.get("gte"), lte=spec.get("lte"))
 
     raise QueryParseError(f"unsupported query type: {kind!r}")
+
+
+def resolve_fuzziness(spec, term_len: int) -> int:
+    """ES Fuzziness spec -> max edit distance for a term of ``term_len``.
+
+    ``"AUTO"`` (and ``"AUTO:lo,hi"``) follows Lucene's auto ladder: 0 edits
+    below ``lo`` chars, 1 from ``lo`` to ``hi``-1, 2 at ``hi``+ (defaults
+    3,6). Integers pass through; Lucene supports at most distance 2
+    (LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE), larger specs raise."""
+    if isinstance(spec, bool):
+        raise QueryParseError(f"invalid fuzziness: {spec!r}")
+    if isinstance(spec, (int, float)):
+        fz = int(spec)
+    else:
+        s = str(spec).strip()
+        if s.upper().startswith("AUTO"):
+            lo, hi = 3, 6
+            if ":" in s:
+                try:
+                    lo_s, hi_s = s.split(":", 1)[1].split(",")
+                    lo, hi = int(lo_s), int(hi_s)
+                except ValueError:
+                    raise QueryParseError(f"invalid fuzziness: {spec!r}")
+            return 0 if term_len < lo else (1 if term_len < hi else 2)
+        try:
+            fz = int(s)
+        except ValueError:
+            raise QueryParseError(f"invalid fuzziness: {spec!r}")
+    if not 0 <= fz <= 2:
+        raise QueryParseError(
+            f"fuzziness must be 0..2 (Lucene's supported range), got {fz}"
+        )
+    return fz
+
+
+# ---- query_string mini-language ------------------------------------------
+#
+# The reference's registered queries go through the full ES query parser,
+# so `query_string` bodies are legal registrations. We implement the
+# classic-QueryParser core as a conventional lexer + recursive-descent
+# parser producing the SAME plan algebra as the structured DSL:
+#
+#     clause   := or_expr
+#     or_expr  := and_expr ("OR" and_expr)*
+#     and_expr := unary (["AND"] unary)*      adjacent = default_operator
+#     unary    := ("NOT" | "+" | "-") unary | primary
+#     primary  := "(" clause ")" | field ":" primary | STRING | TERM
+#     STRING   := '"..."' ["~" slop]          -> phrase
+#     TERM     := token ["~" [fuzz]]          -> term / wildcard / fuzzy
+#     range    := field ":" "[" a "TO" b "]"  -> numeric range (inclusive)
+#
+# NOT binds tightest, then AND, then OR (documented precedence; Lucene's
+# classic parser flattens mixed operators into one BooleanQuery, a
+# widely-documented surprise we deliberately do not reproduce).
+
+_QS_TOKEN = _re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<lbrack>\[) | (?P<rbrack>\]) |
+        (?P<colon>:) |
+        (?P<plus>\+) | (?P<minus>-) |
+        (?P<quoted>"(?P<qbody>[^"]*)"(?:~(?P<slop>\d+))?) |
+        (?P<term>[^\s()\[\]:"+]+)
+    )""",
+    _re.VERBOSE,
+)
+
+
+def _qs_lex(s: str) -> list[tuple[str, object]]:
+    out: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(s):
+        m = _QS_TOKEN.match(s, pos)
+        if m is None:
+            if s[pos:].strip() == "":
+                break
+            raise QueryParseError(f"query_string: cannot lex at {s[pos:]!r}")
+        pos = m.end()
+        if m.group("quoted") is not None:
+            out.append(("phrase", (m.group("qbody"), int(m.group("slop") or 0))))
+        elif m.group("term") is not None:
+            out.append(("term", m.group("term")))
+        else:
+            for name in ("lparen", "rparen", "lbrack", "rbrack", "colon",
+                         "plus", "minus"):
+                if m.group(name) is not None:
+                    out.append((name, m.group(name)))
+                    break
+    return out
+
+
+class _QSParser:
+    def __init__(self, toks: list, default_field: str, default_op: str):
+        self.toks = toks
+        self.i = 0
+        self.default_op = default_op
+        self.field_stack = [default_field]
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def take(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self) -> Plan:
+        p = self.or_expr()
+        if self.peek()[0] is not None:
+            raise QueryParseError(
+                f"query_string: trailing tokens at {self.toks[self.i:]!r}"
+            )
+        return p
+
+    def or_expr(self) -> Plan:
+        parts = [self.and_expr()]
+        while self.peek() == ("term", "OR"):
+            self.take()
+            parts.append(self.and_expr())
+        if len(parts) == 1:
+            return parts[0]
+        return Bool(should=tuple(parts), msm=1)
+
+    def and_expr(self) -> Plan:
+        def boundary(tok):
+            k, v = tok
+            return k is None or k in ("rparen",) or (k == "term" and v == "OR")
+
+        first = self.unary()
+        groups: list[tuple[str, Plan]] = [first]
+        while not boundary(self.peek()):
+            if self.peek() == ("term", "AND"):
+                self.take()
+                groups.append(("must", self._unary_plan()))
+            else:
+                groups.append(self.unary())
+        if len(groups) == 1:
+            mode, plan = groups[0]
+            if mode == "plain":
+                return plan
+        must, should, must_not = [], [], []
+        explicit_and = any(m == "must" for m, _ in groups)
+        for mode, plan in groups:
+            if mode == "not":
+                must_not.append(plan)
+            elif mode == "req" or mode == "must":
+                must.append(plan)
+            elif self.default_op == "and" or explicit_and:
+                # one explicit AND makes the whole conjunction required —
+                # the least-surprising reading; document divergence from
+                # the classic parser's per-pair behavior
+                must.append(plan)
+            else:
+                should.append(plan)
+        if len(groups) == 1 and must_not:
+            return Bool(must_not=tuple(must_not))
+        return Bool(
+            must=tuple(must),
+            should=tuple(should),
+            must_not=tuple(must_not),
+            msm=1 if should else 0,
+        )
+
+    def _unary_plan(self) -> Plan:
+        mode, plan = self.unary()
+        if mode == "not":
+            return Bool(must_not=(plan,))
+        return plan
+
+    def unary(self) -> tuple[str, Plan]:
+        k, v = self.peek()
+        if k == "term" and v == "NOT":
+            self.take()
+            return ("not", self._unary_plan())
+        if k == "minus":
+            self.take()
+            return ("not", self._unary_plan())
+        if k == "plus":
+            self.take()
+            return ("req", self._unary_plan())
+        return ("plain", self.primary())
+
+    def primary(self) -> Plan:
+        k, v = self.take()
+        field = self.field_stack[-1]
+        if k == "lparen":
+            p = self.or_expr()
+            if self.take()[0] != "rparen":
+                raise QueryParseError("query_string: unbalanced parens")
+            return p
+        if k == "phrase":
+            text, slop = v
+            toks = _analyze(text)
+            if not toks:
+                return MatchNone()
+            if len(toks) == 1:
+                return Term(field, toks[0])
+            return Phrase(field, tuple(toks), slop)
+        if k == "lbrack":
+            return self._range(field)
+        if k == "term":
+            if self.peek()[0] == "colon":
+                self.take()
+                self.field_stack.append(v)
+                try:
+                    nk = self.peek()[0]
+                    if nk == "lbrack":
+                        self.take()
+                        return self._range(v)
+                    return self.primary()
+                finally:
+                    self.field_stack.pop()
+            return self._term_plan(field, v)
+        raise QueryParseError(f"query_string: unexpected token {(k, v)!r}")
+
+    def _range(self, field: str) -> Plan:
+        # consumed "["; expect  a TO b ]  with * as an open endpoint
+        def endpoint(tok):
+            if tok[0] != "term":
+                raise QueryParseError("query_string: bad range endpoint")
+            if tok[1] == "*":
+                return None
+            try:
+                return float(tok[1])
+            except ValueError:
+                raise QueryParseError(
+                    f"query_string: numeric range endpoints only, got {tok[1]!r}"
+                )
+
+        lo = endpoint(self.take())
+        if self.take() != ("term", "TO"):
+            raise QueryParseError("query_string: range needs 'TO'")
+        hi = endpoint(self.take())
+        if self.take()[0] != "rbrack":
+            raise QueryParseError("query_string: unclosed range")
+        return Range(field, gte=lo, lte=hi)
+
+    def _term_plan(self, field: str, raw: str) -> Plan:
+        fuzz = None
+        if "~" in raw:
+            base, _, f_s = raw.rpartition("~")
+            if base:
+                fuzz = f_s if f_s else "AUTO"
+                raw = base
+        tok = raw.lower()
+        if fuzz is not None:
+            fz = resolve_fuzziness(fuzz, len(tok))
+            return Term(field, tok) if fz == 0 else Fuzzy(field, tok, fz)
+        if "*" in tok or "?" in tok:
+            return Wildcard(field, tok)
+        toks = _analyze(tok)
+        if not toks:
+            return MatchNone()
+        return Term(field, toks[0])
+
+
+def parse_query_string(
+    query: str, default_field: str = DEFAULT_FIELD, default_operator: str = "or"
+) -> Plan:
+    """Compile a classic-QueryParser-style string to the plan algebra."""
+    toks = _qs_lex(query)
+    if not toks:
+        return MatchNone()
+    return _QSParser(toks, default_field, default_operator).parse()

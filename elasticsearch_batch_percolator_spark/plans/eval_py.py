@@ -36,12 +36,15 @@ from functools import lru_cache
 
 from .query_plan import (
     Bool,
+    Exists,
+    Fuzzy,
     MatchAll,
     MatchNone,
     Nested,
     Phrase,
     Plan,
     Range,
+    Regexp,
     SpanNear,
     SpanNot,
     SpanOr,
@@ -64,6 +67,61 @@ def wildcard_regex(pattern: str) -> re.Pattern:
         else:
             out.append(re.escape(ch))
     return re.compile("^" + "".join(out) + "$")
+
+
+@lru_cache(maxsize=4096)
+def regexp_regex(pattern: str) -> re.Pattern:
+    """Anchored (whole-term) compile of a Regexp plan pattern — the
+    fullmatch counterpart of Spark's ``RLIKE '^(?:p)$'`` and DuckDB's
+    ``regexp_full_match``."""
+    return re.compile(pattern)
+
+
+def within_edits(a: str, b: str, maxd: int) -> bool:
+    """Plain (non-transposing) Levenshtein distance <= maxd, banded: O(maxd)
+    per row, early-exit when a full row exceeds the bound. Must agree
+    exactly with Spark's ``levenshtein(a, b) <= maxd`` and DuckDB's
+    ``levenshtein`` (all unit-cost, per code point)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > maxd:
+        return False
+    if la == 0 or lb == 0:
+        return True  # length gap already checked
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        lo = max(1, i - maxd)
+        hi = min(lb, i + maxd)
+        if lo > 1:
+            cur[lo - 1] = maxd + 1  # outside the band
+        best = maxd + 1
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            v = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + cost,
+            )
+            cur[j] = v
+            if v < best:
+                best = v
+        if hi < lb:
+            cur[hi + 1 :] = [maxd + 1] * (lb - hi)
+        if best > maxd:
+            return False
+        prev = cur
+    return prev[lb] <= maxd
+
+
+def fuzzy_pred(value: str, fuzziness: int, prefix_length: int):
+    """token -> bool for a Fuzzy atom (shared by eval and highlight)."""
+    pfx = value[: prefix_length]
+
+    def pred(tok: str) -> bool:
+        return tok.startswith(pfx) and within_edits(tok, value, fuzziness)
+
+    return pred
 
 
 def _tokens(doc: dict, field: str) -> list[str]:
@@ -183,6 +241,17 @@ def eval_plan(plan: Plan, doc: dict) -> bool:
     if isinstance(plan, Wildcard):
         rx = wildcard_regex(plan.pattern)
         return any(rx.match(t) for t in _tokens(doc, plan.field))
+    if isinstance(plan, Fuzzy):
+        pred = fuzzy_pred(plan.value, plan.fuzziness, plan.prefix_length)
+        return any(pred(t) for t in _tokens(doc, plan.field))
+    if isinstance(plan, Regexp):
+        rx = regexp_regex(plan.pattern)
+        return any(rx.fullmatch(t) for t in _tokens(doc, plan.field))
+    if isinstance(plan, Exists):
+        v = doc.get(plan.field)
+        if isinstance(v, (list, tuple)):
+            return len(v) > 0  # analyzed field: indexed iff >=1 token
+        return v is not None and v == v  # non-null, non-NaN scalar
     if isinstance(plan, Range):
         v = doc.get(plan.field)
         if v is None or isinstance(v, (list, tuple)) or v != v:

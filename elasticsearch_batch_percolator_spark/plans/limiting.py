@@ -27,12 +27,15 @@ from __future__ import annotations
 
 from .query_plan import (
     Bool,
+    Exists,
+    Fuzzy,
     MatchAll,
     MatchNone,
     Nested,
     Phrase,
     Plan,
     Range,
+    Regexp,
     SpanNear,
     SpanNot,
     SpanOr,
@@ -42,7 +45,11 @@ from .query_plan import (
     WildcardPhrase,
 )
 
-_EXACT_ATOMS = (Term, Wildcard, Range, MatchAll, MatchNone)
+# Fuzzy / Regexp are exact presence atoms like Wildcard: phase 1 expands
+# them against the batch term dictionary, so "some expanded term present"
+# IS the match. Exists is exact-but-not-term-joinable, like Range: it
+# survives the rewrite (sound under NOT) and _flatten_groups drops it.
+_EXACT_ATOMS = (Term, Wildcard, Fuzzy, Regexp, Range, Exists, MatchAll, MatchNone)
 
 
 def exact_rewrite(plan: Plan) -> Plan | None:

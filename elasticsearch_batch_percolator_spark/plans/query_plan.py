@@ -195,10 +195,70 @@ class Range(Plan):
         return {"range": {"field": self.field, "gte": self.gte, "lte": self.lte}}
 
 
+@dataclass(frozen=True)
+class Fuzzy(Plan):
+    """Edit-distance term match: the doc matches iff some token of ``field``
+    is within ``fuzziness`` PLAIN Levenshtein edits of ``value`` (and shares
+    its first ``prefix_length`` chars). The reference accepts the full ES
+    DSL (BatchPercolatorQueriesRegistry.parseQuery:187-204 delegates to
+    IndexQueryParserService), whose fuzzy query is Lucene FuzzyQuery; we fix
+    ``transpositions=false`` (a supported Lucene mode) so the Spark lane
+    (``levenshtein``), the python evaluator, and the DuckDB oracle
+    (``levenshtein``) agree on one metric. Like Wildcard, phase 1 expands
+    the atom against the batch term dictionary — exact for flat token
+    fields."""
+
+    field: str
+    value: str
+    fuzziness: int = 1
+    prefix_length: int = 0
+
+    def to_dict(self):
+        return {"fuzzy": {"field": self.field, "value": self.value,
+                          "fuzziness": self.fuzziness,
+                          "prefix_length": self.prefix_length}}
+
+
+@dataclass(frozen=True)
+class Regexp(Plan):
+    """Whole-term (anchored) regex match, Lucene RegexpQuery semantics: the
+    doc matches iff some token of ``field`` fully matches ``pattern``.
+    Patterns are the Java/python/RE2 common core (literals, ``.``, classes,
+    alternation, ``* + ?`` quantifiers, grouping) so the Spark ``RLIKE``
+    lane, the python ``re.fullmatch`` evaluator, and the DuckDB
+    ``regexp_full_match`` oracle agree. Expanded against the batch term
+    dictionary in phase 1, like Wildcard."""
+
+    field: str
+    pattern: str
+
+    def to_dict(self):
+        return {"regexp": {"field": self.field, "value": self.pattern}}
+
+
+@dataclass(frozen=True)
+class Exists(Plan):
+    """ES exists query: the doc has an indexed value for ``field`` — for
+    analyzed (token) fields that means >=1 token (an empty/whitespace
+    string analyzes to no tokens and is NOT indexed, matching Lucene),
+    for numeric fields a non-null non-NaN value. Not term-joinable: like
+    a pure-negation bool it is an all-docs candidate settled by phase-2
+    verify."""
+
+    field: str
+
+    def to_dict(self):
+        return {"exists": {"field": self.field}}
+
+
 def fields_of(plan: Plan) -> set[str]:
     """All TOP-LEVEL document fields a plan touches (a Nested plan's child
     fields live inside the path's objects — the path is the doc field)."""
-    if isinstance(plan, (Term, Wildcard, Phrase, WildcardPhrase, SpanTerm, Range)):
+    if isinstance(
+        plan,
+        (Term, Wildcard, Phrase, WildcardPhrase, SpanTerm, Range,
+         Fuzzy, Regexp, Exists),
+    ):
         return {plan.field}
     if isinstance(plan, Nested):
         return {plan.path}
@@ -269,6 +329,7 @@ def _tuple_reduce(cls):
 
 for _cls in (
     Term, Wildcard, Phrase, WildcardPhrase, Bool, SpanTerm, SpanNear,
-    SpanOr, SpanNot, MatchAll, MatchNone, Nested, Range,
+    SpanOr, SpanNot, MatchAll, MatchNone, Nested, Range, Fuzzy, Regexp,
+    Exists,
 ):
     _cls.__reduce__ = _tuple_reduce(_cls)

@@ -47,11 +47,14 @@ from ..plans.compiler import compile_query
 from ..plans.limiting import limiting_filter
 from ..plans.query_plan import (
     Bool,
+    Exists,
+    Fuzzy,
     MatchAll,
     MatchNone,
     Phrase,
     Plan,
     Range,
+    Regexp,
     Term,
     Wildcard,
     WildcardPhrase,
@@ -687,7 +690,8 @@ class CompiledRegistry:
             {"query_id": [], "field": [], "term": []}, dtype=object
         )
         empty_pat = _pd.DataFrame(
-            {"query_id": [], "field": [], "pattern": []}, dtype=object
+            {"query_id": [], "field": [], "pattern": [], "pkind": [],
+             "fz": [], "pfx": []}, dtype=object
         )
         if tbl.empty:
             return empty_lit, empty_pat
@@ -724,11 +728,37 @@ class CompiledRegistry:
             columns={"value": "term"}
         )
         if len(pat):
+            # pkind selects the expansion predicate downstream:
+            #   'like' — term LIKE pattern        (wildcard, kind "w")
+            #   're'   — term RLIKE pattern       (regexp, kind "r"; anchored)
+            #   'fz'   — startswith(term, pfx) AND levenshtein(term,
+            #            pattern) <= fz           (fuzzy, kind "f{fz}.{pl}")
+            pkinds, pats, fzs, pfxs = [], [], [], []
+            for k, v in zip(pat["kind"], pat["value"]):
+                if k == "w":
+                    pkinds.append("like")
+                    pats.append(wildcard_to_like(v))
+                    fzs.append(0)
+                    pfxs.append("")
+                elif k == "r":
+                    pkinds.append("re")
+                    pats.append("^(?:" + v + ")$")
+                    fzs.append(0)
+                    pfxs.append("")
+                else:  # f{fz}.{pl}
+                    fz_s, pl_s = k[1:].split(".")
+                    pkinds.append("fz")
+                    pats.append(v)
+                    fzs.append(int(fz_s))
+                    pfxs.append(v[: int(pl_s)])
             pat_pdf = _pd.DataFrame(
                 {
                     "query_id": pat["query_id"].to_numpy(),
                     "field": pat["field"].to_numpy(),
-                    "pattern": [wildcard_to_like(v) for v in pat["value"]],
+                    "pattern": pats,
+                    "pkind": pkinds,
+                    "fz": fzs,
+                    "pfx": pfxs,
                 }
             )
         else:
@@ -925,10 +955,17 @@ def _flatten_groups(approx: Plan) -> list[set[tuple[str, str, str]]] | None:
         return [{("t", approx.field, approx.value)}]
     if isinstance(approx, Wildcard):
         return [{("w", approx.field, approx.pattern)}]
+    if isinstance(approx, Fuzzy):
+        # kind packs the expansion params; value carries the raw term —
+        # gates_pdf unpacks into (pkind='fz', fz, pfx) columns
+        return [{(f"f{approx.fuzziness}.{approx.prefix_length}",
+                  approx.field, approx.value)}]
+    if isinstance(approx, Regexp):
+        return [{("r", approx.field, approx.pattern)}]
     if isinstance(approx, MatchAll):
         return []
-    if isinstance(approx, Range):
-        return []  # numeric constraint: not term-joinable, drop (sound)
+    if isinstance(approx, (Range, Exists)):
+        return []  # non-term-joinable constraint, drop (sound)
     if isinstance(approx, Bool):
         if approx.must or approx.filter:
             out: list[set[tuple[str, str]]] = []
@@ -971,7 +1008,7 @@ def _needs_verify(plan: Plan) -> bool:
     WildcardTermsProducer.java:26-53), so presence of >=1 expanded term IS
     the wildcard match.
     """
-    if isinstance(plan, (Term, Wildcard, MatchAll)):
+    if isinstance(plan, (Term, Wildcard, Fuzzy, Regexp, MatchAll)):
         return False
     if isinstance(plan, Bool):
         if plan.must_not:
@@ -989,7 +1026,9 @@ def _needs_verify(plan: Plan) -> bool:
             clauses = plan.must + plan.filter
         else:
             clauses = plan.should
-        return not all(isinstance(c, (Term, Wildcard)) for c in clauses)
+        return not all(
+            isinstance(c, (Term, Wildcard, Fuzzy, Regexp)) for c in clauses
+        )
     return True
 
 

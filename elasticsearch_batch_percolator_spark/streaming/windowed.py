@@ -84,9 +84,12 @@ def _token_evaluable(plan) -> bool:
     the full document row is in scope."""
     from ..plans.query_plan import (
         Bool,
+        Exists,
+        Fuzzy,
         MatchAll,
         MatchNone,
         Phrase,
+        Regexp,
         SpanNear,
         SpanNot,
         SpanOr,
@@ -97,7 +100,8 @@ def _token_evaluable(plan) -> bool:
 
     if isinstance(
         plan,
-        (Term, Wildcard, Phrase, WildcardPhrase, SpanTerm, MatchAll, MatchNone),
+        (Term, Wildcard, Fuzzy, Regexp, Exists, Phrase, WildcardPhrase,
+         SpanTerm, MatchAll, MatchNone),
     ):
         return True
     if isinstance(plan, Bool):
