@@ -192,6 +192,63 @@ def _q_percolate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.matches.select(F.col("doc_id").cast("long").alias("doc_id"), "query_id")
 
 
+def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery — plain-Levenshtein edit-distance term match; 'ag' at
+    fuzziness 1 expands to BOTH corpus tokens 'a' and 'agg' (a real
+    multi-term expansion, not a degenerate exact hit)."""
+    plan = compile_query({"fuzzy": {"text": {"value": "ag", "fuzziness": 1}}})
+    return (
+        _tokens(spark, sf_dir)
+        .filter(match_col(plan, {"text": F.col("tokens")}))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def _q_regexp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexpQuery — anchored whole-term regex over the token stream."""
+    plan = compile_query({"regexp": {"text": "s(can|ort|low)"}})
+    return (
+        _tokens(spark, sf_dir)
+        .filter(match_col(plan, {"text": F.col("tokens")}))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def _q_query_string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string mini-language — lexer + recursive-descent parse into
+    the same plan algebra ((merge OR table) AND row -slow)."""
+    plan = compile_query({"query_string": {
+        "query": "(merge OR table) AND row -slow", "default_field": "text"}})
+    return (
+        _tokens(spark, sf_dir)
+        .filter(match_col(plan, {"text": F.col("tokens")}))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+_DSLX_QUERIES = {
+    "x-fuzzy": {"fuzzy": {"content": {"value": "ag", "fuzziness": 1}}},
+    "x-fuzzpl": {"fuzzy": {"content": {"value": "sparj", "fuzziness": 1,
+                                       "prefix_length": 2}}},
+    "x-re": {"regexp": {"content": "s(can|ort|low)"}},
+    "x-qs": {"query_string": {"query": "(merge OR table) AND row -slow"}},
+    "x-mpp": {"match_phrase_prefix": {"content": "hash jo"}},
+    "x-cs": {"constant_score": {"filter": {"term": {"content": "vector"}}}},
+    "x-ex": {"exists": {"field": "content"}},
+}
+
+
+def _q_dsl_ext_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES-DSL tail (fuzzy / regexp / query_string / match_phrase_prefix
+    / constant_score / exists) through the FULL two-phase percolate: fuzzy
+    and regexp gate via batch-term-dictionary expansion (levenshtein /
+    RLIKE, JVM-side), exists settles in the all-docs verify lane."""
+    reg = CompiledRegistry.from_rows(list(_DSLX_QUERIES.items()))
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    res = percolate(spark, docs, reg)
+    return res.matches.select(F.col("doc_id").cast("long").alias("doc_id"), "query_id")
+
+
 _MSM_QUERIES = {
     "m-2of3": {"bool": {"should": [{"term": {"content": "merge"}},
                                    {"term": {"content": "table"}},
@@ -1216,6 +1273,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "phrase_sloppy_lucene": _q_phrase_sloppy_lucene,
         "percolate_batch": _q_percolate_batch,
+        "fuzzy_match": _q_fuzzy_match,
+        "regexp_match": _q_regexp_match,
+        "query_string_match": _q_query_string_match,
+        "dsl_ext_percolate": _q_dsl_ext_percolate,
         "percolate_counts": _q_percolate_counts,
         "percolate_msm": _q_percolate_msm,
         "percolate_auto_fields": _q_percolate_auto_fields,
@@ -1236,6 +1297,33 @@ def oracle_sql() -> dict[str, str]:
         "len(list_filter(string_split(lower(text), ' '), t -> t LIKE '{p}')) > 0"
     )
     phrase = "contains(' ' || lower(text) || ' ', ' {p} ')"
+    has_fuzzy = (
+        "len(list_filter(string_split(lower(text), ' '), "
+        "t -> levenshtein(t, '{v}') <= {d})) > 0"
+    )
+    has_re = (
+        "len(list_filter(string_split(lower(text), ' '), "
+        "t -> regexp_full_match(t, '{p}'))) > 0"
+    )
+    qs_bool = (
+        f"({contains.format(t='merge')} OR {contains.format(t='table')}) "
+        f"AND {contains.format(t='row')} AND NOT {contains.format(t='slow')}"
+    )
+    dslx_union = " UNION ALL ".join(
+        [
+            f"SELECT doc_id, 'x-fuzzy' AS query_id FROM documents WHERE {has_fuzzy.format(v='ag', d=1)}",
+            "SELECT doc_id, 'x-fuzzpl' AS query_id FROM documents WHERE "
+            "len(list_filter(string_split(lower(text), ' '), "
+            "t -> t LIKE 'sp%' AND levenshtein(t, 'sparj') <= 1)) > 0",
+            f"SELECT doc_id, 'x-re' AS query_id FROM documents WHERE {has_re.format(p='s(can|ort|low)')}",
+            f"SELECT doc_id, 'x-qs' AS query_id FROM documents WHERE {qs_bool}",
+            "SELECT doc_id, 'x-mpp' AS query_id FROM documents WHERE "
+            "contains(' ' || lower(text) || ' ', ' hash jo')",
+            f"SELECT doc_id, 'x-cs' AS query_id FROM documents WHERE {contains.format(t='vector')}",
+            "SELECT doc_id, 'x-ex' AS query_id FROM documents WHERE "
+            "len(list_filter(string_split(lower(text), ' '), x -> x <> '')) > 0",
+        ]
+    )
     perc_union = " UNION ALL ".join(
         [
             f"SELECT doc_id, 'q-term' AS query_id FROM documents WHERE {contains.format(t='row')}",
@@ -1622,6 +1710,10 @@ SELECT doc_id FROM tk WHERE len(list_filter(range(1, len(toks)+1),
        j -> toks[j] = 'the' AND j - i BETWEEN -1 AND 3)) > 0)) > 0
 """,
         "percolate_batch": perc_union,
+        "fuzzy_match": f"SELECT doc_id FROM documents WHERE {has_fuzzy.format(v='ag', d=1)}",
+        "regexp_match": f"SELECT doc_id FROM documents WHERE {has_re.format(p='s(can|ort|low)')}",
+        "query_string_match": f"SELECT doc_id FROM documents WHERE {qs_bool}",
+        "dsl_ext_percolate": dslx_union,
         "percolate_auto_fields": " UNION ALL ".join(
             [
                 f"SELECT doc_id, 'a-term' AS query_id FROM documents WHERE {contains.format(t='row')}",
