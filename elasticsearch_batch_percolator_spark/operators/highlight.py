@@ -125,6 +125,7 @@ def _wildcards_of(plan: Plan) -> set[tuple[str, str, object]]:
         Bool,
         Fuzzy,
         Regexp,
+        SpanFirst,
         SpanNear,
         SpanNot,
         SpanOr,
@@ -158,6 +159,8 @@ def _wildcards_of(plan: Plan) -> set[tuple[str, str, object]]:
         return out
     if isinstance(plan, SpanNot):
         return _wildcards_of(plan.include)
+    if isinstance(plan, SpanFirst):
+        return _wildcards_of(plan.match)
     return set()
 
 

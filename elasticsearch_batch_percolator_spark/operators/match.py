@@ -36,6 +36,7 @@ from ..plans.query_plan import (
     Plan,
     Range,
     Regexp,
+    SpanFirst,
     SpanNear,
     SpanNot,
     SpanOr,
@@ -182,7 +183,7 @@ def match_col(
 
         return F.exists(arr, child_pred)
 
-    if isinstance(plan, (SpanNear, SpanOr, SpanNot)):
+    if isinstance(plan, (SpanNear, SpanOr, SpanNot, SpanFirst)):
         fs = fields_of(plan)
         if len(fs) != 1:
             raise ValueError(f"span plans must target one field, got {fs}")

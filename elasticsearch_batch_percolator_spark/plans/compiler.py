@@ -38,6 +38,7 @@ from .query_plan import (
     Plan,
     Range,
     Regexp,
+    SpanFirst,
     SpanNear,
     SpanNot,
     SpanOr,
@@ -352,6 +353,21 @@ def compile_query(q: str | dict) -> Plan:
 
     if kind == "span_not":
         return SpanNot(compile_query(body["include"]), compile_query(body["exclude"]))
+
+    if kind == "span_first":
+        return SpanFirst(compile_query(body["match"]), int(body["end"]))
+
+    if kind == "span_multi":
+        # SpanMultiTermQueryWrapper: the wrapped multi-term query (wildcard
+        # / prefix / fuzzy / regexp) evaluates positionally inside span
+        # contexts — our spans_of handles those atoms directly, so the
+        # wrapper compiles away
+        inner = compile_query(body["match"])
+        if not isinstance(inner, (Wildcard, Fuzzy, Regexp, Term)):
+            raise QueryParseError(
+                f"span_multi wraps a multi-term query, got {inner!r}"
+            )
+        return inner
 
     if kind == "nested":
         return Nested(body["path"], compile_query(body["query"]))

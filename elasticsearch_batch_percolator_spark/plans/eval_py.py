@@ -45,6 +45,7 @@ from .query_plan import (
     Plan,
     Range,
     Regexp,
+    SpanFirst,
     SpanNear,
     SpanNot,
     SpanOr,
@@ -189,6 +190,17 @@ def spans_of(plan: Plan, doc: dict) -> list[tuple[int, int]]:
         rx = wildcard_regex(plan.pattern)
         toks = _tokens(doc, plan.field)
         return [(i, i) for i, t in enumerate(toks) if rx.match(t)]
+    if isinstance(plan, Fuzzy):
+        pred = fuzzy_pred(plan.value, plan.fuzziness, plan.prefix_length)
+        toks = _tokens(doc, plan.field)
+        return [(i, i) for i, t in enumerate(toks) if pred(t)]
+    if isinstance(plan, Regexp):
+        rx = regexp_regex(plan.pattern)
+        toks = _tokens(doc, plan.field)
+        return [(i, i) for i, t in enumerate(toks) if rx.fullmatch(t)]
+    if isinstance(plan, SpanFirst):
+        # Lucene: spans.end() <= end, end() = inclusive end + 1
+        return [s for s in spans_of(plan.match, doc) if s[1] + 1 <= plan.end]
     if isinstance(plan, SpanOr):
         out: list[tuple[int, int]] = []
         for c in plan.clauses:
@@ -284,7 +296,7 @@ def eval_plan(plan: Plan, doc: dict) -> bool:
         return any(
             eval_plan(plan.query, k) for k in kids if isinstance(k, dict)
         )
-    if isinstance(plan, (SpanTerm, SpanNear, SpanOr, SpanNot)):
+    if isinstance(plan, (SpanTerm, SpanNear, SpanOr, SpanNot, SpanFirst)):
         return bool(spans_of(plan, doc))
     if isinstance(plan, Bool):
         for c in plan.must:

@@ -36,6 +36,7 @@ from .query_plan import (
     Plan,
     Range,
     Regexp,
+    SpanFirst,
     SpanNear,
     SpanNot,
     SpanOr,
@@ -148,6 +149,12 @@ def limiting_filter(plan: Plan, negated: bool = False) -> Plan | None:
 
     if isinstance(plan, SpanNot):
         return limiting_filter(plan.include)
+
+    if isinstance(plan, SpanFirst):
+        # presence of the match anywhere is a superset of "within the
+        # first N positions"; lossy (never exact), so under NOT the
+        # exact_rewrite default (None) correctly refuses it
+        return limiting_filter(plan.match)
 
     if isinstance(plan, Nested):
         # the parent's flattened token stream (field = path) contains every

@@ -196,6 +196,19 @@ class Range(Plan):
 
 
 @dataclass(frozen=True)
+class SpanFirst(Plan):
+    """Lucene SpanFirstQuery: the ``match`` span must end within the first
+    ``end`` positions (spans.end() <= end, with end() = last position + 1 —
+    our inclusive span end must satisfy end_incl <= end - 1)."""
+
+    match: Plan
+    end: int
+
+    def to_dict(self):
+        return {"span_first": {"match": self.match.to_dict(), "end": self.end}}
+
+
+@dataclass(frozen=True)
 class Fuzzy(Plan):
     """Edit-distance term match: the doc matches iff some token of ``field``
     is within ``fuzziness`` PLAIN Levenshtein edits of ``value`` (and shares
@@ -275,6 +288,8 @@ def fields_of(plan: Plan) -> set[str]:
         return out
     if isinstance(plan, SpanNot):
         return fields_of(plan.include) | fields_of(plan.exclude)
+    if isinstance(plan, SpanFirst):
+        return fields_of(plan.match)
     return set()
 
 
@@ -308,6 +323,8 @@ def positive_terms(plan: Plan) -> set[tuple[str, str]]:
         return out
     if isinstance(plan, SpanNot):
         return positive_terms(plan.include)
+    if isinstance(plan, SpanFirst):
+        return positive_terms(plan.match)
     return set()
 
 
@@ -329,7 +346,7 @@ def _tuple_reduce(cls):
 
 for _cls in (
     Term, Wildcard, Phrase, WildcardPhrase, Bool, SpanTerm, SpanNear,
-    SpanOr, SpanNot, MatchAll, MatchNone, Nested, Range, Fuzzy, Regexp,
-    Exists,
+    SpanOr, SpanNot, SpanFirst, MatchAll, MatchNone, Nested, Range, Fuzzy,
+    Regexp, Exists,
 ):
     _cls.__reduce__ = _tuple_reduce(_cls)

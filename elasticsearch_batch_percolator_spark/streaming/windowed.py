@@ -90,6 +90,7 @@ def _token_evaluable(plan) -> bool:
         MatchNone,
         Phrase,
         Regexp,
+        SpanFirst,
         SpanNear,
         SpanNot,
         SpanOr,
@@ -114,6 +115,8 @@ def _token_evaluable(plan) -> bool:
         return all(_token_evaluable(c) for c in plan.clauses)
     if isinstance(plan, SpanNot):
         return _token_evaluable(plan.include) and _token_evaluable(plan.exclude)
+    if isinstance(plan, SpanFirst):
+        return _token_evaluable(plan.match)
     return False  # Range, Nested, anything unknown
 
 
