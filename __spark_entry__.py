@@ -192,6 +192,19 @@ def _q_percolate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.matches.select(F.col("doc_id").cast("long").alias("doc_id"), "query_id")
 
 
+def _q_span_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanFirstQuery — match span must end within the first N positions
+    (Lucene spans.end() <= end)."""
+    plan = compile_query(
+        {"span_first": {"match": {"span_term": {"text": "join"}}, "end": 3}}
+    )
+    return (
+        _tokens(spark, sf_dir)
+        .filter(match_col(plan, {"text": F.col("tokens")}))
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
 def _q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery — plain-Levenshtein edit-distance term match; 'ag' at
     fuzziness 1 expands to BOTH corpus tokens 'a' and 'agg' (a real
@@ -1273,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "phrase_sloppy_lucene": _q_phrase_sloppy_lucene,
         "percolate_batch": _q_percolate_batch,
+        "span_first_match": _q_span_first_match,
         "fuzzy_match": _q_fuzzy_match,
         "regexp_match": _q_regexp_match,
         "query_string_match": _q_query_string_match,
@@ -1710,6 +1724,11 @@ SELECT doc_id FROM tk WHERE len(list_filter(range(1, len(toks)+1),
        j -> toks[j] = 'the' AND j - i BETWEEN -1 AND 3)) > 0)) > 0
 """,
         "percolate_batch": perc_union,
+        "span_first_match": (
+            "SELECT doc_id FROM documents WHERE list_position("
+            "list_filter(string_split(lower(text), ' '), x -> x <> ''), "
+            "'join') BETWEEN 1 AND 3"
+        ),
         "fuzzy_match": f"SELECT doc_id FROM documents WHERE {has_fuzzy.format(v='ag', d=1)}",
         "regexp_match": f"SELECT doc_id FROM documents WHERE {has_re.format(p='s(can|ort|low)')}",
         "query_string_match": f"SELECT doc_id FROM documents WHERE {qs_bool}",

@@ -48,7 +48,17 @@ for it in range(int(os.environ.get("ROUNDS", "6"))):
                                                      "fuzziness": 1}}}]
                          if rng.random() < 0.5 else []}}}}
         elif k == 5:
-            qs[f"q{j}"] = {"exists": {"field": f}}
+            qs[f"q{j}"] = rng.choice([
+                {"exists": {"field": f}},
+                {"span_first": {"match": {"span_term": {f: rng.choice(V)}},
+                                "end": rng.randint(1, 5)}},
+                {"span_first": {"match": {"span_near": {"clauses": [
+                    {"span_multi": {"match": {"fuzzy": {f: {
+                        "value": rng.choice(V), "fuzziness": 1}}}}},
+                    {"span_term": {f: rng.choice(V)}}],
+                    "slop": rng.randint(0, 2), "in_order": True}},
+                    "end": rng.randint(2, 6)}},
+            ])
         else:  # fuzzy/regexp inside bools with the older shapes
             qs[f"q{j}"] = {"bool": {
                 "must": [{"fuzzy": {f: {"value": rng.choice(V),
