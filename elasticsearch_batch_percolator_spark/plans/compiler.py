@@ -132,6 +132,21 @@ def calculate_min_should_match(n_optional: int, spec) -> int:
     return max(result, 0)
 
 
+def _unwrap_value(v, kind: str):
+    """ES long-form leaf bodies ({f: {"value": v, "boost": b}}) carry the
+    value one level down; boost is accepted and ignored (our filter-context
+    matching is boost-free; scored responses use BM25 — documented
+    divergence, COVERAGE.md)."""
+    if isinstance(v, dict):
+        inner = v.get("value", v.get("wildcard" if kind == "wildcard" else "term"))
+        if inner is None:
+            inner = v.get("prefix") if kind == "prefix" else None
+        if inner is None:
+            raise QueryParseError(f"{kind} needs a value: {v!r}")
+        return inner
+    return v
+
+
 def _msm_from(body: dict, n_optional: int) -> int:
     for key in _MSM_KEYS:
         if key in body:
@@ -148,6 +163,7 @@ def compile_query(q: str | dict) -> Plan:
 
     if kind == "term":
         f, v = _field_value(body)
+        v = _unwrap_value(v, kind)
         toks = _analyze(v)
         if len(toks) != 1:
             raise QueryParseError(f"term value must analyze to one token: {v!r}")
@@ -157,7 +173,9 @@ def compile_query(q: str | dict) -> Plan:
         spec = body
         if "field" in body or ("query" in body and len(body) > 1):
             f = body.get("field") or next(
-                k for k in body if k not in ("query", "operator", *_MSM_KEYS)
+                k for k in body
+                if k not in ("query", "operator", "fuzziness",
+                             "prefix_length", *_MSM_KEYS)
             )
             v = body.get("query", body.get(f))
             op = body.get("operator", "or")
@@ -171,9 +189,21 @@ def compile_query(q: str | dict) -> Plan:
         toks = _analyze(v)
         if not toks:
             return MatchNone()
+        # ES match fuzziness: each analyzed token becomes a fuzzy clause
+        # (MatchQuery.parse builds one FuzzyQuery per token); AUTO resolves
+        # per token length, distance 0 degrades to Term
+        fz_spec = spec.get("fuzziness") if isinstance(spec, dict) else None
+        pl = int(spec.get("prefix_length", 0)) if isinstance(spec, dict) else 0
+
+        def leaf(t: str) -> Plan:
+            if fz_spec is None:
+                return Term(f, t)
+            fz = resolve_fuzziness(fz_spec, len(t))
+            return Term(f, t) if fz == 0 else Fuzzy(f, t, fz, pl)
+
         if len(toks) == 1:
-            return Term(f, toks[0])
-        terms = tuple(Term(f, t) for t in toks)
+            return leaf(toks[0])
+        terms = tuple(leaf(t) for t in toks)
         if str(op).lower() == "and":
             return Bool(must=terms)
         # ES 1.7 MatchQueryParser honors minimum_should_match on the
@@ -210,7 +240,7 @@ def compile_query(q: str | dict) -> Plan:
 
     if kind == "prefix":
         f, v = _field_value(body)
-        return Wildcard(f, str(v).lower() + "*")
+        return Wildcard(f, str(_unwrap_value(v, kind)).lower() + "*")
 
     if kind == "fuzzy":
         # ES spellings: {"fuzzy": {"field": f, "value": v, "fuzziness": ..}}
@@ -307,7 +337,7 @@ def compile_query(q: str | dict) -> Plan:
 
     if kind == "wildcard":
         f, v = _field_value(body)
-        return Wildcard(f, str(v).lower())
+        return Wildcard(f, str(_unwrap_value(v, kind)).lower())
 
     if kind == "wildcard_phrase":
         f = body.get("field", DEFAULT_FIELD)
@@ -342,7 +372,7 @@ def compile_query(q: str | dict) -> Plan:
 
     if kind == "span_term":
         f, v = _field_value(body)
-        return SpanTerm(f, str(v).lower())
+        return SpanTerm(f, str(_unwrap_value(v, kind)).lower())
 
     if kind == "span_near":
         clauses = tuple(compile_query(c) for c in body["clauses"])

@@ -358,3 +358,44 @@ def test_windowed_hybrid_fuzzy(spark):
     )
     got = {(r["query_id"], r["n_docs"]) for r in out.collect()}
     assert got == {("wf", 2), ("wt", 1)}
+
+
+def test_leaf_dict_bodies_with_boost_ignored():
+    assert compile_query({"term": {"content": {"value": "Fox", "boost": 2.0}}}) == Term(
+        "content", "fox"
+    )
+    assert compile_query(
+        {"wildcard": {"content": {"wildcard": "fo*", "boost": 1.5}}}
+    ) == Wildcard("content", "fo*")
+    assert compile_query({"prefix": {"content": {"prefix": "fo"}}}) == Wildcard(
+        "content", "fo*"
+    )
+    with pytest.raises(QueryParseError):
+        compile_query({"term": {"content": {"boost": 2.0}}})
+
+
+def test_match_fuzziness():
+    p = compile_query(
+        {"match": {"content": {"query": "quick foxtrot", "fuzziness": "AUTO"}}}
+    )
+    assert p == Bool(
+        should=(Fuzzy("content", "quick", 1), Fuzzy("content", "foxtrot", 2)),
+        msm=0,
+    )
+    p = compile_query(
+        {"match": {"content": {"query": "ab fox", "fuzziness": 1,
+                               "operator": "and", "prefix_length": 1}}}
+    )
+    assert p == Bool(
+        must=(Fuzzy("content", "ab", 1, 1), Fuzzy("content", "fox", 1, 1))
+    )
+
+
+def test_match_fuzzy_percolates(spark):
+    got = _percolate_set(
+        spark,
+        {"mf": {"match": {"content": {"query": "fix ths", "fuzziness": 1}}}},
+        [(0, "fox and the rest"), (1, "nothing here"), (2, "this fax")],
+    )
+    # 'fix'~1 matches fox/fax; 'ths'~1 matches the/this
+    assert got == {(0, "mf"), (2, "mf")}
