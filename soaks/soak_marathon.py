@@ -24,6 +24,45 @@ def _rich_functions():
     return ns["rich_query"]
 
 rich_query = _rich_functions()
+
+
+def dslx_query(rng):
+    """Round-4 DSL tail over the marathon's 1-letter vocabulary — fuzzy at
+    distance 1 on single chars matches EVERY single-letter token (maximal
+    expansion fan-out: each pattern row joins the whole dictionary), plus
+    regexp / query_string / span_first / match-fuzziness shapes."""
+    V = M.VOCAB
+    f = rng.choice(["f1", "f2"])
+    k = rng.randrange(7)
+    if k == 0:
+        return {"fuzzy": {f: {"value": rng.choice(V + ["ab", "abc"]),
+                              "fuzziness": rng.randint(1, 2),
+                              "prefix_length": rng.choice([0, 0, 1])}}}
+    if k == 1:
+        return {"regexp": {f: rng.choice(["[ab]", "a|b|c", ".", "a.?", "[^a]"])}}
+    if k == 2:
+        return {"query_string": {"default_field": f, "query": rng.choice([
+            "a AND b", "a OR (b AND c)", "+a -b", 'a "b c"', "NOT a",
+            "a~1", "b* AND NOT c"])}}
+    if k == 3:
+        return {"span_first": {"match": {"span_term": {f: rng.choice(V)}},
+                               "end": rng.randint(1, 4)}}
+    if k == 4:
+        return {"match": {f: {"query": " ".join(rng.choices(V, k=2)),
+                              "fuzziness": 1,
+                              "operator": rng.choice(["and", "or"])}}}
+    if k == 5:
+        return {"constant_score": {"filter": {"bool": {
+            "must": [{"term": {f: rng.choice(V)}}],
+            "must_not": [{"fuzzy": {f: {"value": rng.choice(V),
+                                        "fuzziness": 1}}}]}}}}
+    return {"bool": {"must": [{"regexp": {f: rng.choice(["[ab]", "c|d"])}}],
+                     "should": [{"fuzzy": {f: {"value": rng.choice(V),
+                                               "fuzziness": 1}}},
+                                {"term": {f: rng.choice(V)}}],
+                     "minimum_should_match": 1}}
+
+
 spark = get_spark("ebp-soak-marathon", cores=16)
 spark.sparkContext.setLogLevel("ERROR")
 FIELDS = {"f1": "f1", "f2": "f2", "num": ("num", "numeric"), "kids": ("kids", "nested")}
@@ -35,7 +74,7 @@ fail = 0
 for it in range(rounds):
     seed = base.randrange(1 << 63)
     rng = random.Random(seed)
-    gen = rng.choice(["mf", "rich"])
+    gen = rng.choice(["mf", "rich", "dslx"])
     nq = rng.choice(
         [int(x) for x in os.environ.get("NQ_CHOICES", "150,300,600,1000").split(",")])
     nd = rng.choice(
@@ -46,7 +85,9 @@ for it in range(rounds):
     queries = {}
     while len(queries) < nq:
         try:
-            q = M._rand_query(rng) if gen == "mf" else rich_query(rng)
+            q = (M._rand_query(rng) if gen == "mf"
+                 else rich_query(rng) if gen == "rich"
+                 else dslx_query(rng))
             CompiledRegistry.from_rows([("probe", q)])
             queries[f"q{len(queries)}"] = q
         except Exception:
