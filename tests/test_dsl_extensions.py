@@ -399,3 +399,22 @@ def test_match_fuzzy_percolates(spark):
     )
     # 'fix'~1 matches fox/fax; 'ths'~1 matches the/this
     assert got == {(0, "mf"), (2, "mf")}
+
+
+def test_percolate_exists_numeric_field(spark):
+    """Exists over a numeric percolate field resolves through the scalar
+    verify view (non-null, non-NaN)."""
+    queries = {
+        "en": {"exists": {"field": "num"}},
+        "ec": {"exists": {"field": "f1"}},
+    }
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    docs_df = spark.createDataFrame(
+        [(0, "fox", 5.0), (1, "", None), (2, "box", float("nan"))],
+        "doc_id long, f1 string, num double",
+    )
+    res = percolate(
+        spark, docs_df, reg, fields={"f1": "f1", "num": ("num", "numeric")}
+    )
+    got = {(int(r["doc_id"]), r["query_id"]) for r in res.matches.collect()}
+    assert got == {(0, "en"), (0, "ec"), (2, "ec")}
