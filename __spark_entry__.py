@@ -307,6 +307,34 @@ def _q_percolate_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.matches.select(F.col("doc_id").cast("long").alias("doc_id"), "query_id")
 
 
+_IDS_QUERIES = {
+    # ES ids query (IdsQueryParser; a legal registration because the
+    # reference delegates to the full ES parser,
+    # BatchPercolatorQueriesRegistry.parseQuery:187-204): bare ids,
+    # ids as a non-scoring filter beside a term, ids under must_not
+    "id-only": {"ids": {"values": [3, 57, "111", 499]}},
+    "id-filter": {"bool": {"must": [{"term": {"content": "merge"}}],
+                           "filter": [{"ids": {"values": [
+                               str(i) for i in range(0, 400, 2)]}}]}},
+    "id-not": {"bool": {"must": [{"term": {"content": "row"}}],
+                        "must_not": [{"ids": {"values": [
+                            str(i) for i in range(0, 500, 3)]}}]}},
+}
+
+
+def _q_ids_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ids queries through the full two-phase percolation: the reserved
+    ``_id`` pseudo-field compares the batch id column as a string
+    (canonical_id), settled in phase-2 verify (all-docs candidates, like
+    Range/Exists)."""
+    reg = CompiledRegistry.from_rows(list(_IDS_QUERIES.items()))
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    res = percolate(spark, docs, reg)
+    return res.matches.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "query_id"
+    )
+
+
 def _q_percolate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 count-only mode over the same registered set."""
     reg = CompiledRegistry.from_rows(list(_PERC_QUERIES.items()))
@@ -1293,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_ext_percolate": _q_dsl_ext_percolate,
         "percolate_counts": _q_percolate_counts,
         "percolate_msm": _q_percolate_msm,
+        "ids_percolate": _q_ids_percolate,
         "percolate_auto_fields": _q_percolate_auto_fields,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_topk_appended": _q_bm25_topk_appended,
@@ -1518,6 +1547,20 @@ SELECT d.doc_id::BIGINT AS doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
 LEFT JOIN m ON m.doc_id = d.doc_id
 GROUP BY d.doc_id
+""",
+        "ids_percolate": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, 'id-only' AS query_id
+FROM documents WHERE doc_id IN (3, 57, 111, 499)
+UNION ALL
+SELECT doc_id::BIGINT, 'id-filter' FROM toks
+WHERE list_contains(t, 'merge') AND doc_id % 2 = 0 AND doc_id < 400
+UNION ALL
+SELECT doc_id::BIGINT, 'id-not' FROM toks
+WHERE list_contains(t, 'row') AND NOT (doc_id % 3 = 0 AND doc_id < 500)
 """,
         "percolate_msm": """
 WITH toks AS (

@@ -29,6 +29,7 @@ from ..plans.query_plan import (
     Bool,
     Exists,
     Fuzzy,
+    Ids,
     MatchAll,
     MatchNone,
     Nested,
@@ -139,6 +140,14 @@ def match_col(
             return F.size(token_fields[plan.field]) > 0
         c = value_fields[plan.field]
         return c.isNotNull() & ~F.isnan(c.cast("double"))
+
+    if isinstance(plan, Ids):
+        # the caller exposes the doc-id column as value_fields["_id"];
+        # long ids cast to their decimal string, matching canonical_id
+        c = value_fields.get("_id")
+        if c is None:
+            return F.lit(False)  # no id in scope: never matches
+        return c.cast("string").isin(*plan.values)
 
     if isinstance(plan, Range):
         c = value_fields[plan.field]

@@ -744,24 +744,42 @@ def percolate(
         else "string"
     )
 
+    # reserved ``_id`` pseudo-field: Ids queries compare against the batch
+    # id column (as a string scalar), never against a content column —
+    # resolved here regardless of the fields configuration, the analog of
+    # ES serving _id from metadata rather than the mapping
+    uses_id = "_id" in qfields
+
     if fields is None:
         tok = tokenizer or tokenize_ws
-        batch = docs.select(
+        sel = [
             F.col(id_col).cast(id_t).alias("doc_id"),
             F.col(content_col).alias("content"),
             tok(content_col).alias("tokens"),
-        )
-        resolve = {qf: "tokens" for qf in qfields}
-        content_of = {qf: "content" for qf in qfields}
-        analyzer_names = {qf: "ws" for qf in qfields}
+        ]
+        if uses_id:
+            sel.append(F.col(id_col).cast("string").alias("value___id"))
+        batch = docs.select(*sel)
+        resolve = {qf: "tokens" for qf in qfields if qf != "_id"}
+        content_of = {qf: "content" for qf in qfields if qf != "_id"}
+        analyzer_names = {qf: "ws" for qf in qfields if qf != "_id"}
         nested_cols = set()
         scalar_cols = set()
+        if uses_id:
+            resolve["_id"] = "value___id"
+            scalar_cols.add("value___id")
     else:
         sel = [F.col(id_col).cast(id_t).alias("doc_id")]
         resolve, content_of, analyzer_names = {}, {}, {}
         nested_cols: set[str] = set()
         scalar_cols: set[str] = set()
+        if uses_id:
+            sel.append(F.col(id_col).cast("string").alias("value___id"))
+            resolve["_id"] = "value___id"
+            scalar_cols.add("value___id")
         for qf in sorted(fields):
+            if qf == "_id":
+                continue  # reserved: always the id column, never remappable
             spec = fields[qf]
             src_col, an = spec if isinstance(spec, tuple) else (spec, "ws")
             if an == "nested":

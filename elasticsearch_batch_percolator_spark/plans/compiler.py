@@ -31,6 +31,7 @@ from .query_plan import (
     Bool,
     Exists,
     Fuzzy,
+    Ids,
     MatchAll,
     MatchNone,
     Nested,
@@ -272,6 +273,23 @@ def compile_query(q: str | dict) -> Plan:
         # uppercase literals in a pattern simply never match — ES behaves
         # the same for analyzed fields.
         return Regexp(f, str(v))
+
+    if kind == "ids":
+        # ES IdsQueryParser: {"ids": {"values": [...], "type": ...}} —
+        # "type"/"types" accepted and ignored (one doc type per batch, the
+        # reference percolates a single mapping type per request). Numeric
+        # ids coerce to their canonical string (ES _id is a string).
+        from .query_plan import canonical_id
+
+        vals = body.get("values", body.get("value"))
+        if vals is None:
+            raise QueryParseError(f"ids needs values: {body!r}")
+        if not isinstance(vals, (list, tuple)):
+            vals = [vals]
+        svals = tuple(sorted({canonical_id(v) for v in vals}))
+        if not svals:
+            return MatchNone()  # IdsQueryParser with no ids matches nothing
+        return Ids(svals)
 
     if kind == "exists":
         if "field" not in body:

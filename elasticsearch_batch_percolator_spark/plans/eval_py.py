@@ -38,6 +38,7 @@ from .query_plan import (
     Bool,
     Exists,
     Fuzzy,
+    Ids,
     MatchAll,
     MatchNone,
     Nested,
@@ -53,6 +54,7 @@ from .query_plan import (
     Term,
     Wildcard,
     WildcardPhrase,
+    canonical_id,
 )
 
 
@@ -264,6 +266,11 @@ def eval_plan(plan: Plan, doc: dict) -> bool:
         if isinstance(v, (list, tuple)):
             return len(v) > 0  # analyzed field: indexed iff >=1 token
         return v is not None and v == v  # non-null, non-NaN scalar
+    if isinstance(plan, Ids):
+        v = doc.get("_id")
+        if v is None or isinstance(v, (list, tuple)):
+            return False
+        return canonical_id(v) in plan.values
     if isinstance(plan, Range):
         v = doc.get(plan.field)
         if v is None or isinstance(v, (list, tuple)) or v != v:
@@ -365,6 +372,16 @@ def compile_predicate_fields(plan: Plan):
             return True
 
         return range_pred
+    if isinstance(plan, Ids):
+        vals = frozenset(plan.values)
+
+        def ids_pred(fm):
+            v = fm.get("_id")
+            if v is None or isinstance(v, (tuple, list)):
+                return False
+            return canonical_id(v) in vals
+
+        return ids_pred
     if isinstance(plan, Phrase) and plan.slop == 0:
         terms = plan.terms
         f = plan.field

@@ -29,6 +29,7 @@ from .query_plan import (
     Bool,
     Exists,
     Fuzzy,
+    Ids,
     MatchAll,
     MatchNone,
     Nested,
@@ -48,9 +49,11 @@ from .query_plan import (
 
 # Fuzzy / Regexp are exact presence atoms like Wildcard: phase 1 expands
 # them against the batch term dictionary, so "some expanded term present"
-# IS the match. Exists is exact-but-not-term-joinable, like Range: it
-# survives the rewrite (sound under NOT) and _flatten_groups drops it.
-_EXACT_ATOMS = (Term, Wildcard, Fuzzy, Regexp, Range, Exists, MatchAll, MatchNone)
+# IS the match. Exists / Ids are exact-but-not-term-joinable, like Range:
+# they survive the rewrite (sound under NOT) and _flatten_groups drops them.
+_EXACT_ATOMS = (
+    Term, Wildcard, Fuzzy, Regexp, Range, Exists, Ids, MatchAll, MatchNone
+)
 
 
 def exact_rewrite(plan: Plan) -> Plan | None:

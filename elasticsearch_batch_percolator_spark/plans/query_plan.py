@@ -264,6 +264,32 @@ class Exists(Plan):
         return {"exists": {"field": self.field}}
 
 
+@dataclass(frozen=True)
+class Ids(Plan):
+    """ES ``ids`` query: the document's ``_id`` is one of ``values``
+    (IdsQueryParser — a legal registration because the reference delegates
+    to the full ES parser, BatchPercolatorQueriesRegistry.parseQuery:187-204).
+    Ids compare as STRINGS (ES ``_id`` is a string; numeric batch id
+    columns coerce via ``canonical_id``). Exact and sound under NOT, but
+    not term-joinable: an all-docs phase-1 candidate settled by phase-2
+    verify against the reserved ``_id`` pseudo-field the percolation
+    runner injects from its ``id_col``."""
+
+    values: tuple[str, ...]
+
+    def to_dict(self):
+        return {"ids": {"values": list(self.values)}}
+
+
+def canonical_id(v) -> str:
+    """Doc-id value → canonical string for ``Ids`` comparison. Integral
+    floats print as integers (Arrow ships a nullable int64 column as
+    float64, so id 5 can arrive as 5.0); everything else is ``str``."""
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
 def fields_of(plan: Plan) -> set[str]:
     """All TOP-LEVEL document fields a plan touches (a Nested plan's child
     fields live inside the path's objects — the path is the doc field)."""
@@ -273,6 +299,8 @@ def fields_of(plan: Plan) -> set[str]:
          Fuzzy, Regexp, Exists),
     ):
         return {plan.field}
+    if isinstance(plan, Ids):
+        return {"_id"}
     if isinstance(plan, Nested):
         return {plan.path}
     if isinstance(plan, Bool):
@@ -347,6 +375,6 @@ def _tuple_reduce(cls):
 for _cls in (
     Term, Wildcard, Phrase, WildcardPhrase, Bool, SpanTerm, SpanNear,
     SpanOr, SpanNot, SpanFirst, MatchAll, MatchNone, Nested, Range, Fuzzy,
-    Regexp, Exists,
+    Regexp, Exists, Ids,
 ):
     _cls.__reduce__ = _tuple_reduce(_cls)

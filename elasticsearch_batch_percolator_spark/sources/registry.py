@@ -49,6 +49,7 @@ from ..plans.query_plan import (
     Bool,
     Exists,
     Fuzzy,
+    Ids,
     MatchAll,
     MatchNone,
     Phrase,
@@ -964,7 +965,7 @@ def _flatten_groups(approx: Plan) -> list[set[tuple[str, str, str]]] | None:
         return [{("r", approx.field, approx.pattern)}]
     if isinstance(approx, MatchAll):
         return []
-    if isinstance(approx, (Range, Exists)):
+    if isinstance(approx, (Range, Exists, Ids)):
         return []  # non-term-joinable constraint, drop (sound)
     if isinstance(approx, Bool):
         if approx.must or approx.filter:

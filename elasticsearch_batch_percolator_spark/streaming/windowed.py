@@ -86,6 +86,7 @@ def _token_evaluable(plan) -> bool:
         Bool,
         Exists,
         Fuzzy,
+        Ids,
         MatchAll,
         MatchNone,
         Phrase,
@@ -102,8 +103,10 @@ def _token_evaluable(plan) -> bool:
     if isinstance(
         plan,
         (Term, Wildcard, Fuzzy, Regexp, Exists, Phrase, WildcardPhrase,
-         SpanTerm, MatchAll, MatchNone),
+         SpanTerm, MatchAll, MatchNone, Ids),
     ):
+        # Ids reads the reserved _id view the hybrid UDF injects from the
+        # stream's doc_id column (never the token view)
         return True
     if isinstance(plan, Bool):
         return all(
@@ -361,7 +364,7 @@ def windowed_match_counts(
         # NB: no pd.Series annotations — pandas is function-local here and
         # pandas_udf resolves annotation strings at definition time
         @F.pandas_udf(T.ArrayType(T.StringType()))
-        def eval_unsup(tok_s):
+        def eval_unsup(tok_s, id_s):
             # the cache dict MUST be resolved via runtime import — closing
             # over _WORKER_UNSUP_CACHE would copy it per task (the memo
             # would never hit across tasks/micro-batches)
@@ -397,14 +400,20 @@ def windowed_match_counts(
                 return p
 
             out = []
-            for toks in tok_s:
+            for toks, did in zip(tok_s, id_s):
                 tl = list(toks) if toks is not None else []
                 view = (tl, set(tl))
                 hit = []
                 for qid in plans:
                     try:
                         p, flds = pred_of(qid)
-                        if p({f: view for f in flds}):
+                        # reserved _id view: the event's doc id (string),
+                        # for Ids predicates; every other field gets the
+                        # content-token view
+                        fm = {f: view for f in flds if f != "_id"}
+                        if "_id" in flds:
+                            fm["_id"] = did
+                        if p(fm):
                             hit.append(qid)
                     except Exception:
                         pass
@@ -414,7 +423,9 @@ def windowed_match_counts(
         parts.append(
             base.select(
                 "ts", "doc_id",
-                F.explode(eval_unsup("tokens")).alias("query_id"),
+                F.explode(
+                    eval_unsup("tokens", F.col("doc_id").cast("string"))
+                ).alias("query_id"),
             ).select(
                 "ts", "doc_id", "query_id",
                 F.lit(False).alias("is_forbid"),

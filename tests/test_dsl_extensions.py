@@ -418,3 +418,113 @@ def test_percolate_exists_numeric_field(spark):
     )
     got = {(int(r["doc_id"]), r["query_id"]) for r in res.matches.collect()}
     assert got == {(0, "en"), (0, "ec"), (2, "ec")}
+
+
+# ---------------------------------------------------------------- ids
+
+def test_compile_ids_shapes():
+    from elasticsearch_batch_percolator_spark.plans.query_plan import Ids
+
+    # numeric ids coerce to canonical strings; values sort + dedup
+    assert compile_query({"ids": {"values": ["4", 1, "z", 1]}}) == Ids(
+        ("1", "4", "z")
+    )
+    # "type" accepted and ignored (ES IdsQueryParser)
+    assert compile_query(
+        {"ids": {"type": "doc", "values": ["a"]}}
+    ) == Ids(("a",))
+    assert compile_query({"ids": {"values": []}}) == MatchNone()
+    with pytest.raises(QueryParseError):
+        compile_query({"ids": {}})
+
+
+def test_percolate_ids_golden(spark):
+    queries = {
+        "i1": {"ids": {"values": [0, "2"]}},
+        "i2": {"bool": {"must": [{"term": {"content": "fox"}}],
+                        "filter": [{"ids": {"values": ["0", "1"]}}]}},
+        "i3": {"bool": {"must": [{"term": {"content": "fox"}}],
+                        "must_not": [{"ids": {"values": [0]}}]}},
+    }
+    docs = [(0, "the fox"), (1, "a fox"), (2, "box"), (3, "fox")]
+    got = _percolate_set(spark, queries, docs)
+    assert got == {
+        (0, "i1"), (2, "i1"),
+        (0, "i2"), (1, "i2"),
+        (1, "i3"), (3, "i3"),
+    }
+
+
+def test_percolate_ids_string_ids_multi_field(spark):
+    """String-keyed corpus + explicit fields config: the reserved _id
+    pseudo-field resolves to the id column regardless of the map."""
+    queries = {
+        "i": {"ids": {"values": ["a-1", "b-2"]}},
+        "both": {"bool": {"must": [{"term": {"body": "fox"}}],
+                          "filter": [{"ids": {"values": ["a-1", "c-3"]}}]}},
+    }
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    docs_df = spark.createDataFrame(
+        [("a-1", "the fox"), ("b-2", "a fox"), ("c-3", "box")],
+        "doc_id string, txt string",
+    )
+    res = percolate(
+        spark, docs_df, reg, id_col="doc_id", fields={"body": ("txt", "ws")}
+    )
+    got = {(r["doc_id"], r["query_id"]) for r in res.matches.collect()}
+    assert got == {("a-1", "i"), ("b-2", "i"), ("a-1", "both")}
+
+
+def test_ids_match_col_equals_eval(spark):
+    from elasticsearch_batch_percolator_spark.plans.query_plan import Ids
+
+    plans = [
+        Ids(("1", "3")),
+        Bool(must=(Term(FIELD, "fox"),), filter=(Ids(("0", "1")),)),
+        Bool(must_not=(Ids(("2",)),)),
+    ]
+    rows = [(i, t) for i, t in enumerate(["the fox", "fox", "box", "fog"])]
+    df = spark.createDataFrame(rows, "doc_id long, content string").withColumn(
+        "tokens", tokenize_ws("content")
+    )
+    toks = {FIELD: F.col("tokens")}
+    vals = {"_id": F.col("doc_id")}
+    for plan in plans:
+        got = {
+            int(r["doc_id"])
+            for r in df.filter(match_col(plan, toks, vals)).collect()
+        }
+        want = {
+            i
+            for i, (did, text) in enumerate(rows)
+            if eval_plan(
+                plan, {"_id": did, FIELD: text.lower().split()}
+            )
+        }
+        assert got == want, plan
+
+
+def test_windowed_hybrid_ids(spark):
+    """Ids rides the hybrid lane via the injected _id view."""
+    from elasticsearch_batch_percolator_spark.streaming.windowed import (
+        windowed_match_counts,
+    )
+
+    queries = {
+        "wi": {"ids": {"values": [1, 3]}},
+        "wt": {"term": {"content": "the"}},
+    }
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    docs = spark.createDataFrame(
+        [
+            ("2024-01-01 00:01:00", 1, "the fix"),
+            ("2024-01-01 00:02:00", 2, "nothing"),
+            ("2024-01-01 00:03:00", 3, "foxx den"),
+        ],
+        "ts_s string, doc_id long, content string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = windowed_match_counts(
+        spark, docs, reg, window_duration="10 minutes", hybrid=True
+    )
+    got = {(r["query_id"], r["n_docs"]) for r in out.collect()}
+    assert got == {("wi", 2), ("wt", 1)}
