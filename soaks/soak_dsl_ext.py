@@ -50,6 +50,12 @@ for it in range(int(os.environ.get("ROUNDS", "6"))):
         elif k == 5:
             qs[f"q{j}"] = rng.choice([
                 {"exists": {"field": f}},
+                {"ids": {"values": [rng.randrange(170)
+                                    for _ in range(rng.randint(1, 6))]}},
+                {"bool": {"must": [{"term": {f: rng.choice(V)}}],
+                          rng.choice(["filter", "must_not"]):
+                          [{"ids": {"values": [str(rng.randrange(170))
+                                               for _ in range(3)]}}]}},
                 {"span_first": {"match": {"span_term": {f: rng.choice(V)}},
                                 "end": rng.randint(1, 5)}},
                 {"span_first": {"match": {"span_near": {"clauses": [
@@ -80,7 +86,8 @@ for it in range(int(os.environ.get("ROUNDS", "6"))):
     res.unpersist()
     exp = set()
     for i, f1, f2 in docs:
-        d = {"f1": f1.split() if f1 else [], "f2": f2.split() if f2 else []}
+        d = {"f1": f1.split() if f1 else [], "f2": f2.split() if f2 else [],
+             "_id": i}
         for qid, cq in reg.queries.items():
             if eval_plan(cq.plan, d):
                 exp.add((i, qid))
