@@ -1,9 +1,14 @@
 from .query_plan import (  # noqa: F401
     Bool,
+    Exists,
+    Fuzzy,
+    Ids,
     MatchAll,
     MatchNone,
     Phrase,
     Range,
+    Regexp,
+    SpanFirst,
     SpanNear,
     SpanNot,
     SpanOr,
