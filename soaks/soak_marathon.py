@@ -33,7 +33,17 @@ def dslx_query(rng):
     regexp / query_string / span_first / match-fuzziness shapes."""
     V = M.VOCAB
     f = rng.choice(["f1", "f2"])
-    k = rng.randrange(7)
+    k = rng.randrange(8)
+    if k == 7:
+        # ids: values span both id dtypes the marathon runs (long rounds
+        # match the bare ints, string rounds the d-prefixed forms)
+        vals = [str(rng.randrange(300)) for _ in range(rng.randint(1, 4))] + [
+            f"d{rng.randrange(300):05d}" for _ in range(rng.randint(0, 3))]
+        if rng.random() < 0.5:
+            return {"ids": {"values": vals}}
+        return {"bool": {"must": [{"term": {f: rng.choice(V)}}],
+                         rng.choice(["filter", "must_not"]):
+                         [{"ids": {"values": vals}}]}}
     if k == 0:
         return {"fuzzy": {f: {"value": rng.choice(V + ["ab", "abc"]),
                               "fuzziness": rng.randint(1, 2),
@@ -112,6 +122,7 @@ for it in range(rounds):
         if num is not None:
             d["num"] = num
         did = f"d{i:05d}" if str_ids else str(i)
+        d["_id"] = did
         for qid, cq in reg.queries.items():
             if eval_plan(cq.plan, d):
                 exp.add((did, qid))
