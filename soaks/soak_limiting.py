@@ -5,7 +5,7 @@ from elasticsearch_batch_percolator_spark.plans.eval_py import eval_plan
 from elasticsearch_batch_percolator_spark.plans.limiting import limiting_filter
 
 FIELD = L.FIELD; VOCAB = L.VOCAB
-base = random.Random(20260820)
+base = random.Random(int(os.environ.get("META_SEED", "20260820")))
 fails = 0
 t0 = time.time()
 for s in range(30):

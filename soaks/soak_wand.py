@@ -37,7 +37,7 @@ spark = get_spark("ebp-soak-wand", cores=16)
 spark.sparkContext.setLogLevel("ERROR")
 from elasticsearch_batch_percolator_spark.corpus import synth_corpus
 from elasticsearch_batch_percolator_spark.functions.tokenizer import tokenize_code
-base = random.Random(5151)
+base = random.Random(int(os.environ.get("META_SEED", "5151")))
 t0 = time.time()
 for it in range(4):
     seed = base.randrange(1 << 31)

@@ -9,7 +9,7 @@ from elasticsearch_batch_percolator_spark.session import get_spark
 spark = get_spark("ebp-soak-win", cores=16)
 spark.sparkContext.setLogLevel("ERROR")
 vocab = list("abcdefgh")
-base = random.Random(7272)
+base = random.Random(int(os.environ.get("META_SEED", "7272")))
 t0 = time.time(); fail = 0
 for it in range(10):
     seed = base.randrange(1 << 63)
