@@ -11,7 +11,7 @@ from elasticsearch_batch_percolator_spark.session import get_spark
 spark = get_spark("ebp-soak-rich", cores=16)
 spark.sparkContext.setLogLevel("ERROR")
 V = list("abcdefg")
-base = random.Random(987654)
+base = random.Random(int(os.environ.get("META_SEED", "987654")))
 t0 = time.time()
 
 def span(rng, f, d=2):

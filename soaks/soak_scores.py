@@ -14,7 +14,7 @@ from elasticsearch_batch_percolator_spark import BM25_B, BM25_K1
 
 spark = get_spark("ebp-soak-sc", cores=16)
 spark.sparkContext.setLogLevel("ERROR")
-base = random.Random(1122)
+base = random.Random(int(os.environ.get("META_SEED", "1122")))
 t0 = time.time()
 FIELDS = {"f1": "f1", "f2": "f2", "num": ("num", "numeric"), "kids": ("kids", "nested")}
 RESOLVE = {"f1": "f1", "f2": "f2"}  # token columns (num/kids not scored)

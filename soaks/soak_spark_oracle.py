@@ -11,7 +11,7 @@ from elasticsearch_batch_percolator_spark.session import get_spark
 
 spark = get_spark("ebp-soak", cores=16)
 spark.sparkContext.setLogLevel("ERROR")
-base = random.Random(818283)
+base = random.Random(int(os.environ.get("META_SEED", "818283")))
 t0 = time.time()
 fail = 0
 for it in range(18):
