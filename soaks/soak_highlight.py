@@ -11,7 +11,7 @@ from elasticsearch_batch_percolator_spark.session import get_spark
 spark = get_spark("ebp-soak-hl", cores=8)
 spark.sparkContext.setLogLevel("ERROR")
 VOCAB = ["Fox", "dog", "Cat", "bird", "ant", "bee", "owl", "elk"]
-base = random.Random(8080)
+base = random.Random(int(os.environ.get("META_SEED", "8080")))
 t0 = time.time()
 
 def leaf(rng, f):

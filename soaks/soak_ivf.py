@@ -11,7 +11,7 @@ from elasticsearch_batch_percolator_spark.session import get_spark
 
 spark = get_spark("ebp-soak-ivf", cores=8)
 spark.sparkContext.setLogLevel("ERROR")
-base = random.Random(9090)
+base = random.Random(int(os.environ.get("META_SEED", "9090")))
 t0 = time.time()
 for it in range(4):
     seed = base.randrange(1 << 31)

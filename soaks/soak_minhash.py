@@ -12,7 +12,7 @@ from elasticsearch_batch_percolator_spark.session import get_spark
 
 spark = get_spark("ebp-soak-mh", cores=8)
 spark.sparkContext.setLogLevel("ERROR")
-base = random.Random(121212)
+base = random.Random(int(os.environ.get("META_SEED", "121212")))
 t0 = time.time()
 
 def sh3(toks):

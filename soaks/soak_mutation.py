@@ -13,7 +13,7 @@ from elasticsearch_batch_percolator_spark.session import get_spark
 spark = get_spark("ebp-soak-mut", cores=8)
 spark.sparkContext.setLogLevel("ERROR")
 FIELDS = {"f1": "f1", "f2": "f2", "num": ("num", "numeric"), "kids": ("kids", "nested")}
-base = random.Random(191919)
+base = random.Random(int(os.environ.get("META_SEED", "191919")))
 t0 = time.time()
 for it in range(3):
     seed = base.randrange(1 << 63)

@@ -11,7 +11,7 @@ from elasticsearch_batch_percolator_spark.session import get_spark
 
 spark = get_spark("ebp-soak-srp", cores=8)
 spark.sparkContext.setLogLevel("ERROR")
-base = random.Random(808)
+base = random.Random(int(os.environ.get("META_SEED", "808")))
 t0 = time.time()
 for it in range(4):
     seed = base.randrange(1 << 31)

@@ -13,7 +13,7 @@ from elasticsearch_batch_percolator_spark.session import get_spark
 spark = get_spark("ebp-soak-st", cores=8)
 spark.sparkContext.setLogLevel("ERROR")
 vocab = list("abcdefgh")
-base = random.Random(646464)
+base = random.Random(int(os.environ.get("META_SEED", "646464")))
 t0 = time.time()
 for it in range(4):
     seed = base.randrange(1 << 63)

@@ -11,7 +11,7 @@ from elasticsearch_batch_percolator_spark.session import get_spark
 spark = get_spark("ebp-soak-wa", cores=8)
 spark.sparkContext.setLogLevel("ERROR")
 vocab = list("abcdef")
-base = random.Random(26262)
+base = random.Random(int(os.environ.get("META_SEED", "26262")))
 t0 = time.time()
 for it in range(6):
     seed = base.randrange(1 << 63)
