@@ -142,12 +142,22 @@ def match_col(
         return c.isNotNull() & ~F.isnan(c.cast("double"))
 
     if isinstance(plan, Ids):
-        # the caller exposes the doc-id column as value_fields["_id"];
-        # long ids cast to their decimal string, matching canonical_id
+        # the caller exposes the doc-id column as value_fields["_id"] or —
+        # in percolate's columnar verify lane, which passes only token
+        # columns — as the scalar ``token_fields["_id"]`` entry resolve maps
+        # to value___id; long ids cast to their decimal string, matching
+        # canonical_id. A missing _id RAISES (KeyError) so per-query
+        # fallback lanes catch it, exactly like Range/Exists: a silent
+        # lit(False) here would make must/filter ids clauses never match
+        # and must_not ids clauses vacuously true — wrong results, not an
+        # error the isolation channel can see.
         c = value_fields.get("_id")
         if c is None:
-            return F.lit(False)  # no id in scope: never matches
-        return c.cast("string").isin(*plan.values)
+            c = token_fields["_id"]
+        # null doc ids pin to non-matching in BOTH polarities (isin alone
+        # yields NULL, which under must_not drops the row), matching
+        # eval_plan's False for None ids
+        return F.coalesce(c.cast("string").isin(*plan.values), F.lit(False))
 
     if isinstance(plan, Range):
         c = value_fields[plan.field]

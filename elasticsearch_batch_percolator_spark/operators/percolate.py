@@ -1462,12 +1462,21 @@ def percolate(
             )
         ]
 
+    # scalar batch columns (value__*: numeric Range/Exists targets and the
+    # _id pseudo-field) ride value_fields, NOT token_fields — handing a
+    # scalar to a branch that expects array<string> (e.g. Exists's size())
+    # does not raise at build time, it fails at ANALYSIS time on the whole
+    # when-chain, which the per-query try/except below can't isolate
     token_cols: dict[str, Column] = {}
+    value_cols: dict[str, Column] = {}
     for qf in qfields:
         tc = resolve.get(qf)
-        token_cols[qf] = (
-            F.col(tc) if tc is not None else F.array().cast("array<string>")
-        )
+        if tc is None:
+            token_cols[qf] = F.array().cast("array<string>")
+        elif tc in scalar_cols:
+            value_cols[qf] = F.col(tc)
+        else:
+            token_cols[qf] = F.col(tc)
 
     if columnar:
         preds: list[Column] = []  # one when-chain per chunk
@@ -1475,7 +1484,7 @@ def percolate(
         cur_pred, cur_qids = None, []
         for qid, plan in list(columnar.items()):
             try:
-                branch = match_col(plan, token_cols)
+                branch = match_col(plan, token_cols, value_cols)
             except Exception:
                 # per-query isolation (E10): un-buildable predicate falls
                 # back to the python evaluator, which isolates per row

@@ -281,11 +281,12 @@ def compile_query(q: str | dict) -> Plan:
         # ids coerce to their canonical string (ES _id is a string).
         from .query_plan import canonical_id
 
-        vals = body.get("values", body.get("value"))
-        if vals is None:
-            raise QueryParseError(f"ids needs values: {body!r}")
-        if not isinstance(vals, (list, tuple)):
-            vals = [vals]
+        # only "values" (a list) is legal — ES IdsQueryParser rejects a
+        # singular "value" key and bare scalars; staying strict keeps a
+        # malformed registration failing here exactly as it would there
+        vals = body.get("values")
+        if vals is None or not isinstance(vals, (list, tuple)):
+            raise QueryParseError(f"ids needs a values list: {body!r}")
         svals = tuple(sorted({canonical_id(v) for v in vals}))
         if not svals:
             return MatchNone()  # IdsQueryParser with no ids matches nothing

@@ -504,6 +504,49 @@ def test_ids_match_col_equals_eval(spark):
         assert got == want, plan
 
 
+def test_when_chain_lane_ids_exists_range(spark, monkeypatch):
+    """Regression (round-5 advice): the env-gated Catalyst when-chain
+    verify lane must agree with the default python-evaluator lane on
+    scalar-column atoms. Previously (a) Ids silently built lit(False)
+    when value_fields lacked _id — positive ids matches vanished and
+    must_not ids became vacuously true; (b) Exists on a numeric field
+    built size(<double>), an ANALYSIS-time failure the per-query
+    fallback could not isolate; (c) a NULL doc id made the whole bool
+    predicate NULL (row dropped) where eval_py treats None ids as
+    non-matching in both polarities."""
+    queries = {
+        "i1": {"ids": {"values": ["a-1", "b-2"]}},
+        "i2": {"bool": {"must": [{"term": {"body": "fox"}}],
+                        "must_not": [{"ids": {"values": ["a-1"]}}]}},
+        "en": {"bool": {"must": [{"exists": {"field": "n"}}]}},
+        "rn": {"range": {"n": {"gte": 2, "lte": 9}}},
+    }
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    docs_df = spark.createDataFrame(
+        [("a-1", "the fox", 1.5), ("b-2", "a fox", None),
+         (None, "null-id fox", 3.0), ("c-3", "box", float("nan"))],
+        "doc_id string, txt string, n double",
+    )
+    fields = {"body": ("txt", "ws"), "n": ("n", "numeric")}
+
+    def run():
+        res = percolate(spark, docs_df, reg, id_col="doc_id", fields=fields)
+        return {(r["doc_id"], r["query_id"]) for r in res.matches.collect()}
+
+    got_default = run()
+    monkeypatch.setenv("EBP_MAX_WHEN_BRANCHES", "8")
+    got_columnar = run()
+    assert got_columnar == got_default
+    # NULL-id docs are excluded from percolation entirely — doc_id is the
+    # equi-join key through phase 1/2 (null keys never join), and ES
+    # itself rejects a null _id at index time — identically in BOTH lanes
+    assert got_default == {
+        ("a-1", "i1"), ("b-2", "i1"),
+        ("b-2", "i2"),
+        ("a-1", "en"),
+    }
+
+
 def test_windowed_hybrid_ids(spark):
     """Ids rides the hybrid lane via the injected _id view."""
     from elasticsearch_batch_percolator_spark.streaming.windowed import (
