@@ -61,6 +61,11 @@ def score_terms(
     broadcast; the only shuffle is the final groupBy. With
     ``require_all=True`` docs must contain every query term (AND/MUST
     semantics, reference BooleanQuery MUST — LimitingFilterFactory.java:104-152).
+
+    An optional ``w`` column on ``query_terms`` weights each (query, term)
+    contribution multiplicatively (Lucene per-clause boost × query term
+    frequency): score = sum_t w_t * idf(t) * norm(t). Absent ``w``,
+    per-occurrence rows accumulate qtf implicitly, unchanged.
     """
     qt = query_terms
     if require_all and "n_terms" not in qt.columns:
@@ -68,14 +73,10 @@ def score_terms(
         qt = qt.withColumn("n_terms", F.count(F.lit(1)).over(w))
     qt = F.broadcast(qt.join(dfreq, "term", "left").fillna({"df": 0}))
 
-    scored = (
-        tf.join(qt, "term")
-        .join(dl, "doc_id")
-        .withColumn(
-            "contrib",
-            bm25_score_col(F.col("tf"), F.col("df"), F.col("dl"), n_docs, avgdl),
-        )
-    )
+    contrib = bm25_score_col(F.col("tf"), F.col("df"), F.col("dl"), n_docs, avgdl)
+    if "w" in query_terms.columns:
+        contrib = contrib * F.col("w")
+    scored = tf.join(qt, "term").join(dl, "doc_id").withColumn("contrib", contrib)
     agg = [F.sum("contrib").alias("score"), F.count(F.lit(1)).alias("n_hit")]
     out = scored.groupBy("query_id", "doc_id").agg(*agg)
     if require_all:

@@ -580,7 +580,7 @@ class PercolateResult:
         """
         from .bm25 import score_terms
         from .stats import corpus_stats, doc_freq, doc_lengths, term_frequencies
-        from ..plans.query_plan import positive_terms
+        from ..plans.query_plan import positive_term_weights
 
         spark = self.docs.sparkSession
         # score ONLY the queries that matched: the tf join below costs
@@ -598,9 +598,12 @@ class PercolateResult:
             r["query_id"]
             for r in self.matches.select("query_id").distinct().collect()
         }
-        # (query_id, term) pairs grouped by the tokens COLUMN the field
-        # resolves to — fields sharing a column (single-field mode) dedup
-        by_col: dict[str, set[tuple[str, str]]] = {}
+        # (query_id, term) → BM25 weight (qtf × path boost,
+        # positive_term_weights — round-5: per-occurrence accumulation and
+        # per-clause boosts, matching the index scorers' qtf*boost map)
+        # grouped by the tokens COLUMN the field resolves to; fields
+        # sharing a column (single-field mode) accumulate
+        by_col: dict[str, dict[tuple[str, str], float]] = {}
         nested = {
             tc for qf, tc in self.resolve.items()
             if self.analyzer_names.get(qf) == "nested"
@@ -619,10 +622,11 @@ class PercolateResult:
             plan = cq._plan
             if plan is None and cq.plan_blob is not None:
                 plan = _pickle.loads(cq.plan_blob)
-            for fld, t in sorted(positive_terms(plan)):
+            for (fld, t), w in sorted(positive_term_weights(plan).items()):
                 tc = self.resolve.get(fld)
                 if tc is not None and tc not in nested:
-                    by_col.setdefault(tc, set()).add((qid, t))
+                    d = by_col.setdefault(tc, {})
+                    d[(qid, t)] = d.get((qid, t), 0.0) + w
 
         out_score = (
             F.round("score", round_to) if round_to is not None else F.col("score")
@@ -637,7 +641,8 @@ class PercolateResult:
             dfreq = doc_freq(tf)
             n, avgdl = corpus_stats(docs_tc)
             qt = spark.createDataFrame(
-                sorted(by_col[tc]), "query_id string, term string"
+                sorted((q, t, w) for (q, t), w in by_col[tc].items()),
+                "query_id string, term string, w double",
             )
             parts.append(
                 score_terms(tf, dl, dfreq, qt, n, avgdl).select(

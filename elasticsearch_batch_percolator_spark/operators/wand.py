@@ -112,6 +112,7 @@ def _segment_topk_batch(
     idfs: dict[str, float],
     k: int,
     round_to: int | None = None,
+    wts_by_qid: dict[str, dict[str, float]] | None = None,
 ) -> list[tuple[str, int, float]]:
     """Vectorized multi-query scorer: decode each term ONCE per segment,
     then per query sort+reduceat accumulation and argpartition top-k.
@@ -124,6 +125,11 @@ def _segment_topk_batch(
     decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     rows: list[tuple[str, int, float]] = []
     for qid, terms in queries.items():
+        # per-query per-term weight override (boost * idf); accumulation
+        # stays per OCCURRENCE, so a repeated boosted term contributes
+        # idf * qtf * boost — identical to the wand/exhaustive weight map
+        qw = wts_by_qid.get(qid) if wts_by_qid else None
+        wt = (lambda t: qw[t] if t in qw else idfs[t]) if qw else idfs.__getitem__
         present = [t for t in terms if t in by_term]
         if not present:
             continue
@@ -132,11 +138,11 @@ def _segment_topk_batch(
                 decoded[t] = _decode_term(by_term[t])
         if len(present) == 1:
             d, nr = decoded[present[0]]
-            scores = idfs[present[0]] * nr
+            scores = wt(present[0]) * nr
             docs = d
         else:
             docs = np.concatenate([decoded[t][0] for t in present])
-            scores = np.concatenate([idfs[t] * decoded[t][1] for t in present])
+            scores = np.concatenate([wt(t) * decoded[t][1] for t in present])
             order = np.argsort(docs, kind="stable")
             docs = docs[order]
             scores = scores[order]
@@ -344,6 +350,7 @@ def topk_from_index(
     k: int = 10,
     algorithm: str = "auto",
     round_to: int | None = 4,
+    boosts: dict[str, dict[str, float]] | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score_r, score) for a batch of term queries.
 
@@ -369,6 +376,12 @@ def topk_from_index(
     per-query ``qtf * idf`` weight map (a uniform scale also scales the
     WAND block upper bounds, so pruning stays exact).
 
+    ``boosts``: optional per-query per-term multiplicative weight
+    (Lucene per-clause boost): contribution = boost * qtf * idf * norm,
+    applied identically in all three algorithms (the weight scales the
+    WAND block upper bound too, so pruning stays exact). Boost keys are
+    LITERAL terms — a wildcard pattern's expanded terms score unboosted.
+
     One parquet scan covers all queries' terms (IN-list pushdown); each
     segment scores every query locally; global top-k is a window over
     n_segments*k survivors.
@@ -392,6 +405,17 @@ def topk_from_index(
     dfs = read_term_stats(spark, index_dir, all_terms)
     idfs = {t: _idf(manifest.n_docs, dfs.get(t, 0)) for t in all_terms}
     q_broadcast = {qid: [t for t in ts if t in dfs] for qid, ts in queries.items()}
+    # per-query idf*boost maps for the batch scorer (occurrence-wise, so
+    # qtf is NOT folded here); wand/exhaustive fold qtf below
+    wts_by_qid = (
+        {
+            qid: {t: idfs[t] * float(b) for t, b in bq.items() if t in idfs}
+            for qid, bq in boosts.items()
+            if bq
+        }
+        if boosts
+        else None
+    )
 
     postings = read_postings(spark, index_dir, all_terms).select(
         "segment_id", "term", "blocks"
@@ -402,7 +426,9 @@ def topk_from_index(
     def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term = {r.term: r.blocks for r in pdf.itertuples()}
         if algorithm == "auto":
-            rows = _segment_topk_batch(by_term, q_broadcast, idfs, k, round_to)
+            rows = _segment_topk_batch(
+                by_term, q_broadcast, idfs, k, round_to, wts_by_qid
+            )
             return pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
         scorer = _segment_topk_wand if algorithm == "wand" else _segment_topk_exhaustive
         rows = []
@@ -417,9 +443,14 @@ def topk_from_index(
             if not qtf:
                 continue
             tb = {t: by_term[t] for t in qtf}
+            bq = (boosts or {}).get(qid) or {}
             wts = (
-                {t: idfs[t] * c for t, c in qtf.items()}
+                {
+                    t: idfs[t] * c * float(bq.get(t, 1.0))
+                    for t, c in qtf.items()
+                }
                 if any(c > 1 for c in qtf.values())
+                or any(t in bq for t in qtf)
                 else idfs
             )
             for d, s in scorer(tb, wts, k, round_to):

@@ -82,6 +82,30 @@ _MSM_KEYS = (
     "minimumNumberShouldMatch",
 )
 
+#: ES 1.x query types the reference's IndexQueryParserService would parse
+#: but this engine rejects by design — no analog over the batch schema
+#: (geo mappings, parent/child routing, scripted scoring, index-side MLT
+#: statistics). Listed so registration fails with the documented set
+#: rather than an anonymous "unsupported query type".
+_UNSUPPORTED_TYPES = frozenset({
+    "function_score",
+    "more_like_this",
+    "mlt",
+    "geo_shape",
+    "geo_distance",
+    "geo_bounding_box",
+    "geo_polygon",
+    "geo_distance_range",
+    "geohash_cell",
+    "has_child",
+    "has_parent",
+    "top_children",
+    "script",
+    "template",
+    "fquery",
+    "indices",
+})
+
 
 def calculate_min_should_match(n_optional: int, spec) -> int:
     """Resolve an ES minimum_should_match spec against the optional-clause
@@ -133,11 +157,24 @@ def calculate_min_should_match(n_optional: int, spec) -> int:
     return max(result, 0)
 
 
+def _boost_of(body, v=None) -> float:
+    """Per-clause boost from either the explicit body ({"field": f,
+    "value": v, "boost": b}) or the ES long form ({f: {"value": v,
+    "boost": b}}). Matching stays boost-free; the value feeds
+    positive_term_weights for scored responses (round-5 item)."""
+    for src in (v, body):
+        if isinstance(src, dict) and "boost" in src:
+            try:
+                return float(src["boost"])
+            except (TypeError, ValueError):
+                raise QueryParseError(f"invalid boost: {src['boost']!r}")
+    return 1.0
+
+
 def _unwrap_value(v, kind: str):
     """ES long-form leaf bodies ({f: {"value": v, "boost": b}}) carry the
-    value one level down; boost is accepted and ignored (our filter-context
-    matching is boost-free; scored responses use BM25 — documented
-    divergence, COVERAGE.md)."""
+    value one level down; boost is retained as a SCORING weight
+    (plans carry it; matching is boost-free — COVERAGE.md)."""
     if isinstance(v, dict):
         inner = v.get("value", v.get("wildcard" if kind == "wildcard" else "term"))
         if inner is None:
@@ -164,11 +201,12 @@ def compile_query(q: str | dict) -> Plan:
 
     if kind == "term":
         f, v = _field_value(body)
+        bst = _boost_of(body, v)
         v = _unwrap_value(v, kind)
         toks = _analyze(v)
         if len(toks) != 1:
             raise QueryParseError(f"term value must analyze to one token: {v!r}")
-        return Term(f, toks[0])
+        return Term(f, toks[0], boost=bst)
 
     if kind == "match":
         spec = body
@@ -195,24 +233,25 @@ def compile_query(q: str | dict) -> Plan:
         # per token length, distance 0 degrades to Term
         fz_spec = spec.get("fuzziness") if isinstance(spec, dict) else None
         pl = int(spec.get("prefix_length", 0)) if isinstance(spec, dict) else 0
+        bst = _boost_of(spec) if isinstance(spec, dict) else 1.0
 
-        def leaf(t: str) -> Plan:
+        def leaf(t: str, b: float = 1.0) -> Plan:
             if fz_spec is None:
-                return Term(f, t)
+                return Term(f, t, boost=b)
             fz = resolve_fuzziness(fz_spec, len(t))
-            return Term(f, t) if fz == 0 else Fuzzy(f, t, fz, pl)
+            return Term(f, t, boost=b) if fz == 0 else Fuzzy(f, t, fz, pl)
 
         if len(toks) == 1:
-            return leaf(toks[0])
+            return leaf(toks[0], bst)
         terms = tuple(leaf(t) for t in toks)
         if str(op).lower() == "and":
-            return Bool(must=terms)
+            return Bool(must=terms, boost=bst)
         # ES 1.7 MatchQueryParser honors minimum_should_match on the
         # analyzed-disjunction form
         msm = _msm_from(spec, len(terms))
         if msm > len(terms):
             return MatchNone()
-        return Bool(should=terms, msm=msm)
+        return Bool(should=terms, msm=msm, boost=bst)
 
     if kind == "terms":
         # ES 1.7 TermsQueryParser: "minimum_match" is its legacy alias
@@ -344,15 +383,24 @@ def compile_query(q: str | dict) -> Plan:
             f = body.get("field", DEFAULT_FIELD)
             toks = [t.lower() for t in body["terms"]]
             slop = int(body.get("slop", 0))
+            bst = _boost_of(body)
         else:
             f, v = _field_value(body, "query")
+            bst = _boost_of(body, v)
+            if isinstance(v, dict):
+                # ES long form {f: {"query": q, "slop": n, "boost": b}}
+                slop = int(v.get("slop", 0))
+                v = v.get("query")
+                if v is None:
+                    raise QueryParseError(f"{kind} needs a query: {body!r}")
+            else:
+                slop = int(body.get("slop", 0)) if "slop" in body else 0
             toks = _analyze(v)
-            slop = int(body.get("slop", 0)) if "slop" in body else 0
         if not toks:
             return MatchNone()
         if len(toks) == 1:
-            return Term(f, toks[0])
-        return Phrase(f, tuple(toks), slop)
+            return Term(f, toks[0], boost=bst)
+        return Phrase(f, tuple(toks), slop, boost=bst)
 
     if kind == "wildcard":
         f, v = _field_value(body)
@@ -380,7 +428,8 @@ def compile_query(q: str | dict) -> Plan:
         shoulds = many("should")
         plan = Bool(must=many("must"), should=shoulds,
                     must_not=many("must_not"), filter=many("filter"),
-                    msm=_msm_from(body, len(shoulds)) if shoulds else 0)
+                    msm=_msm_from(body, len(shoulds)) if shoulds else 0,
+                    boost=_boost_of(body))
         if plan.msm > len(plan.should):
             # Lucene: minimumNumberShouldMatch above the optional-clause
             # count can never be satisfied
@@ -417,6 +466,89 @@ def compile_query(q: str | dict) -> Plan:
                 f"span_multi wraps a multi-term query, got {inner!r}"
             )
         return inner
+
+    if kind == "dis_max":
+        # ES DisMaxQueryParser: matches iff ANY subquery matches — the
+        # disjunction rewrite is EXACT for matching. Scoring in ES is
+        # max(sub) + tie_breaker*rest; percolation responses here score
+        # BM25 over the union of match terms (documented approximation,
+        # same contract as constant_score). The reference accepts dis_max
+        # because it delegates to the full IndexQueryParserService
+        # (BatchPercolatorQueriesRegistry.java:187-206) and its limiting
+        # filter passes unknown types through
+        # (LimitingFilterFactory.java:56-77).
+        subs = body.get("queries")
+        if not isinstance(subs, (list, tuple)) or not subs:
+            raise QueryParseError(f"dis_max needs a queries list: {body!r}")
+        plans = tuple(compile_query(s) for s in subs)
+        if len(plans) == 1:
+            return plans[0]
+        return Bool(should=plans, msm=1)
+
+    if kind == "boosting":
+        # ES BoostingQueryParser: the negative clause only DEMOTES score —
+        # it never excludes — so matching is exactly the positive clause.
+        if "positive" not in body:
+            raise QueryParseError(f"boosting needs a positive clause: {body!r}")
+        return compile_query(body["positive"])
+
+    if kind == "common":
+        # ES 1.x CommonTermsQueryParser ({"common": {field: {"query": ...,
+        # "cutoff_frequency": ...}}}). Frequency-splitting is a SCORING
+        # optimization: with every term treated as low-frequency the query
+        # degrades to the analyzed disjunction with minimum_should_match —
+        # a superset match of ES's (high-freq terms there become
+        # must-if-no-low-freq-matches). Documented over-match; exact when
+        # no term crosses the cutoff.
+        if not isinstance(body, dict) or len(body) != 1:
+            raise QueryParseError(f"common needs one field object: {body!r}")
+        f, spec = next(iter(body.items()))
+        if not isinstance(spec, dict) or "query" not in spec:
+            raise QueryParseError(f"common needs a query: {spec!r}")
+        toks = _analyze(spec["query"])
+        if not toks:
+            return MatchNone()
+        msm_spec = spec.get("minimum_should_match")
+        if isinstance(msm_spec, dict):  # {"low_freq": ..., "high_freq": ...}
+            msm_spec = msm_spec.get("low_freq")
+        op = str(spec.get("low_freq_operator", "or")).lower()
+        if len(toks) == 1:
+            return Term(f, toks[0])
+        terms = tuple(Term(f, t) for t in toks)
+        if op == "and":
+            return Bool(must=terms)
+        msm = (
+            _msm_from({"minimum_should_match": msm_spec}, len(terms))
+            if msm_spec is not None
+            else 1
+        )
+        if msm > len(terms):
+            return MatchNone()
+        return Bool(should=terms, msm=msm)
+
+    if kind == "filtered":
+        # ES 1.x FilteredQueryParser — the pre-2.x spelling of bool
+        # {must, filter}; either part may be absent (defaults match_all)
+        inner_q = body.get("query")
+        inner_f = body.get("filter")
+        if inner_q is None and inner_f is None:
+            raise QueryParseError(f"filtered needs query and/or filter: {body!r}")
+        return Bool(
+            must=(compile_query(inner_q),) if inner_q is not None else (),
+            filter=(compile_query(inner_f),) if inner_f is not None else (),
+        )
+
+    if kind in _UNSUPPORTED_TYPES:
+        # legal registrations in the reference (full IndexQueryParserService)
+        # that this engine rejects by DESIGN — geo/percolator-metadata/
+        # scripted scoring have no analog over the batch schema. Raising a
+        # typed error with the documented list keeps the failure at
+        # registration time, the same place the reference would fail a
+        # query over an unmapped geo field.
+        raise QueryParseError(
+            f"query type {kind!r} is documented-unsupported "
+            f"(see COVERAGE.md §DSL): {sorted(_UNSUPPORTED_TYPES)}"
+        )
 
     if kind == "nested":
         return Nested(body["path"], compile_query(body["query"]))

@@ -27,11 +27,20 @@ class Plan:
 
 @dataclass(frozen=True)
 class Term(Plan):
+    #: ``boost`` is a SCORING weight only (Lucene per-clause boost,
+    #: inherited by the reference via queryParserService.parse) — matching
+    #: is boost-free everywhere; positive_term_weights() folds path boosts
+    #: into the BM25 term weight map. Default 1.0 keeps equality/pickle
+    #: compatible with boost-free construction.
     field: str
     value: str
+    boost: float = 1.0
 
     def to_dict(self):
-        return {"term": {"field": self.field, "value": self.value}}
+        d = {"term": {"field": self.field, "value": self.value}}
+        if self.boost != 1.0:
+            d["term"]["boost"] = self.boost
+        return d
 
 
 @dataclass(frozen=True)
@@ -52,9 +61,13 @@ class Phrase(Plan):
     field: str
     terms: tuple[str, ...]
     slop: int = 0
+    boost: float = 1.0  # scoring weight only, see Term.boost
 
     def to_dict(self):
-        return {"phrase": {"field": self.field, "terms": list(self.terms), "slop": self.slop}}
+        d = {"phrase": {"field": self.field, "terms": list(self.terms), "slop": self.slop}}
+        if self.boost != 1.0:
+            d["phrase"]["boost"] = self.boost
+        return d
 
 
 @dataclass(frozen=True)
@@ -82,6 +95,7 @@ class Bool(Plan):
     must_not: tuple[Plan, ...] = ()
     filter: tuple[Plan, ...] = ()
     msm: int = 0
+    boost: float = 1.0  # scoring weight only (multiplies child weights)
 
     def effective_msm(self) -> int:
         if self.msm > 0:
@@ -354,6 +368,52 @@ def positive_terms(plan: Plan) -> set[tuple[str, str]]:
     if isinstance(plan, SpanFirst):
         return positive_terms(plan.match)
     return set()
+
+
+def positive_term_weights(plan: Plan, boost: float = 1.0) -> dict[tuple[str, str], float]:
+    """(field, term) → BM25 term weight: the per-OCCURRENCE accumulation of
+    path boosts over the positive literals. Lucene's BooleanQuery sums every
+    clause, so a term appearing in two positive clauses (or twice in one)
+    weights by its multiplicity — the qtf semantics the index scorers use
+    (operators/wand.py) — and each occurrence carries the product of boosts
+    from the root to its clause. A boost-free, repeat-free plan yields
+    weight 1.0 for exactly positive_terms(plan)."""
+    out: dict[tuple[str, str], float] = {}
+
+    def add(f: str, t: str, w: float) -> None:
+        out[(f, t)] = out.get((f, t), 0.0) + w
+
+    def walk(p: Plan, b: float) -> None:
+        if isinstance(p, Term):
+            add(p.field, p.value, b * p.boost)
+        elif isinstance(p, SpanTerm):
+            add(p.field, p.value, b)
+        elif isinstance(p, Nested):
+            for (_, t), w in positive_term_weights(p.query, b).items():
+                add(p.path, t, w)
+        elif isinstance(p, Phrase):
+            pb = b * p.boost
+            for t in p.terms:
+                add(p.field, t, pb)
+        elif isinstance(p, WildcardPhrase):
+            for pr in p.producers:
+                if isinstance(pr, Term):
+                    add(pr.field, pr.value, b)
+        elif isinstance(p, Bool):
+            bb = b * p.boost
+            for group in (p.must, p.should):
+                for c in group:
+                    walk(c, bb)
+        elif isinstance(p, (SpanNear, SpanOr)):
+            for c in p.clauses:
+                walk(c, b)
+        elif isinstance(p, SpanNot):
+            walk(p.include, b)
+        elif isinstance(p, SpanFirst):
+            walk(p.match, b)
+
+    walk(plan, boost)
+    return out
 
 
 def _tuple_reduce(cls):

@@ -360,10 +360,15 @@ def test_windowed_hybrid_fuzzy(spark):
     assert got == {("wf", 2), ("wt", 1)}
 
 
-def test_leaf_dict_bodies_with_boost_ignored():
+def test_leaf_dict_bodies_with_boost():
+    # round-5: boost is RETAINED as a scoring weight on term/phrase/bool
+    # (matching stays boost-free); multi-term leaves (wildcard/prefix/
+    # fuzzy/regexp) still accept-and-ignore it (their expanded terms score
+    # unboosted, documented)
     assert compile_query({"term": {"content": {"value": "Fox", "boost": 2.0}}}) == Term(
-        "content", "fox"
+        "content", "fox", boost=2.0
     )
+    assert compile_query({"term": {"content": "fox"}}) == Term("content", "fox")
     assert compile_query(
         {"wildcard": {"content": {"wildcard": "fo*", "boost": 1.5}}}
     ) == Wildcard("content", "fo*")
@@ -372,6 +377,49 @@ def test_leaf_dict_bodies_with_boost_ignored():
     )
     with pytest.raises(QueryParseError):
         compile_query({"term": {"content": {"boost": 2.0}}})
+
+
+def test_boost_parsing_shapes():
+    assert compile_query(
+        {"bool": {"must": [{"term": {"content": "fox"}}], "boost": 3.0}}
+    ) == Bool(must=(Term("content", "fox"),), boost=3.0)
+    assert compile_query(
+        {"match_phrase": {"content": {"query": "the fox", "boost": 2.0}}}
+    ) == Phrase("content", ("the", "fox"), 0, boost=2.0)
+    assert compile_query(
+        {"match_phrase": {"content": {"query": "the fox", "slop": 2}}}
+    ) == Phrase("content", ("the", "fox"), 2)
+    assert compile_query(
+        {"match": {"content": {"query": "quick fox", "boost": 4.0}}}
+    ) == Bool(should=(Term("content", "quick"), Term("content", "fox")),
+              msm=0, boost=4.0)
+    with pytest.raises(QueryParseError):
+        compile_query({"term": {"content": {"value": "fox", "boost": "big"}}})
+
+
+def test_positive_term_weights():
+    from elasticsearch_batch_percolator_spark.plans.query_plan import (
+        positive_term_weights,
+    )
+
+    # path boosts multiply; repeats accumulate (qtf); filter/must_not
+    # contribute nothing
+    p = compile_query({
+        "bool": {
+            "must": [{"term": {"content": {"value": "fox", "boost": 2.0}}},
+                     {"match_phrase": {"content": "the fox"}}],
+            "should": [{"term": {"content": "dog"}}],
+            "must_not": [{"term": {"content": "cat"}}],
+            "filter": [{"term": {"content": "barn"}}],
+            "boost": 3.0,
+        }
+    })
+    w = positive_term_weights(p)
+    assert w[("content", "fox")] == 2.0 * 3.0 + 3.0  # boosted term + phrase occurrence
+    assert w[("content", "the")] == 3.0
+    assert w[("content", "dog")] == 3.0
+    assert ("content", "cat") not in w
+    assert ("content", "barn") not in w
 
 
 def test_match_fuzziness():
@@ -502,6 +550,72 @@ def test_ids_match_col_equals_eval(spark):
             )
         }
         assert got == want, plan
+
+
+def test_compile_dsl_compat_rewrites():
+    """dis_max / boosting / common / filtered — ES 1.x types the reference
+    accepts via the full IndexQueryParserService
+    (BatchPercolatorQueriesRegistry.java:187-206). Matching rewrites:
+    dis_max → should(msm=1) [exact]; boosting → positive clause [exact —
+    negative only demotes score]; common → analyzed disjunction
+    [exact when no term crosses cutoff]; filtered → bool{must,filter}
+    [exact]. Truly-unsupported types raise with the documented list."""
+    assert compile_query(
+        {"dis_max": {"queries": [{"term": {"content": "a"}},
+                                 {"term": {"content": "b"}}],
+                     "tie_breaker": 0.7}}
+    ) == Bool(should=(Term("content", "a"), Term("content", "b")), msm=1)
+    assert compile_query(
+        {"boosting": {"positive": {"term": {"content": "a"}},
+                      "negative": {"term": {"content": "b"}},
+                      "negative_boost": 0.2}}
+    ) == Term("content", "a")
+    assert compile_query(
+        {"common": {"content": {"query": "the quick fox",
+                                "cutoff_frequency": 0.001}}}
+    ) == Bool(should=(Term("content", "the"), Term("content", "quick"),
+                      Term("content", "fox")), msm=1)
+    assert compile_query(
+        {"common": {"content": {"query": "a b", "low_freq_operator": "and"}}}
+    ) == Bool(must=(Term("content", "a"), Term("content", "b")))
+    assert compile_query(
+        {"filtered": {"query": {"term": {"content": "a"}},
+                      "filter": {"range": {"n": {"gte": 1}}}}}
+    ) == Bool(must=(Term("content", "a"),), filter=(Range("n", gte=1, lte=None),))
+    for bad in ("function_score", "geo_distance", "has_child",
+                "more_like_this", "script"):
+        with pytest.raises(QueryParseError, match="documented-unsupported"):
+            compile_query({bad: {}})
+    with pytest.raises(QueryParseError):
+        compile_query({"dis_max": {"queries": []}})
+    with pytest.raises(QueryParseError):
+        compile_query({"boosting": {"negative": {"term": {"content": "b"}}}})
+
+
+def test_percolate_dsl_compat_golden(spark):
+    """The rewritten types flow end-to-end through registration →
+    limiting filter → verify."""
+    queries = {
+        "dm": {"dis_max": {"queries": [{"term": {"content": "fox"}},
+                                       {"phrase": {"field": "content",
+                                                   "terms": ["bad", "wolf"]}}]}},
+        "bo": {"boosting": {"positive": {"term": {"content": "fox"}},
+                            "negative": {"term": {"content": "fast"}},
+                            "negative_boost": 0.1}},
+        "cm": {"common": {"content": {"query": "spark join",
+                                      "cutoff_frequency": 0.01}}},
+        "fl": {"filtered": {"query": {"term": {"content": "fox"}},
+                            "filter": {"term": {"content": "fast"}}}},
+    }
+    docs = [(0, "the fox is fast"), (1, "bad wolf"), (2, "spark streams"),
+            (3, "wolf bad wolf"), (4, "nothing here")]
+    got = _percolate_set(spark, queries, docs)
+    assert got == {
+        (0, "dm"), (1, "dm"), (3, "dm"),
+        (0, "bo"),           # negative clause does NOT exclude
+        (2, "cm"),
+        (0, "fl"),
+    }
 
 
 def test_when_chain_lane_ids_exists_range(spark, monkeypatch):

@@ -114,6 +114,52 @@ def test_duplicate_query_terms_score_per_occurrence(spark, index_dir, engine, al
         assert abs(s - es) < 1e-9, f"{key}: score {s} != {es}"
 
 
+@pytest.mark.parametrize("algorithm", ["auto", "wand", "exhaustive"])
+def test_boost_weighted_scoring_rank_identity(spark, index_dir, engine, algorithm):
+    """Per-clause boost as a multiplicative term weight (round-5 item):
+    contribution = boost * qtf * idf * norm, identical across the batch,
+    WAND (boost scales the block upper bound, pruning stays exact) and
+    exhaustive algorithms, and equal to the join scorer fed a ``w``
+    column of qtf * boost per distinct (query, term). Boosts chosen to
+    RE-RANK ('the' outweighing 'fox' only when boosted), so this pins
+    ordering, not a uniform scale."""
+    queries = {
+        "b1": ["spark", "join"],
+        "b2": ["the", "fox"],
+        "b3": ["spark", "spark", "join"],  # qtf * boost together
+        "b4": ["merge", "sort", "hash"],
+    }
+    boosts = {
+        "b1": {"join": 3.0},
+        "b2": {"the": 10.0, "fox": 0.5},
+        "b3": {"spark": 2.0},
+    }
+    got = {
+        (r["query_id"], r["rank"]): (int(r["doc_id"]), float(r["score"]))
+        for r in topk_from_index(
+            spark, index_dir, queries, k=10, algorithm=algorithm, boosts=boosts
+        ).collect()
+    }
+    from collections import Counter
+
+    rows = []
+    for qid, ts in queries.items():
+        for t, qtf in Counter(ts).items():
+            rows.append((qid, t, float(qtf) * boosts.get(qid, {}).get(t, 1.0)))
+    qdf = spark.createDataFrame(rows, "query_id string, term string, w double")
+    from elasticsearch_batch_percolator_spark.operators.bm25 import bm25_topk
+
+    exp = {
+        (r["query_id"], r["rank"]): (int(r["doc_id"]), float(r["score"]))
+        for r in bm25_topk(engine.score(qdf), 10).collect()
+    }
+    assert set(got) == set(exp)
+    for key, (d, s) in got.items():
+        ed, es = exp[key]
+        assert d == ed, f"{key}: doc {d} != {ed}"
+        assert abs(s - es) < 1e-9, f"{key}: score {s} != {es}"
+
+
 def test_wand_equals_exhaustive_random():
     """Property: BMW pruning never changes the result (random postings)."""
     rng = np.random.default_rng(42)

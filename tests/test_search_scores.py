@@ -81,6 +81,41 @@ def test_percolate_scores_match_batch_oracle(spark):
     assert got[(3, "q-all")] == 0.0  # match_all: no scoring terms
 
 
+def test_percolate_scores_boost_weighted(spark):
+    """Round-5: per-clause boost is a multiplicative BM25 term weight in
+    scored responses (weight = qtf × path boost × idf × norm). A single
+    boosted term scales its contribution linearly, so a boost-2 query
+    scores exactly 2× its unboosted twin; matching is unchanged."""
+    docs = [
+        (0, "the fox is here and the fox is fast"),
+        (1, "youscan percolator fox"),
+        (2, "bad wolf bad wolf"),
+    ]
+    queries = {
+        "plain": {"term": {"content": "fox"}},
+        "boosted": {"term": {"content": {"value": "fox", "boost": 2.0}}},
+        "mixed": {"bool": {"must": [
+            {"term": {"content": {"value": "bad", "boost": 3.0}}},
+            {"term": {"content": "wolf"}},
+        ]}},
+    }
+    reg = CompiledRegistry.from_rows(list(queries.items()))
+    res = percolate(spark, spark.createDataFrame(docs, "doc_id long, content string"), reg)
+    got = {
+        (int(r["doc_id"]), r["query_id"]): r["score"]
+        for r in res.with_scores(reg, round_to=None).collect()
+    }
+    # same match sets for plain vs boosted
+    assert {(d, q) for d, q in got if q == "plain"} == {(0, "plain"), (1, "plain")}
+    assert {(d, q) for d, q in got if q == "boosted"} == {(0, "boosted"), (1, "boosted")}
+    for d in (0, 1):
+        assert abs(got[(d, "boosted")] - 2.0 * got[(d, "plain")]) < 1e-9
+    pydocs = {d: tokenize_ws(t) for d, t in docs}
+    bad = bm25_oracle(pydocs, ["bad"])
+    wolf = bm25_oracle(pydocs, ["wolf"])
+    assert abs(got[(2, "mixed")] - (3.0 * bad[2] + wolf[2])) < 1e-9
+
+
 def test_response_json_sink(spark):
     reg = CompiledRegistry.from_rows([("q", {"term": {"content": "fox"}})])
     docs = spark.createDataFrame(
