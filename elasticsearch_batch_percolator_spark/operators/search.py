@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.query_plan import MatchAll, Plan, positive_terms
+from ..plans.query_plan import MatchAll, Plan, positive_term_weights
 from .bm25 import score_terms
 from .match import match_col
 
@@ -51,11 +51,16 @@ def search(
         match_col(plan, {"content": F.col("tokens")})
     ).select("doc_id")
 
-    terms = sorted({t for _, t in positive_terms(plan)})
-    if terms and not isinstance(plan, MatchAll):
+    # weight map = qtf x path boost per term (round-5: consistent with
+    # percolate scored responses and the index scorers)
+    w: dict[str, float] = {}
+    for (_f, t), wt in positive_term_weights(plan).items():
+        w[t] = w.get(t, 0.0) + wt
+    if w and not isinstance(plan, MatchAll):
         n, avgdl = engine.stats
         qt = engine.spark.createDataFrame(
-            [("q", t) for t in terms], "query_id string, term string"
+            [("q", t, wt) for t, wt in sorted(w.items())],
+            "query_id string, term string, w double",
         )
         scored = (
             score_terms(engine.tf, engine.dl, engine.dfreq, qt, n, avgdl)
