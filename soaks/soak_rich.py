@@ -27,7 +27,27 @@ def span(rng, f, d=2):
 
 def rich_query(rng):
     f = rng.choice(["f1", "f2"])
-    k = rng.randrange(10)
+    k = rng.randrange(14)
+    if k == 10:  # round-5 DSL-compat: dis_max -> any-of
+        return {"dis_max": {"queries": [rich_query(rng) for _ in range(rng.randint(1, 3))],
+                            "tie_breaker": rng.random()}}
+    if k == 11:  # boosting -> positive only (negative demotes, never excludes)
+        return {"boosting": {"positive": rich_query(rng),
+                             "negative": {"term": {f: rng.choice(V)}},
+                             "negative_boost": rng.random()}}
+    if k == 12:  # common -> analyzed disjunction (+optional msm / and-op)
+        spec = {"query": " ".join(rng.choices(V, k=rng.randint(1, 4))),
+                "cutoff_frequency": 0.01}
+        if rng.random() < 0.3:
+            spec["low_freq_operator"] = "and"
+        elif rng.random() < 0.3:
+            spec["minimum_should_match"] = rng.randint(1, 2)
+        return {"common": {f: spec}}
+    if k == 13:  # filtered -> bool{must,filter}; random per-clause boosts
+        return {"filtered": {
+            "query": {"term": {f: {"value": rng.choice(V),
+                                   "boost": rng.choice([0.5, 2.0, 3.0])}}},
+            "filter": rich_query(rng)}}
     if k == 0:
         return {"phrase": {"field": f, "terms": rng.choices(V, k=rng.randint(2, 4)),
                            "slop": rng.randint(1, 3)}}
