@@ -33,6 +33,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the distributed registry compile ships executor-pickled plan
+        # blobs back through the driver-result channel; at a 10^7-query
+        # registry that is a multi-GB (legitimate, bounded-by-registry)
+        # result that the 1g default ABORTS — measured: the abort trips
+        # the serial-compile fallback, turning a ~2-min distributed
+        # compile into ~18 min of driver python. 8g covers 10^7; real
+        # deployments size it with the registry.
+        .config("spark.driver.maxResultSize", os.environ.get(
+            "SPARK_GRAFT_MAX_RESULT", "8g"))
         # default 64MB coalesces mid-size local shuffles down to a handful
         # of partitions, serializing post-shuffle stages; 8MB keeps all
         # cores busy at bench scale (retune upward on a real cluster where

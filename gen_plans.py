@@ -82,6 +82,24 @@ p7 = grab(_compact_merged(spark, idx, read_manifest(idx), 2)[1])
 sections.append(("Segment compaction: old segments route to merged ones via a BROADCAST segment-map join (BroadcastHashJoin on the partition column), ONE hash Exchange on the new segment id, then the posting merge runs whole-segment-local in a single ArrowEvalPython/MapInPandas pass — bytes moved ~= compressed index size, no token rows, no groupBy(term)", p7))
 
 
+# 8. full-DSL index search (round 5): one scan covers every query's
+# vocabulary (term IN pushdown), per-segment retrieve+verify+score in a
+# single applyInPandas, (segments x k) rows into the final rank window
+from elasticsearch_batch_percolator_spark.operators.dsl_index import (
+    dsl_topk_from_index,
+)
+pos_idx = tempfile.mkdtemp() + "/posidx"
+build_index(spark, eng.docs.select("doc_id", "tokens"), pos_idx,
+            n_segments=4, positions=True)
+p8 = grab(dsl_topk_from_index(spark, pos_idx, {
+    "q": {"bool": {"must": [{"term": {"content": "spark"}},
+                            {"phrase": {"field": "content",
+                                        "terms": ["the", "fast"]}}],
+                   "must_not": [{"term": {"content": "window"}}]}},
+}, k=10))
+sections.append(("Full-DSL index search: ONE posting scan with the combined vocabulary IN-filter pushed to parquet; gates + pseudo-doc verify + weighted BM25 all inside one per-segment FlatMapGroupsInPandas; the only exchange after it is the (segments x k)-row rank window", p8))
+
+
 def trim(s, n=80):
     lines = [l.rstrip() for l in s.splitlines()]
     return "\n".join(lines[:n])
