@@ -412,18 +412,31 @@ def main() -> None:
     # evidence file is self-adjudicating without cross-referencing other
     # runs.
     quiet_ref = float(os.environ.get("SCALING_QUIET_MEMBW_REF", "0.85"))
+    cpu_ref = float(os.environ.get("SCALING_QUIET_CPU_REF", "0.85"))
     membw_eff = report["efficiency"].get("membw_control")
-    contended = membw_eff is not None and membw_eff < quiet_ref / 2.0
+    mp_cpu_eff = report["efficiency"].get("mp_cpu_control_tasks_per_sec")
+    bus_contended = membw_eff is not None and membw_eff < quiet_ref / 2.0
+    # the raw-multiprocessing CPU burn is the HARDWARE ceiling: if even it
+    # fails to scale 8→32, the box does not have 4x free cores in this
+    # window (a co-tenant is running) and every job ratio is depressed by
+    # slot starvation, not engine behavior
+    cpu_contended = mp_cpu_eff is not None and mp_cpu_eff < cpu_ref
+    contended = bus_contended or cpu_contended
     report["window"] = {
         "membw_quiet_ref": quiet_ref,
         "membw_control_eff": membw_eff,
+        "cpu_quiet_ref": cpu_ref,
+        "mp_cpu_control_eff": mp_cpu_eff,
         "contended_flag": bool(contended),
         "note": (
-            "membw control deviates >2x from quiet reference: job "
-            "efficiencies in this run reflect bus contention, not engine "
+            ("memory-bus" if bus_contended else "")
+            + ("+" if bus_contended and cpu_contended else "")
+            + ("cpu-slot" if cpu_contended else "")
+            + " contention detected by the embedded controls: job "
+            "efficiencies in this run reflect co-tenant load, not engine "
             "scaling — rerun in a quiet window before shipping"
             if contended
-            else "membw control within 2x of quiet reference: window usable"
+            else "controls within quiet-window bounds: run usable as evidence"
         ),
     }
     print(json.dumps(report))

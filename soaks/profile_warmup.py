@@ -60,7 +60,11 @@ for i in range(N):
             {"wildcard": {"content": terms[1][:4] + "*"}}]}}
     rows.append((f"q{i}", q))
 
-spark = get_spark("profwarm", cores=32)
+# PROF_CORES: at 10^7 queries the per-python-worker columnar verify
+# broadcast is multi-GB; 32 workers x that does not fit one 125GB box
+# (each EXECUTOR holds one copy on a real cluster). local[8] keeps the
+# resident set honest for the large-registry study.
+spark = get_spark("profwarm", cores=int(os.environ.get("PROF_CORES", "32")))
 spark.sparkContext.setLogLevel("ERROR")
 
 
