@@ -264,102 +264,115 @@ def _jv_structs(
             n = _kn[kind] = _kind_n(kind)
         return n
 
-    specs: dict[str, tuple] = {}
-    probe_terms: set[tuple[int, str]] = set()
-    gram_probe: set[tuple[int, int, str]] = set()
-    pat_probe: set[tuple[int, str]] = set()
-    for qid, (need, forbid) in registry.jv_verify_atoms().items():
-        ok, never = True, False
-        need_pairs: set[tuple[int, str, str]] = set()
-        forb_pairs: set[tuple[int, str, str]] = set()
-        for pairs, atoms in ((need_pairs, need), (forb_pairs, forbid)):
-            required = pairs is need_pairs
-            for kind, f, v in atoms:
-                fc = plain_fc(f)
-                if fc is None:
-                    if f in resolve:
-                        ok = False  # nested/scalar view: python lane
+    # pause cyclic GC for the per-query build (same rationale as
+    # registry.broadcast_verify_plans): heavy container churn over a
+    # 10^7-query heap makes gen2 collections dominate — measured 303s
+    # at 10M queries where 1M-linear extrapolation says ~155s. No
+    # cycles are created here; collection is deferred, not skipped.
+    import gc
+
+    _gc_was = gc.isenabled()
+    gc.disable()
+    try:
+        specs: dict[str, tuple] = {}
+        probe_terms: set[tuple[int, str]] = set()
+        gram_probe: set[tuple[int, int, str]] = set()
+        pat_probe: set[tuple[int, str]] = set()
+        for qid, (need, forbid) in registry.jv_verify_atoms().items():
+            ok, never = True, False
+            need_pairs: set[tuple[int, str, str]] = set()
+            forb_pairs: set[tuple[int, str, str]] = set()
+            for pairs, atoms in ((need_pairs, need), (forb_pairs, forbid)):
+                required = pairs is need_pairs
+                for kind, f, v in atoms:
+                    fc = plain_fc(f)
+                    if fc is None:
+                        if f in resolve:
+                            ok = False  # nested/scalar view: python lane
+                            break
+                        if required:
+                            never = True  # required on unconfigured field
+                        continue  # forbidden on unconfigured: can't be present
+                    if kind_n(kind) > 1 and fc >= _GRAM_FCOL_OFF:
+                        ok = False  # n-gram offset space exhausted (>64 columns)
                         break
-                    if required:
-                        never = True  # required on unconfigured field
-                    continue  # forbidden on unconfigured: can't be present
-                if kind_n(kind) > 1 and fc >= _GRAM_FCOL_OFF:
-                    ok = False  # n-gram offset space exhausted (>64 columns)
+                    if kind == "t" and " " in v:
+                        # space-bearing token value on any column: python lane
+                        # (see the ALIASING INVARIANT at _GRAM_FCOL_OFF — on
+                        # fcol >= 64 it would falsely join an n-gram stream)
+                        ok = False
+                        break
+                    pairs.add((fc, kind, v))
+                if not ok:
                     break
-                if kind == "t" and " " in v:
-                    # space-bearing token value on any column: python lane
-                    # (see the ALIASING INVARIANT at _GRAM_FCOL_OFF — on
-                    # fcol >= 64 it would falsely join an n-gram stream)
-                    ok = False
-                    break
-                pairs.add((fc, kind, v))
             if not ok:
-                break
-        if not ok:
-            continue
-        if never:
-            specs[qid] = ((), 0, (), (), True, ())
-            continue
-        rows_q: list[tuple[str, int, str, bool]] = []
-        prows_q: list[tuple[str, int, int, str, str, str, bool]] = []
-        atoms_q: list[tuple[int, str, str]] = []
-        gcols_q: set[tuple[str, int]] = set()
-        for fc, kind, v in sorted(need_pairs | forb_pairs):
-            n = kind_n(kind)
-            fc_eff = fc + _GRAM_FCOL_OFF * (n - 1)
-            in_need = (fc, kind, v) in need_pairs
-            in_forb = (fc, kind, v) in forb_pairs
-            if kind == "w":
-                # bare wildcard: expand against the base token dictionary
-                like = wildcard_to_like(v)
-                pat_probe.add((fc, like))
-                for req in ((True,) if in_need else ()) + (
-                    (False,) if in_forb else ()
-                ):
-                    prows_q.append((qid, fc, 1, "", like, "", req))
-                    atoms_q.append((fc, kind, v))
                 continue
-            if kind.startswith("wg"):
-                # wildcard-phrase: ONE "\x01"-marked pattern position;
-                # concrete grams = prefix + <dict term matching like> +
-                # suffix (percolate joins the expansion to the (col, n)
-                # n-gram stream)
-                parts = v.split(" ")
-                wi = next(
-                    i for i, p in enumerate(parts) if p.startswith("\x01")
-                )
-                like = wildcard_to_like(parts[wi][1:])
-                prefix = " ".join(parts[:wi]) + (" " if wi else "")
-                suffix = (" " if wi < n - 1 else "") + " ".join(parts[wi + 1:])
-                probe_terms.update(
-                    (fc, w) for i, w in enumerate(parts) if i != wi
-                )
-                for req in ((True,) if in_need else ()) + (
-                    (False,) if in_forb else ()
-                ):
-                    prows_q.append((qid, fc, n, prefix, like, suffix, req))
-                    atoms_q.append((fc, kind, v))
+            if never:
+                specs[qid] = ((), 0, (), (), True, ())
                 continue
-            if kind != "t":
-                gcols_q.add((used_tok_cols[fc], n))
-                gram_probe.add((fc, n, v))
-                probe_terms.update((fc, w) for w in v.split(" "))
-            if in_need:
-                rows_q.append((qid, fc_eff, v, True))
-                atoms_q.append((fc, kind, v))
-            if in_forb:
-                rows_q.append((qid, fc_eff, v, False))
-                atoms_q.append((fc, kind, v))
-                if kind == "t":
-                    probe_terms.add((fc, v))
-        if len(rows_q) + len(prows_q) > 63:
-            # the join-verify aggregate assigns each atom one bit of a
-            # 64-bit mask (bit_or merges duplicate hits for free — no
-            # dedup exchanges); a query with more atoms than bits stays
-            # on the python evaluator
-            continue
-        specs[qid] = (tuple(rows_q), len(need_pairs), tuple(atoms_q),
-                      tuple(sorted(gcols_q)), False, tuple(prows_q))
+            rows_q: list[tuple[str, int, str, bool]] = []
+            prows_q: list[tuple[str, int, int, str, str, str, bool]] = []
+            atoms_q: list[tuple[int, str, str]] = []
+            gcols_q: set[tuple[str, int]] = set()
+            for fc, kind, v in sorted(need_pairs | forb_pairs):
+                n = kind_n(kind)
+                fc_eff = fc + _GRAM_FCOL_OFF * (n - 1)
+                in_need = (fc, kind, v) in need_pairs
+                in_forb = (fc, kind, v) in forb_pairs
+                if kind == "w":
+                    # bare wildcard: expand against the base token dictionary
+                    like = wildcard_to_like(v)
+                    pat_probe.add((fc, like))
+                    for req in ((True,) if in_need else ()) + (
+                        (False,) if in_forb else ()
+                    ):
+                        prows_q.append((qid, fc, 1, "", like, "", req))
+                        atoms_q.append((fc, kind, v))
+                    continue
+                if kind.startswith("wg"):
+                    # wildcard-phrase: ONE "\x01"-marked pattern position;
+                    # concrete grams = prefix + <dict term matching like> +
+                    # suffix (percolate joins the expansion to the (col, n)
+                    # n-gram stream)
+                    parts = v.split(" ")
+                    wi = next(
+                        i for i, p in enumerate(parts) if p.startswith("\x01")
+                    )
+                    like = wildcard_to_like(parts[wi][1:])
+                    prefix = " ".join(parts[:wi]) + (" " if wi else "")
+                    suffix = (" " if wi < n - 1 else "") + " ".join(parts[wi + 1:])
+                    probe_terms.update(
+                        (fc, w) for i, w in enumerate(parts) if i != wi
+                    )
+                    for req in ((True,) if in_need else ()) + (
+                        (False,) if in_forb else ()
+                    ):
+                        prows_q.append((qid, fc, n, prefix, like, suffix, req))
+                        atoms_q.append((fc, kind, v))
+                    continue
+                if kind != "t":
+                    gcols_q.add((used_tok_cols[fc], n))
+                    gram_probe.add((fc, n, v))
+                    probe_terms.update((fc, w) for w in v.split(" "))
+                if in_need:
+                    rows_q.append((qid, fc_eff, v, True))
+                    atoms_q.append((fc, kind, v))
+                if in_forb:
+                    rows_q.append((qid, fc_eff, v, False))
+                    atoms_q.append((fc, kind, v))
+                    if kind == "t":
+                        probe_terms.add((fc, v))
+            if len(rows_q) + len(prows_q) > 63:
+                # the join-verify aggregate assigns each atom one bit of a
+                # 64-bit mask (bit_or merges duplicate hits for free — no
+                # dedup exchanges); a query with more atoms than bits stays
+                # on the python evaluator
+                continue
+            specs[qid] = (tuple(rows_q), len(need_pairs), tuple(atoms_q),
+                          tuple(sorted(gcols_q)), False, tuple(prows_q))
+    finally:
+        if _gc_was:
+            gc.enable()
     out = (specs, probe_terms, gram_probe, pat_probe)
     registry._jv_struct_cache = (key, out)
     return out

@@ -242,6 +242,7 @@ class CompiledRegistry:
                 cached[1].unpersist()
             except Exception:
                 pass
+        import gc
         import pickle
 
         import numpy as np
@@ -256,101 +257,113 @@ class CompiledRegistry:
         forb_off: list[int] = [0]
         p_qids: list[str] = []
         p_blobs: list[bytes] = []
-        for qid in self.gate_verify_ids():
-            cq = self.queries[qid]
-            req = (
-                cq.simple_req
-                if cq.simple_req is not _UNSET
-                else _simple_required(cq.plan)
-            )
-            if req is not None:
-                s_qids.append(qid)
-                for pairs, fs, ts in (
-                    (req[0], need_f, need_t),
-                    (req[1], forb_f, forb_t),
-                ):
-                    for f, t in pairs:
-                        fs.append(s_fields.setdefault(f, len(s_fields)))
-                        ts.append(t)
-                need_off.append(len(need_t))
-                forb_off.append(len(forb_t))
-            else:
-                # plans ship INDIVIDUALLY pickled: a plan that cannot
-                # unpickle on a worker (exotic class, bad state) fails only
-                # its own per-query lookup under the verify UDF's
-                # try/except, never the whole broadcast load (E10). A
-                # blob-backed query forwards its executor-pickled bytes
-                # untouched — the broadcast build is a dict assembly, not
-                # a 10^5-plan re-pickle.
-                p_qids.append(qid)
-                p_blobs.append(
-                    cq.plan_blob
-                    if cq.plan_blob is not None
-                    else pickle.dumps(cq.plan)
+        # pause cyclic GC for the build: the container churn here triggers
+        # gen2 collections that each scan the WHOLE driver heap — at a
+        # 10^7-query registry (10^8-object heap) the build measured 56s vs
+        # ~3s/1M-linear expectation, nearly all collector time. Nothing in
+        # this loop creates cycles; the pause defers, never skips,
+        # collection.
+        _gc_was = gc.isenabled()
+        gc.disable()
+        try:
+            for qid in self.gate_verify_ids():
+                cq = self.queries[qid]
+                req = (
+                    cq.simple_req
+                    if cq.simple_req is not _UNSET
+                    else _simple_required(cq.plan)
                 )
+                if req is not None:
+                    s_qids.append(qid)
+                    for pairs, fs, ts in (
+                        (req[0], need_f, need_t),
+                        (req[1], forb_f, forb_t),
+                    ):
+                        for f, t in pairs:
+                            fs.append(s_fields.setdefault(f, len(s_fields)))
+                            ts.append(t)
+                    need_off.append(len(need_t))
+                    forb_off.append(len(forb_t))
+                else:
+                    # plans ship INDIVIDUALLY pickled: a plan that cannot
+                    # unpickle on a worker (exotic class, bad state) fails only
+                    # its own per-query lookup under the verify UDF's
+                    # try/except, never the whole broadcast load (E10). A
+                    # blob-backed query forwards its executor-pickled bytes
+                    # untouched — the broadcast build is a dict assembly, not
+                    # a 10^5-plan re-pickle.
+                    p_qids.append(qid)
+                    p_blobs.append(
+                        cq.plan_blob
+                        if cq.plan_blob is not None
+                        else pickle.dumps(cq.plan)
+                    )
 
-        def _tbuf(terms: list[str]) -> tuple[bytes, "np.ndarray"]:
-            # one utf-8 buffer + int64 byte offsets. ASCII fast path: one
-            # join+encode; char offsets == byte offsets. Otherwise per-term
-            # encode (byte lengths differ from char lengths).
-            joined = "".join(terms)
-            buf = joined.encode()
-            if len(buf) == len(joined):
-                lens = np.fromiter(
-                    (len(t) for t in terms), dtype=np.int64, count=len(terms)
-                )
-            else:
-                enc = [t.encode() for t in terms]
-                buf = b"".join(enc)
-                lens = np.fromiter(
-                    (len(e) for e in enc), dtype=np.int64, count=len(enc)
-                )
-            off = np.zeros(len(terms) + 1, dtype=np.int64)
-            np.cumsum(lens, out=off[1:])
-            return buf, off
+            def _tbuf(terms: list[str]) -> tuple[bytes, "np.ndarray"]:
+                # one utf-8 buffer + int64 byte offsets. ASCII fast path: one
+                # join+encode; char offsets == byte offsets. Otherwise per-term
+                # encode (byte lengths differ from char lengths).
+                joined = "".join(terms)
+                buf = joined.encode()
+                if len(buf) == len(joined):
+                    lens = np.fromiter(
+                        (len(t) for t in terms), dtype=np.int64, count=len(terms)
+                    )
+                else:
+                    enc = [t.encode() for t in terms]
+                    buf = b"".join(enc)
+                    lens = np.fromiter(
+                        (len(e) for e in enc), dtype=np.int64, count=len(enc)
+                    )
+                off = np.zeros(len(terms) + 1, dtype=np.int64)
+                np.cumsum(lens, out=off[1:])
+                return buf, off
 
-        nt_buf, nt_off = _tbuf(need_t)
-        ft_buf, ft_off = _tbuf(forb_t)
-        # qid lists deliberately stay OUT of the broadcast value: workers
-        # never see query-id strings. The candidate pipeline maps
-        # query_id -> vid (unified row id: simple rows first, then plan
-        # rows) with a JVM broadcast join — ONE Tungsten hash table per
-        # executor instead of a 10^6-entry python dict (and 1.4M string
-        # allocations) in EVERY worker, which measured ~47s/worker under
-        # 32-way concurrency. verify_qid_spaces() exposes the lists
-        # driver-side for the vid-map build.
-        simple_cols = {
-            "fields": list(s_fields),
-            "need_off": np.asarray(need_off, dtype=np.int64),
-            "need_f": np.asarray(need_f, dtype=np.int32),
-            "need_t": nt_buf,
-            "need_t_off": nt_off,
-            "forb_off": np.asarray(forb_off, dtype=np.int64),
-            "forb_f": np.asarray(forb_f, dtype=np.int32),
-            "forb_t": ft_buf,
-            "forb_t_off": ft_off,
-        }
-        # plan blobs ship columnar too — ONE buffer + offsets, not a
-        # {qid: bytes} dict: 10^5-10^6 bytes objects unpickling in every
-        # worker measured ~68s/worker under 32-way concurrency; a buffer
-        # is one copy, and a worker slices out only the blobs whose qids
-        # actually become candidates (percolate._pred). Per-query unpickle
-        # isolation is preserved: a corrupt blob still fails only its own
-        # pickle.loads under the verify UDF's per-query try (E10).
-        p_off = np.zeros(len(p_blobs) + 1, dtype=np.int64)
-        if p_blobs:
-            np.cumsum(
-                np.fromiter(
-                    (len(b) for b in p_blobs),
-                    dtype=np.int64,
-                    count=len(p_blobs),
-                ),
-                out=p_off[1:],
-            )
-        plan_cols = {
-            "buf": b"".join(p_blobs),
-            "off": p_off,
-        }
+            nt_buf, nt_off = _tbuf(need_t)
+            ft_buf, ft_off = _tbuf(forb_t)
+            # qid lists deliberately stay OUT of the broadcast value: workers
+            # never see query-id strings. The candidate pipeline maps
+            # query_id -> vid (unified row id: simple rows first, then plan
+            # rows) with a JVM broadcast join — ONE Tungsten hash table per
+            # executor instead of a 10^6-entry python dict (and 1.4M string
+            # allocations) in EVERY worker, which measured ~47s/worker under
+            # 32-way concurrency. verify_qid_spaces() exposes the lists
+            # driver-side for the vid-map build.
+            simple_cols = {
+                "fields": list(s_fields),
+                "need_off": np.asarray(need_off, dtype=np.int64),
+                "need_f": np.asarray(need_f, dtype=np.int32),
+                "need_t": nt_buf,
+                "need_t_off": nt_off,
+                "forb_off": np.asarray(forb_off, dtype=np.int64),
+                "forb_f": np.asarray(forb_f, dtype=np.int32),
+                "forb_t": ft_buf,
+                "forb_t_off": ft_off,
+            }
+            # plan blobs ship columnar too — ONE buffer + offsets, not a
+            # {qid: bytes} dict: 10^5-10^6 bytes objects unpickling in every
+            # worker measured ~68s/worker under 32-way concurrency; a buffer
+            # is one copy, and a worker slices out only the blobs whose qids
+            # actually become candidates (percolate._pred). Per-query unpickle
+            # isolation is preserved: a corrupt blob still fails only its own
+            # pickle.loads under the verify UDF's per-query try (E10).
+            p_off = np.zeros(len(p_blobs) + 1, dtype=np.int64)
+            if p_blobs:
+                np.cumsum(
+                    np.fromiter(
+                        (len(b) for b in p_blobs),
+                        dtype=np.int64,
+                        count=len(p_blobs),
+                    ),
+                    out=p_off[1:],
+                )
+            plan_cols = {
+                "buf": b"".join(p_blobs),
+                "off": p_off,
+            }
+        finally:
+            if _gc_was:
+                gc.enable()
         bc = sc.broadcast({"simple_cols": simple_cols, "plan_cols": plan_cols})
         self._bc_cache = (key, bc, next(_BC_SEQ), (s_qids, p_qids))
         return bc
