@@ -412,7 +412,9 @@ def main() -> None:
     # evidence file is self-adjudicating without cross-referencing other
     # runs.
     quiet_ref = float(os.environ.get("SCALING_QUIET_MEMBW_REF", "0.85"))
-    cpu_ref = float(os.environ.get("SCALING_QUIET_CPU_REF", "0.85"))
+    # 0.80: the round-4 shipping windows measured the mp control at
+    # 0.83-0.996; genuinely contended windows measure 0.73-0.75
+    cpu_ref = float(os.environ.get("SCALING_QUIET_CPU_REF", "0.80"))
     membw_eff = report["efficiency"].get("membw_control")
     mp_cpu_eff = report["efficiency"].get("mp_cpu_control_tasks_per_sec")
     bus_contended = membw_eff is not None and membw_eff < quiet_ref / 2.0
