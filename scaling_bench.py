@@ -459,9 +459,14 @@ def main() -> None:
         for name, thr in report["throughput"].items():
             cpu_eff = report["cpu_efficiency"].get(name)
             cpu_note = f" (cpu-normalized {cpu_eff})" if cpu_eff else ""
+            # control rows store their efficiency under the bare control
+            # name ("membw_control"), not the throughput key
+            eff = report["efficiency"].get(
+                name, report["efficiency"].get(name.replace("_tasks_per_sec", ""))
+            )
             lines.append(
                 f"| {name} | {thr[str(lo)]} | {thr[str(hi)]} | "
-                f"{report['efficiency'][name]}{cpu_note} |"
+                f"{eff}{cpu_note} |"
             )
         lines += [
             "",
