@@ -7,7 +7,7 @@ import test_multi_field_random as M
 from collections import Counter
 from elasticsearch_batch_percolator_spark.operators.percolate import percolate
 from elasticsearch_batch_percolator_spark.plans.eval_py import eval_plan
-from elasticsearch_batch_percolator_spark.plans.query_plan import positive_terms
+from elasticsearch_batch_percolator_spark.plans.query_plan import positive_term_weights
 from elasticsearch_batch_percolator_spark.sources.registry import CompiledRegistry
 from elasticsearch_batch_percolator_spark.session import get_spark
 from elasticsearch_batch_percolator_spark import BM25_B, BM25_K1
@@ -65,12 +65,15 @@ for it in range(6):
         for qid, cq in reg.queries.items():
             if not eval_plan(cq.plan, d):
                 continue
-            by_col = {}
-            for fld, t in positive_terms(cq.plan):
+            # per-OCCURRENCE qtf x boost weights (round-4 semantics:
+            # Lucene sums every positive clause, so a term repeated in two
+            # clauses — incl. twice inside one span_near — weights by its
+            # multiplicity; positive_term_weights is the engine's contract)
+            s = 0.0
+            for (fld, t), w in positive_term_weights(cq.plan).items():
                 tc = RESOLVE.get(fld)
                 if tc is not None:
-                    by_col.setdefault(tc, set()).add(t)
-            s = sum(bm25(tc, i, t) for tc, ts in by_col.items() for t in ts)
+                    s += w * bm25(tc, i, t)
             exp[(i, qid)] = s
     assert set(got) == set(exp), f"seed {seed}: pair sets differ ({len(got)} vs {len(exp)})"
     bad = [(k, got[k], exp[k]) for k in got if abs(got[k] - exp[k]) > 1e-6]

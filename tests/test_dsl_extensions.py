@@ -422,6 +422,24 @@ def test_positive_term_weights():
     assert ("content", "barn") not in w
 
 
+def test_positive_term_weights_span_repeat():
+    """A span_near carrying the SAME span_term twice weights that term by
+    its multiplicity (qtf) — the shape the round-5 fresh-seed soak caught
+    diverging from a set-deduping score model (soaks/soak_scores.py)."""
+    from elasticsearch_batch_percolator_spark.plans.query_plan import (
+        positive_term_weights,
+    )
+
+    p = compile_query({
+        "span_near": {
+            "clauses": [{"span_term": {"content": "d"}},
+                        {"span_term": {"content": "d"}}],
+            "slop": 0, "in_order": False,
+        }
+    })
+    assert positive_term_weights(p) == {("content", "d"): 2.0}
+
+
 def test_match_fuzziness():
     p = compile_query(
         {"match": {"content": {"query": "quick foxtrot", "fuzziness": "AUTO"}}}
